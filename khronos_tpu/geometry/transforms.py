@@ -1,0 +1,152 @@
+"""SE(3)/SO(3) utilities in JAX (float32, batched, jit-friendly).
+
+Poses are (R, t) with R: [..., 3, 3], t: [..., 3], mapping sensor/body points
+into world: p_w = R @ p_s + t. Also exp/log maps used by the pose-graph
+backend (Gauss-Newton on SE(3) with right-multiplicative increments).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def hat(w: jnp.ndarray) -> jnp.ndarray:
+    """so(3) hat operator: [..., 3] -> [..., 3, 3]."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zero = jnp.zeros_like(wx)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -wz, wy], axis=-1),
+            jnp.stack([wz, zero, -wx], axis=-1),
+            jnp.stack([-wy, wx, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues: [..., 3] axis-angle -> [..., 3, 3] rotation."""
+    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]  # [...,1,1]
+    K = hat(w)
+    K2 = K @ K
+    # Taylor-safe coefficients.
+    t2 = theta * theta
+    a = jnp.where(theta > _EPS, jnp.sin(theta) / jnp.maximum(theta, _EPS), 1.0 - t2 / 6.0)
+    b = jnp.where(
+        theta > _EPS,
+        (1.0 - jnp.cos(theta)) / jnp.maximum(t2, _EPS * _EPS),
+        0.5 - t2 / 24.0,
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + a * K + b * K2
+
+
+def so3_log(R: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, 3] rotation -> [..., 3] axis-angle."""
+    trace = jnp.trace(R, axis1=-2, axis2=-1)
+    cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    w_skew = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    sin_theta = jnp.sin(theta)
+    scale = jnp.where(
+        theta[..., None] > _EPS,
+        theta[..., None] / jnp.maximum(2.0 * sin_theta[..., None], _EPS),
+        0.5 + theta[..., None] ** 2 / 12.0,
+    )
+    return scale * w_skew
+
+
+def se3_exp(xi: jnp.ndarray):
+    """[..., 6] (rho, w) -> (R [...,3,3], t [...,3]). rho = translation part."""
+    rho, w = xi[..., :3], xi[..., 3:]
+    R = so3_exp(w)
+    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    K = hat(w)
+    K2 = K @ K
+    t2 = theta * theta
+    b = jnp.where(
+        theta > _EPS,
+        (1.0 - jnp.cos(theta)) / jnp.maximum(t2, _EPS * _EPS),
+        0.5 - t2 / 24.0,
+    )
+    c = jnp.where(
+        theta > _EPS,
+        (theta - jnp.sin(theta)) / jnp.maximum(t2 * theta, _EPS**3),
+        1.0 / 6.0 - t2 / 120.0,
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
+    V = eye + b * K + c * K2
+    t = (V @ rho[..., None])[..., 0]
+    return R, t
+
+
+def se3_log(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """(R, t) -> [..., 6] (rho, w)."""
+    w = so3_log(R)
+    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    K = hat(w)
+    K2 = K @ K
+    t2 = theta * theta
+    # V^{-1} = I - K/2 + (1/theta^2)(1 - theta sin / (2 (1-cos))) K^2
+    denom = 2.0 * (1.0 - jnp.cos(theta))
+    coef = jnp.where(
+        theta > _EPS,
+        (1.0 - theta * jnp.sin(theta) / jnp.maximum(denom, _EPS)) / jnp.maximum(t2, _EPS * _EPS),
+        1.0 / 12.0 + t2 / 720.0,
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    Vinv = eye - 0.5 * K + coef * K2
+    rho = (Vinv @ t[..., None])[..., 0]
+    return jnp.concatenate([rho, w], axis=-1)
+
+
+def compose(Ra, ta, Rb, tb):
+    """(Ra,ta) ∘ (Rb,tb): first apply b, then a."""
+    return Ra @ Rb, (Ra @ tb[..., None])[..., 0] + ta
+
+
+def inverse(R, t):
+    Rt = jnp.swapaxes(R, -1, -2)
+    return Rt, -(Rt @ t[..., None])[..., 0]
+
+
+def transform_points(R, t, points):
+    """Apply pose to points [..., N, 3] (R,t broadcast over leading dims)."""
+    return points @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+
+
+def between(Ra, ta, Rb, tb):
+    """Relative pose a^{-1} ∘ b (the 'between' factor measurement model)."""
+    Ri, ti = inverse(Ra, ta)
+    return compose(Ri, ti, Rb, tb)
+
+
+def quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
+    """[..., 4] (w, x, y, z) unit quaternion -> [..., 3, 3]."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=-2,
+    )
+
+
+def interpolate_pose(Ra, ta, Rb, tb, alpha):
+    """Geodesic interpolation between two poses (alpha in [0,1])."""
+    Rrel, trel = between(Ra, ta, Rb, tb)
+    xi = se3_log(Rrel, trel)
+    Ri, ti = se3_exp(alpha * xi)
+    return compose(Ra, ta, Ri, ti)
