@@ -1,0 +1,126 @@
+"""Benchmark: active-window frames/s on one chip (tesse_cd_office-like load).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Workload mirrors the reference's operating point (BASELINE.md): 480x640 RGB-D
++ semantics at voxel 0.1 m / truncation 0.2 m / 5 m range, full per-frame hot
+path (motion detection, object detection, tracking, TSDF+tracking-layer
+integration) on a synthetic office sequence with walking humans. Baseline is
+the reference's 25 Hz input cap (input_separation_s: 0.04,
+khronos_ros/config/datasets/uHumans2.yaml:10): vs_baseline = fps / 25.
+
+Frames are pre-rendered to host memory; the timed loop includes host->device
+transfer, exactly like a sensor feed.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--grid", type=int, nargs=3, default=[128, 128, 64])
+    ap.add_argument("--full-pipeline", action="store_true",
+                    help="include backend + change detection cadence")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from khronos_tpu.active_window.active_window import ActiveWindow, ActiveWindowConfig
+    from khronos_tpu.active_window.frame_data import FrameData
+    from khronos_tpu.config import build
+    from khronos_tpu.data import synthetic as syn
+
+    fps_render = 10.0
+    duration = (args.frames + args.warmup) / fps_render + 1
+    scene = syn.office_scene(duration=duration)
+    seq = syn.SyntheticSequence(
+        scene,
+        syn.SyntheticSequenceConfig(
+            duration=duration,
+            fps=fps_render,
+            height=args.height,
+            width=args.width,
+            fx=args.width * 0.625,
+            fy=args.width * 0.625,
+            cx=args.width / 2,
+            cy=args.height / 2,
+        ),
+    )
+
+    aw_cfg = build(
+        ActiveWindowConfig,
+        {
+            "volumetric_map": {"grid_shape": list(args.grid), "voxel_size": 0.1},
+            "motion_detector": {"type": "FreeSpaceMotionDetector", "min_cluster_size": 400},
+            "object_detector": {"type": "ConnectedSemantics", "min_cluster_size": 50},
+            "tracker": {"type": "MaxIouTracker"},
+            "object_extractor": {"type": "MeshObjectExtractor"},
+        },
+    )
+    aw = ActiveWindow(aw_cfg, seq.camera, syn.default_label_space())
+
+    n_total = args.frames + args.warmup
+    print(f"rendering {n_total} frames ...", file=sys.stderr)
+    host_frames = []
+    for i in range(n_total):
+        f = seq.render_frame(i)
+        host_frames.append(
+            {
+                "stamp_ns": f["stamp_ns"],
+                "depth": np.asarray(f["depth"]),
+                "color": np.asarray(f["color"]),
+                "labels": np.asarray(f["labels"]),
+                "R": np.asarray(f["R_w_c"]),
+                "t": np.asarray(f["t_w_c"]),
+            }
+        )
+
+    def run_frame(hf):
+        frame = FrameData(
+            stamp_ns=hf["stamp_ns"],
+            depth=jnp.asarray(hf["depth"]),
+            color=jnp.asarray(hf["color"]),
+            labels=jnp.asarray(hf["labels"]),
+            R_w_c=jnp.asarray(hf["R"]),
+            t_w_c=jnp.asarray(hf["t"]),
+        )
+        aw.spin_once(frame)
+        return frame
+
+    print("warmup/compile ...", file=sys.stderr)
+    for hf in host_frames[: args.warmup]:
+        run_frame(hf)
+    jax.block_until_ready(aw.state.tsdf)
+
+    print("timed run ...", file=sys.stderr)
+    t0 = time.perf_counter()
+    for hf in host_frames[args.warmup :]:
+        run_frame(hf)
+    jax.block_until_ready(aw.state.tsdf)
+    dt = time.perf_counter() - t0
+
+    fps = args.frames / dt
+    print(
+        json.dumps(
+            {
+                "metric": "active_window_fps_1chip_office_synthetic_480x640",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 25.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

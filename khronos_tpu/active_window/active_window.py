@@ -1,0 +1,255 @@
+"""ActiveWindow orchestrator: the per-frame hot path (L1).
+
+Equivalent of khronos::ActiveWindow (khronos/src/active_window/
+active_window.cpp:118-174 spinOnce): createData -> motion detect -> object
+detect -> track -> TSDF+tracking integrate -> buffer frames -> (every
+min_output_separation) mesh + archive inactive voxels + extract inactive
+objects -> push ActiveWindowOutput. finishMapping() deactivates everything
+and flushes (cpp:176-189).
+
+TPU design: all grid work is jitted device programs over the dense
+ActiveVolume; host code only orchestrates, tracks, and accumulates outputs.
+The reference's per-stage thread pools and the detached object-extraction
+workers become sequential (but batched) device programs — parallelism comes
+from the width of each kernel, not host threads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from khronos_tpu.config import Plugin, plugin_field
+from khronos_tpu.geometry.camera import Camera
+from khronos_tpu.map import active_volume as av
+from khronos_tpu.map import meshing
+from khronos_tpu.stm.scene_graph import KhronosObject
+from khronos_tpu.utils.timing import Timer
+from khronos_tpu.active_window.frame_data import (
+    FrameData,
+    FrameDataBuffer,
+    FrameDataBufferConfig,
+)
+from khronos_tpu.active_window.object_detection import LabelSpace
+
+# register plugins
+from khronos_tpu.active_window import motion_detection as _md  # noqa: F401
+from khronos_tpu.active_window import object_detection as _od  # noqa: F401
+from khronos_tpu.active_window import tracking as _tk  # noqa: F401
+from khronos_tpu.active_window import object_extraction as _oe  # noqa: F401
+
+
+@dataclasses.dataclass
+class ActiveWindowConfig:
+    min_output_separation: float = 0.4  # s (uHumans2.yaml:38)
+    volumetric_map: av.VolumeConfig = dataclasses.field(default_factory=av.VolumeConfig)
+    frame_data_buffer: FrameDataBufferConfig = dataclasses.field(
+        default_factory=FrameDataBufferConfig
+    )
+    motion_detector: Plugin = plugin_field("motion_detector", "FreeSpaceMotionDetector")
+    object_detector: Plugin = plugin_field("object_detector", "ConnectedSemantics")
+    tracker: Plugin = plugin_field("tracker", "MaxIouTracker")
+    object_extractor: Plugin = plugin_field("object_extractor", "MeshObjectExtractor")
+    mesh_max_cells: int = 16384
+
+
+@dataclasses.dataclass
+class ActiveWindowOutput:
+    """Map delta pushed downstream (ActiveWindowOutput equivalent)."""
+
+    stamp_ns: int
+    R_w_b: np.ndarray
+    t_w_b: np.ndarray
+    # newly archived background surface (triangle soup with stamps)
+    mesh_vertices: np.ndarray  # [T, 3, 3]
+    mesh_colors: np.ndarray
+    mesh_first_ns: np.ndarray  # [T, 3] int64
+    mesh_last_ns: np.ndarray
+    mesh_labels: np.ndarray
+    # objects extracted from tracks that left the window
+    objects: List[KhronosObject] = dataclasses.field(default_factory=list)
+
+
+def _empty_mesh_delta():
+    return dict(
+        mesh_vertices=np.zeros((0, 3, 3), np.float32),
+        mesh_colors=np.zeros((0, 3, 3), np.float32),
+        mesh_first_ns=np.zeros((0, 3), np.int64),
+        mesh_last_ns=np.zeros((0, 3), np.int64),
+        mesh_labels=np.zeros((0, 3), np.int32),
+    )
+
+
+class ActiveWindow:
+    def __init__(self, config: ActiveWindowConfig, camera: Camera, label_space: LabelSpace):
+        self.config = config
+        self.camera = camera
+        self.label_space = label_space
+        vol_cfg = config.volumetric_map
+        self.state = av.create(vol_cfg)
+        self._initialized_origin = False
+        self.motion_detector = config.motion_detector.create(vol_cfg, camera)
+        self.object_detector = config.object_detector.create(vol_cfg, camera, label_space)
+        self.tracker = config.tracker.create()
+        self.object_extractor = config.object_extractor.create(camera)
+        self.frame_buffer = FrameDataBuffer(config.frame_data_buffer)
+        self._last_output_s: float = -np.inf
+        self._pending_mesh: List[dict] = []
+        self._pending_tracks = []
+        self.frame_count = 0
+
+    # ------------------------------------------------------------------
+    def spin_once(self, frame: FrameData) -> Optional[ActiveWindowOutput]:
+        cfg = self.config
+        vol_cfg = cfg.volumetric_map
+        t_now = frame.stamp_ns * 1e-9
+        cam_pos = np.asarray(frame.t_w_c)
+
+        with Timer("active_window/all", frame.stamp_ns):
+            # 0) scroll the volume if the camera approaches the grid boundary
+            if not self._initialized_origin:
+                shape = np.asarray(vol_cfg.grid_shape)
+                origin = np.floor(
+                    cam_pos / vol_cfg.voxel_size - shape / 2.0
+                ).astype(np.int32)
+                self.state = self.state._replace(origin=jnp.asarray(origin))
+                self._initialized_origin = True
+            elif av.needs_recenter(vol_cfg, self.state, cam_pos):
+                with Timer("active_window/scroll", frame.stamp_ns):
+                    shift = av.recenter_shift(vol_cfg, self.state, cam_pos)
+                    out_mask = av.scroll_out_mask(self.state, shift)
+                    self._emit_mesh(meshing.forced_emission_mask(self.state, out_mask))
+                    self.state = av.scroll(vol_cfg, self.state, shift)
+
+            # 1) motion detection (uses pre-integration tracking state)
+            if self.motion_detector is not None:
+                with Timer("motion_detection/all", frame.stamp_ns):
+                    self.motion_detector.process(self.state, frame)
+            if frame.dynamic_image is None:
+                frame.dynamic_image = jnp.zeros(frame.depth.shape, jnp.int32)
+
+            # 2) object detection
+            if self.object_detector is not None:
+                with Timer("object_detection/all", frame.stamp_ns):
+                    self.object_detector.process(self.state, frame)
+            if frame.object_image is None:
+                frame.object_image = jnp.zeros(frame.depth.shape, jnp.int32)
+
+            # 3) tracking
+            finished_tracks = []
+            if self.tracker is not None:
+                with Timer("tracking/all", frame.stamp_ns):
+                    points_w = np.asarray(
+                        self.camera.vertex_image_world(frame.depth, frame.R_w_c, frame.t_w_c)
+                    )
+                    finished_tracks = self.tracker.process(frame, points_w)
+            self._pending_tracks.extend(finished_tracks)
+
+            # 4) TSDF + tracking-layer integration (dynamic pixels masked out)
+            with Timer("integration/all", frame.stamp_ns):
+                mask = frame.dynamic_image > 0
+                self.state = av.integrate_frame(
+                    vol_cfg,
+                    self.camera,
+                    self.state,
+                    frame.depth,
+                    frame.color,
+                    frame.labels,
+                    mask,
+                    frame.R_w_c,
+                    frame.t_w_c,
+                    jnp.float32(t_now),
+                )
+                self.state = av.update_archival(vol_cfg, self.state, t_now)
+
+            # 5) frame buffer
+            self.frame_buffer.store(frame)
+            if self.tracker is not None:
+                self.frame_buffer.trim(self.tracker.referenced_stamps())
+
+            self.frame_count += 1
+
+            # 6) periodic output extraction
+            if t_now - self._last_output_s >= cfg.min_output_separation:
+                self._last_output_s = t_now
+                with Timer("active_window/extract_output", frame.stamp_ns):
+                    return self._extract_output(frame)
+        return None
+
+    # ------------------------------------------------------------------
+    def finish_mapping(self, frame: Optional[FrameData] = None) -> ActiveWindowOutput:
+        """Deactivate everything and flush (finishMapping, cpp:176-189)."""
+        if self.tracker is not None:
+            self._pending_tracks.extend(self.tracker.finish())
+        self._emit_mesh(meshing.finish_emission_mask(self.state))
+        last = frame
+        stamp = last.stamp_ns if last is not None else 0
+        R = np.asarray(last.R_w_c) if last is not None else np.eye(3, dtype=np.float32)
+        t = np.asarray(last.t_w_c) if last is not None else np.zeros(3, np.float32)
+        return self._build_output(stamp, R, t)
+
+    # ------------------------------------------------------------------
+    def _extract_output(self, frame: FrameData) -> ActiveWindowOutput:
+        self._emit_mesh(meshing.archived_emission_mask(self.state))
+        return self._build_output(
+            frame.stamp_ns, np.asarray(frame.R_w_c), np.asarray(frame.t_w_c)
+        )
+
+    def _emit_mesh(self, emit_mask) -> None:
+        """Drain all cells wanting emission into the pending mesh list.
+
+        Overflow rounds re-derive the remaining set from the original mask
+        minus the cells marked meshed so far (any mask kind works)."""
+        vol_cfg = self.config.volumetric_map
+        rounds = 0
+        while True:
+            self.state, tris, n_rem = meshing.extract_mesh(
+                vol_cfg, self.state, emit_mask, max_cells=self.config.mesh_max_cells
+            )
+            if len(tris["vertices"]):
+                self._pending_mesh.append(
+                    dict(
+                        mesh_vertices=tris["vertices"],
+                        mesh_colors=tris["colors"],
+                        mesh_first_ns=(tris["first_obs"] * 1e9).astype(np.int64),
+                        mesh_last_ns=(tris["last_obs"] * 1e9).astype(np.int64),
+                        mesh_labels=tris["labels"],
+                    )
+                )
+            if n_rem == 0:
+                return
+            rounds += 1
+            if rounds > 256:
+                raise RuntimeError("mesh emission did not converge")
+            meshed = self.state.cell_meshed[:-1, :-1, :-1]
+            emit_mask = emit_mask & ~meshed
+
+    def _build_output(self, stamp_ns, R, t) -> ActiveWindowOutput:
+        # merge pending mesh deltas
+        if self._pending_mesh:
+            delta = {
+                k: np.concatenate([d[k] for d in self._pending_mesh])
+                for k in self._pending_mesh[0]
+            }
+        else:
+            delta = _empty_mesh_delta()
+        self._pending_mesh = []
+
+        objects: List[KhronosObject] = []
+        if self.object_extractor is not None and self._pending_tracks:
+            with Timer("object_extraction/all", stamp_ns):
+                objects = self.object_extractor.extract_all(
+                    self._pending_tracks, self.frame_buffer
+                )
+        self._pending_tracks = []
+
+        return ActiveWindowOutput(
+            stamp_ns=stamp_ns,
+            R_w_b=R,
+            t_w_b=t,
+            objects=objects,
+            **delta,
+        )

@@ -28,7 +28,7 @@ import numpy as np
 from khronos_tpu.config import check_ge, check_gt, register
 from khronos_tpu.geometry.camera import Camera
 from khronos_tpu.map.active_volume import VolumeConfig, VolumeState
-from khronos_tpu.ops.dense import dilate, propagate_labels_3d
+from khronos_tpu.ops.dense import dilate, max_pool3, propagate_labels_3d
 
 MAX_CLUSTERS = 64
 
@@ -88,9 +88,11 @@ def _detect_device(
     # seeds: scan voxels flagged ever-free
     seeds = scan & state.ever_free
 
-    # growable region: scan voxels, dilated so clusters closer than
-    # min_separation_distance merge during propagation
-    growable = dilate(scan, merge_dilation) if merge_dilation > 0 else scan
+    # Growth is restricted to SEED voxels (reference
+    # free_space_motion_detector.cpp:249-258: the stack only extends through
+    # ever-free voxels); dilating the seed mask lets labels hop the
+    # min_separation_distance gap so nearby clusters merge (cpp:274-355).
+    growable = dilate(seeds, merge_dilation) if merge_dilation > 0 else seeds
 
     lin = (
         jax.lax.broadcasted_iota(jnp.int32, shape, 0) * (shape[1] * shape[2])
@@ -99,6 +101,10 @@ def _detect_device(
     )
     labels0 = jnp.where(seeds, lin, -1)
     labels = propagate_labels_3d(labels0, growable, grow_iterations)
+    # one boundary layer: adjacent occupied scan voxels join the cluster but do
+    # not extend it (cpp:259-268)
+    spread = max_pool3(labels)
+    labels = jnp.where(labels >= 0, labels, jnp.where(scan, spread, -1))
     labels = jnp.where(scan, labels, -1)  # only real scan voxels carry ids
 
     # per-pixel raw label

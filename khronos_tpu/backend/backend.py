@@ -1,0 +1,320 @@
+"""Backend orchestrator (L3): factor-graph state, loop closures, deformation,
+object merge proposals, and the optimized scene graph.
+
+Equivalent of khronos::Backend (khronos/src/backend/backend.cpp:125-187):
+per input — update factor graph from pose-graph increments, copy mesh delta,
+consume loop closures, optimize when needed, then update the DSG and run the
+update functors (move objects along the deformed trajectory, propose merges —
+update_khronos_objects_functor.cpp:41-107). Change detection runs downstream
+on the DSG snapshots this module produces (changes/).
+
+Frames: the active window runs in the ODOMETRY frame; this backend stores raw
+odometry-frame geometry and produces a corrected SceneGraph by applying the
+optimized trajectory corrections (kimera_pgmo-style deformation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from khronos_tpu.config import Plugin, plugin_field
+from khronos_tpu.active_window.active_window import ActiveWindowOutput
+from khronos_tpu.backend import factor_graph as fg
+from khronos_tpu.backend.deformation import (
+    DeformationConfig,
+    DeformationGraph,
+    interpolate_stamped_corrections,
+    sample_control_points,
+)
+from khronos_tpu.backend.loop_closure import LoopClosure
+from khronos_tpu.geometry import bbox as bbox_util
+from khronos_tpu.stm.scene_graph import (
+    AgentNode,
+    KhronosObject,
+    Mesh,
+    MeshAccumulator,
+    SceneGraph,
+)
+from khronos_tpu.utils.intervals import is_present
+from khronos_tpu.utils.timing import Timer
+
+
+@dataclasses.dataclass
+class MergeProposal:
+    from_id: int
+    into_id: int
+    iou: float
+    is_valid: bool = True
+
+
+@dataclasses.dataclass
+class BackendConfig:
+    optimize_on_lc: bool = True
+    enable_node_merging: bool = True
+    merge_min_iou: float = 0.3
+    add_merge_factor: bool = True
+    fix_input_poses: bool = False  # inject pose priors from provided GT poses
+    mesh_resolution: float = 0.02  # vertex dedup grid (pgmo mesh_resolution)
+    sigma_odom_trans: float = 0.05
+    sigma_odom_rot: float = 0.01
+    sigma_lc_trans: float = 0.02
+    sigma_lc_rot: float = 0.005
+    sigma_control_trans: float = 0.3  # mesh control rigidity
+    optimizer: fg.OptimizerConfig = dataclasses.field(default_factory=fg.OptimizerConfig)
+    deformation: DeformationConfig = dataclasses.field(default_factory=DeformationConfig)
+    lcd: Plugin = plugin_field("lcd", "GtLoopClosure")
+
+
+class Backend:
+    def __init__(self, config: BackendConfig):
+        self.config = config
+        self.graph = fg.FactorGraphData()
+        self.deformation = DeformationGraph(config.deformation)
+        self.mesh_acc = MeshAccumulator(resolution=config.mesh_resolution)
+        self.objects: Dict[int, KhronosObject] = {}  # raw odometry-frame objects
+        self.agents: List[AgentNode] = []  # raw odometry-frame agent nodes
+        self.agent_keys: List[int] = []  # graph node id per agent
+        self.lcd = config.lcd.create()
+        self.loop_closures: List[LoopClosure] = []
+        self.proposed_merges: List[MergeProposal] = []
+        self._opt_result: Optional[fg.OptimizeResult] = None
+        self._orig_R: List[np.ndarray] = []  # graph-node initial poses
+        self._orig_t: List[np.ndarray] = []
+        self._next_object_id = 1
+        self.num_optimizations = 0
+
+    # ------------------------------------------------------------------
+    def add_output(
+        self,
+        out: ActiveWindowOutput,
+        gt_pose: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    ) -> bool:
+        """Consume one active-window output. Returns True if an optimization
+        ran (loop closure)."""
+        cfg = self.config
+        with Timer("backend/add_output", out.stamp_ns):
+            # 1) agent node + odometry factor. The graph node's initial
+            # estimate chains the raw odometry increment onto the (possibly
+            # already optimized) previous node estimate; the raw odometry pose
+            # is kept separately as the deformation reference frame.
+            agent = AgentNode(out.stamp_ns, out.R_w_b.copy(), out.t_w_b.copy(), 0)
+            if self.agents:
+                prev = self.agents[-1]
+                prev_key = self.agent_keys[-1]
+                Rrel = prev.R_w_b.T @ out.R_w_b
+                trel = prev.R_w_b.T @ (out.t_w_b - prev.t_w_b)
+                R_est = self.graph.node_R[prev_key] @ Rrel
+                t_est = self.graph.node_R[prev_key] @ trel + self.graph.node_t[prev_key]
+                key = self._add_node(R_est, t_est, orig=(out.R_w_b, out.t_w_b))
+                self.graph.add_between(
+                    prev_key, key, Rrel, trel,
+                    sigma_rot=cfg.sigma_odom_rot, sigma_trans=cfg.sigma_odom_trans,
+                )
+            else:
+                key = self._add_node(out.R_w_b, out.t_w_b)
+                self.graph.add_prior(key, out.R_w_b, out.t_w_b)
+            agent.key = key
+            if cfg.fix_input_poses and gt_pose is not None:
+                self.graph.add_prior(key, gt_pose[0], gt_pose[1],
+                                     sigma_rot=0.001, sigma_trans=0.001)
+            self.agents.append(agent)
+            self.agent_keys.append(key)
+
+            # 2) mesh delta -> accumulator + new control nodes
+            if len(out.mesh_vertices):
+                self.mesh_acc.add_triangles(
+                    out.mesh_vertices, out.mesh_colors, out.mesh_first_ns,
+                    out.mesh_last_ns, out.mesh_labels,
+                )
+                new_ctrl = sample_control_points(
+                    out.mesh_vertices.reshape(-1, 3),
+                    cfg.deformation.d_graph_resolution,
+                    existing=self.deformation.control_positions(),
+                )
+                for c in new_ctrl:
+                    ckey = self._add_node(np.eye(3, dtype=np.float32), c)
+                    self.deformation.add_control(c, ckey)
+                    # tie control to the current agent keyframe (valence edge,
+                    # measurement in the shared odometry frame)
+                    self.graph.add_between(
+                        key, ckey, out.R_w_b.T, out.R_w_b.T @ (c - out.t_w_b),
+                        sigma_rot=0.05, sigma_trans=cfg.sigma_control_trans,
+                    )
+
+            # 3) objects
+            for obj in out.objects:
+                obj.node_id = self._next_object_id
+                self._next_object_id += 1
+                self.objects[obj.node_id] = obj
+
+            # 4) loop closures
+            lcs: List[LoopClosure] = []
+            if self.lcd is not None and hasattr(self.lcd, "add_keyframe"):
+                if gt_pose is not None:
+                    lcs = self.lcd.add_keyframe(key, out.stamp_ns, gt_pose[0], gt_pose[1])
+                else:
+                    lcs = []
+            for lc in lcs:
+                self.loop_closures.append(lc)
+                self.graph.add_between(
+                    lc.from_key, lc.to_key, lc.R, lc.t,
+                    sigma_rot=cfg.sigma_lc_rot, sigma_trans=cfg.sigma_lc_trans,
+                    robust=True,
+                )
+            if lcs and cfg.optimize_on_lc:
+                self.optimize()
+                return True
+        return False
+
+    def add_loop_closure(self, lc: LoopClosure, optimize_now: bool = True) -> None:
+        cfg = self.config
+        self.loop_closures.append(lc)
+        self.graph.add_between(
+            lc.from_key, lc.to_key, lc.R, lc.t,
+            sigma_rot=cfg.sigma_lc_rot, sigma_trans=cfg.sigma_lc_trans, robust=True,
+        )
+        if optimize_now and cfg.optimize_on_lc:
+            self.optimize()
+
+    # ------------------------------------------------------------------
+    def _add_node(self, R, t, orig=None) -> int:
+        """Add a graph node with estimate (R, t); `orig` is the raw
+        odometry-frame pose kept as the deformation reference (defaults to
+        the estimate)."""
+        key = self.graph.add_node(R, t)
+        oR, ot = orig if orig is not None else (R, t)
+        self._orig_R.append(np.asarray(oR, np.float32))
+        self._orig_t.append(np.asarray(ot, np.float32))
+        return key
+
+    # ------------------------------------------------------------------
+    def optimize(self) -> fg.OptimizeResult:
+        with Timer("backend/optimize"):
+            self._opt_result = fg.optimize(self.graph, self.config.optimizer)
+            self.num_optimizations += 1
+            # re-linearize future odometry around the optimized estimates
+            self.graph.node_R = [r for r in self._opt_result.node_R]
+            self.graph.node_t = [t for t in self._opt_result.node_t]
+            if self.config.enable_node_merging:
+                self._propose_merges()
+        return self._opt_result
+
+    def finish_processing(self):
+        """Final optimization (backend.cpp:218-226)."""
+        if self.graph.num_nodes:
+            self.optimize()
+
+    # ------------------------------------------------------------------
+    def _trajectory_correction(self):
+        """(key_stamps, t_old, t_new, R_old, R_new) for stamped interpolation."""
+        stamps = np.asarray([a.stamp_ns for a in self.agents], np.int64)
+        ids = np.asarray(self.agent_keys)
+        R_old = np.stack([self._orig_R[i] for i in ids])
+        t_old = np.stack([self._orig_t[i] for i in ids])
+        # current graph estimates: optimized values for old nodes, odometry-
+        # chained estimates for nodes added since the last optimization
+        R_cur = np.stack([np.asarray(r) for r in self.graph.node_R])
+        t_cur = np.stack([np.asarray(t) for t in self.graph.node_t])
+        return stamps, t_old, t_cur[ids], R_old, R_cur[ids]
+
+    def get_dsg(self) -> SceneGraph:
+        """Build the current optimized scene graph (deformed copy)."""
+        with Timer("backend/get_dsg"):
+            mesh = self.mesh_acc.build()
+            dsg = SceneGraph(mesh=mesh)
+            optimized = self._opt_result is not None
+            node_R_cur = np.stack([np.asarray(r) for r in self.graph.node_R]) if self.graph.num_nodes else np.zeros((0, 3, 3), np.float32)
+            node_t_cur = np.stack([np.asarray(t) for t in self.graph.node_t]) if self.graph.num_nodes else np.zeros((0, 3), np.float32)
+            if optimized and len(mesh.vertices):
+                node_R_old = np.stack(self._orig_R)
+                node_t_old = np.stack(self._orig_t)
+                dsg.mesh.vertices = self.deformation.deform_points(
+                    mesh.vertices, node_R_cur, node_t_cur,
+                    node_R_old, node_t_old,
+                ).astype(np.float32)
+
+            stamps, t_old, t_new, R_old, R_new = self._trajectory_correction()
+            # agents: current graph estimates
+            for i, a in enumerate(self.agents):
+                if optimized:
+                    k = self.agent_keys[i]
+                    dsg.agents.append(
+                        AgentNode(a.stamp_ns, node_R_cur[k], node_t_cur[k], a.key)
+                    )
+                else:
+                    dsg.agents.append(AgentNode(a.stamp_ns, a.R_w_b, a.t_w_b, a.key))
+
+            # objects: move along corrected trajectory by first-seen stamp
+            for oid, obj in self.objects.items():
+                o = obj.clone()
+                if optimized and len(stamps):
+                    q = np.asarray([o.first_observed_ns[0]], np.int64)
+                    R_corr, t_o, t_n = interpolate_stamped_corrections(
+                        q, stamps, t_old, t_new, R_old, R_new
+                    )
+                    delta = t_n[0] - t_o[0]
+                    o.bbox_min = o.bbox_min + delta
+                    o.bbox_max = o.bbox_max + delta
+                    if len(o.trajectory_positions):
+                        qs = np.asarray(o.trajectory_stamps_ns, np.int64)
+                        Rc, to_, tn_ = interpolate_stamped_corrections(
+                            qs, stamps, t_old, t_new, R_old, R_new
+                        )
+                        o.trajectory_positions = (
+                            o.trajectory_positions + (tn_ - to_)
+                        ).astype(np.float32)
+                dsg.objects[oid] = o
+        return dsg
+
+    # ------------------------------------------------------------------
+    def _propose_merges(self):
+        """Merge proposals: same label, no temporal co-visibility, bbox
+        intersection with IoU >= merge_min_iou (functor cpp:61-107)."""
+        cfg = self.config
+        objs = [o for o in self.objects.values() if not o.is_dynamic]
+        proposed = {(p.from_id, p.into_id) for p in self.proposed_merges}
+        for i in range(len(objs)):
+            for j in range(i + 1, len(objs)):
+                a, b = objs[i], objs[j]
+                if a.semantic_category != b.semantic_category:
+                    continue
+                if (a.node_id, b.node_id) in proposed or (b.node_id, a.node_id) in proposed:
+                    continue
+                # temporal co-visibility: intervals overlap -> distinct objects
+                covis = any(
+                    is_present(b.first_observed_ns, b.last_observed_ns, s)
+                    for s in list(a.first_observed_ns) + list(a.last_observed_ns)
+                ) or any(
+                    is_present(a.first_observed_ns, a.last_observed_ns, s)
+                    for s in list(b.first_observed_ns) + list(b.last_observed_ns)
+                )
+                if covis:
+                    continue
+                iou = float(
+                    bbox_util.iou(a.bbox_min, a.bbox_max, b.bbox_min, b.bbox_max)
+                )
+                if iou >= cfg.merge_min_iou:
+                    newer, older = (a, b) if a.first_observed_ns[0] > b.first_observed_ns[0] else (b, a)
+                    self.proposed_merges.append(
+                        MergeProposal(from_id=newer.node_id, into_id=older.node_id, iou=iou)
+                    )
+
+    # ------------------------------------------------------------------
+    def save(self, directory: str):
+        """Write dsg + artifacts (backend.cpp:255-313 layout)."""
+        import csv
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        from khronos_tpu.stm import serialization
+
+        dsg = self.get_dsg()
+        serialization.save_scene_graph(dsg, os.path.join(directory, "dsg.npz"))
+        with open(os.path.join(directory, "proposed_merges.csv"), "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["from_id", "into_id", "iou", "is_valid"])
+            for p in self.proposed_merges:
+                w.writerow([p.from_id, p.into_id, p.iou, int(p.is_valid)])

@@ -1,0 +1,224 @@
+"""Loop-closure detection.
+
+The reference delegates LCD to hydra (BoW appearance matching via Kimera-VIO +
+object/place descriptor matching + TEASER++ registration, SURVEY.md §2.3).
+This module provides:
+
+  - GtLoopClosureDetector: oracle detector for simulation — fires when the
+    ground-truth pose revisits an earlier keyframe (position within
+    max_distance after min_time_gap), emitting the GT relative pose with
+    optional noise. This mirrors running the reference on sim data where LCD
+    is effectively driven by the scripted revisit (office LC at 1:52).
+  - DescriptorLoopClosureDetector: appearance-free geometric place
+    recognition — a coarse height-histogram + range-ring descriptor computed
+    from the depth frame on device, matched by cosine similarity; candidate
+    verified by point-to-point ICP on subsampled vertex images (the TEASER++
+    registration slot). Usable on real data without a BoW vocabulary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from khronos_tpu.config import register
+from khronos_tpu.geometry import transforms as tf
+
+
+@dataclasses.dataclass
+class LoopClosure:
+    from_key: int  # later keyframe (graph node id)
+    to_key: int  # earlier keyframe
+    R: np.ndarray  # measured relative pose from->to frame: T_from^-1 T_to
+    t: np.ndarray
+    score: float = 1.0
+
+
+@register("lcd", "GtLoopClosure")
+@dataclasses.dataclass
+class GtLoopClosureConfig:
+    min_time_gap: float = 10.0  # s
+    max_distance: float = 1.0  # m (GT positions)
+    min_detection_separation: float = 5.0  # s between fired LCs
+    noise_sigma_trans: float = 0.01
+    noise_sigma_rot: float = 0.002
+    seed: int = 0
+
+    def create(self):
+        return GtLoopClosureDetector(self)
+
+
+class GtLoopClosureDetector:
+    def __init__(self, config: GtLoopClosureConfig):
+        self.config = config
+        self._keyframes: List[Tuple[int, int, np.ndarray, np.ndarray]] = []
+        # (key, stamp_ns, R_gt, t_gt)
+        self._last_fire_ns = -(10**18)
+        self._rng = np.random.default_rng(config.seed)
+
+    def add_keyframe(
+        self, key: int, stamp_ns: int, R_gt: np.ndarray, t_gt: np.ndarray
+    ) -> List[LoopClosure]:
+        cfg = self.config
+        out: List[LoopClosure] = []
+        if stamp_ns - self._last_fire_ns >= int(cfg.min_detection_separation * 1e9):
+            best = None
+            for (k2, s2, R2, t2) in self._keyframes:
+                if stamp_ns - s2 < int(cfg.min_time_gap * 1e9):
+                    continue
+                d = float(np.linalg.norm(t_gt - t2))
+                if d <= cfg.max_distance and (best is None or d < best[0]):
+                    best = (d, k2, R2, t2)
+            if best is not None:
+                _, k2, R2, t2 = best
+                Rrel = R_gt.T @ R2
+                trel = R_gt.T @ (t2 - t_gt)
+                noise = np.concatenate(
+                    [
+                        self._rng.normal(0, cfg.noise_sigma_trans, 3),
+                        self._rng.normal(0, cfg.noise_sigma_rot, 3),
+                    ]
+                ).astype(np.float32)
+                Rn, tn = tf.se3_exp(jnp.asarray(noise))
+                Rrel = Rrel @ np.asarray(Rn)
+                trel = trel + np.asarray(tn)
+                out.append(LoopClosure(from_key=key, to_key=k2, R=Rrel, t=trel))
+                self._last_fire_ns = stamp_ns
+        self._keyframes.append((key, stamp_ns, R_gt.copy(), t_gt.copy()))
+        return out
+
+
+# ----------------------------------------------------------------------------
+# Descriptor-based detector (appearance-free place recognition)
+# ----------------------------------------------------------------------------
+
+
+@jax.jit
+def _place_descriptor(points_c: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Rotation-sensitive place descriptor from a camera-frame vertex image:
+    range histogram (16 bins to 8 m) ++ height histogram (12 bins)."""
+    r = jnp.linalg.norm(points_c, axis=-1)
+    rb = jnp.clip((r / 0.5).astype(jnp.int32), 0, 15)
+    h = points_c[..., 1]  # camera y (down)
+    hb = jnp.clip(((h + 3.0) / 0.5).astype(jnp.int32), 0, 11)
+    w = valid.astype(jnp.float32).reshape(-1)
+    rhist = jax.ops.segment_sum(w, rb.reshape(-1), num_segments=16)
+    hhist = jax.ops.segment_sum(w, hb.reshape(-1), num_segments=12)
+    d = jnp.concatenate([rhist, hhist])
+    return d / jnp.maximum(jnp.linalg.norm(d), 1e-6)
+
+
+@jax.jit
+def _icp_point2point(src: jnp.ndarray, dst: jnp.ndarray, R0, t0, iters: int = 10):
+    """Small point-to-point ICP: src/dst [N,3] subsampled clouds; returns
+    (R, t, rms) aligning src into dst frame, initialized at (R0, t0)."""
+
+    def step(carry, _):
+        R, t = carry
+        moved = src @ R.T + t
+        d2 = jnp.sum((moved[:, None, :] - dst[None, :, :]) ** 2, axis=-1)
+        nn = jnp.argmin(d2, axis=1)
+        target = dst[nn]
+        # umeyama (no scale)
+        mu_s = moved.mean(0)
+        mu_t = target.mean(0)
+        H = (moved - mu_s).T @ (target - mu_t)
+        U, S, Vt = jnp.linalg.svd(H)
+        D = jnp.diag(jnp.array([1.0, 1.0, jnp.sign(jnp.linalg.det(Vt.T @ U.T))]))
+        dR = Vt.T @ D @ U.T
+        dt = mu_t - dR @ mu_s
+        return (dR @ R, dR @ t + dt), None
+
+    (R, t), _ = jax.lax.scan(step, (R0, t0), None, length=iters)
+    moved = src @ R.T + t
+    d2 = jnp.sum((moved[:, None, :] - dst[None, :, :]) ** 2, axis=-1)
+    rms = jnp.sqrt(jnp.mean(jnp.min(d2, axis=1)))
+    return R, t, rms
+
+
+@register("lcd", "DescriptorLoopClosure")
+@dataclasses.dataclass
+class DescriptorLoopClosureConfig:
+    min_time_gap: float = 10.0
+    min_descriptor_similarity: float = 0.985
+    min_detection_separation: float = 5.0
+    max_registration_rms: float = 0.15  # m
+    n_icp_points: int = 256
+    max_candidate_distance: float = 3.0  # m (odom estimate gate)
+
+    def create(self):
+        return DescriptorLoopClosureDetector(self)
+
+
+class DescriptorLoopClosureDetector:
+    """Keyframe database of (descriptor, subsampled cloud); query + ICP verify."""
+
+    def __init__(self, config: DescriptorLoopClosureConfig):
+        self.config = config
+        self._keys: List[int] = []
+        self._stamps: List[int] = []
+        self._descs: List[np.ndarray] = []
+        self._clouds: List[np.ndarray] = []  # camera-frame subsamples
+        self._poses: List[Tuple[np.ndarray, np.ndarray]] = []  # odom estimates
+        self._last_fire_ns = -(10**18)
+
+    def add_keyframe(
+        self,
+        key: int,
+        stamp_ns: int,
+        points_c: np.ndarray,  # [H, W, 3] camera-frame vertex image
+        valid: np.ndarray,
+        R_odom: np.ndarray,
+        t_odom: np.ndarray,
+    ) -> List[LoopClosure]:
+        cfg = self.config
+        desc = np.asarray(_place_descriptor(jnp.asarray(points_c), jnp.asarray(valid)))
+        pts = points_c[np.asarray(valid)]
+        if len(pts) >= cfg.n_icp_points:
+            sel = np.linspace(0, len(pts) - 1, cfg.n_icp_points).astype(int)
+            cloud = pts[sel]
+        else:
+            cloud = np.zeros((cfg.n_icp_points, 3), np.float32)
+        out: List[LoopClosure] = []
+        if (
+            self._descs
+            and stamp_ns - self._last_fire_ns >= int(cfg.min_detection_separation * 1e9)
+        ):
+            sims = np.asarray(self._descs) @ desc
+            order = np.argsort(-sims)
+            for idx in order[:3]:
+                if sims[idx] < cfg.min_descriptor_similarity:
+                    break
+                if stamp_ns - self._stamps[idx] < int(cfg.min_time_gap * 1e9):
+                    continue
+                R2, t2 = self._poses[idx]
+                if np.linalg.norm(t_odom - t2) > cfg.max_candidate_distance:
+                    continue
+                # register candidate cloud (earlier keyframe) into current
+                R0 = jnp.asarray((R_odom.T @ R2).astype(np.float32))
+                t0 = jnp.asarray((R_odom.T @ (t2 - t_odom)).astype(np.float32))
+                R, t, rms = _icp_point2point(
+                    jnp.asarray(self._clouds[idx]), jnp.asarray(cloud), R0, t0
+                )
+                if float(rms) <= cfg.max_registration_rms:
+                    out.append(
+                        LoopClosure(
+                            from_key=key,
+                            to_key=self._keys[idx],
+                            R=np.asarray(R),
+                            t=np.asarray(t),
+                            score=float(sims[idx]),
+                        )
+                    )
+                    self._last_fire_ns = stamp_ns
+                    break
+        self._keys.append(key)
+        self._stamps.append(stamp_ns)
+        self._descs.append(desc)
+        self._clouds.append(cloud.astype(np.float32))
+        self._poses.append((R_odom.copy(), t_odom.copy()))
+        return out

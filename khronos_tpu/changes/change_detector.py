@@ -1,0 +1,129 @@
+"""Temporal evidence scan: histograms -> change decisions.
+
+Equivalent of the reference RayChangeDetector (khronos/src/backend/
+change_detection/ray_change_detector.cpp:66-133): evidence is discretized
+into `temporal_resolution` bins; a sliding window of `window_size` bins scans
+forward/backward; the first window whose absent fraction exceeds
+`absence_confidence` yields `closest_absent`, windows with presence above
+`presence_confidence` extend `furthest_persistent`. Supports absolute counts
+or relative confidences.
+
+TPU design: the scan is a vectorized cumulative-sum window over [P, B, 2]
+histograms for all query points at once (vs the reference's per-point loops).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class RayChangeDetectorConfig:
+    window_size: int = 5  # bins
+    absence_confidence: float = 0.5  # fraction (or count if use_relative=False)
+    presence_confidence: float = 0.2
+    min_rays_per_window: int = 1
+    use_relative_confidence: bool = True
+
+
+@functools.partial(jax.jit, static_argnames=("window_size", "use_relative"))
+def _scan_device(
+    evidence,  # [P, B, 2] int (match, absent)
+    bin_valid,  # [B] bool: bins inside the queried time range
+    absence_conf,
+    presence_conf,
+    min_rays,
+    window_size: int,
+    use_relative: bool,
+):
+    """Returns per point (first_absent_bin, last_absent_bin,
+    first_persistent_bin, last_persistent_bin), -1 where none."""
+    P, B, _ = evidence.shape
+    ev = evidence * bin_valid[None, :, None]
+    # windowed sums via cumsum
+    cs = jnp.cumsum(ev, axis=1)
+    pad = jnp.zeros((P, 1, 2), cs.dtype)
+    cs = jnp.concatenate([pad, cs], axis=1)  # [P, B+1, 2]
+    w = window_size
+    starts = jnp.arange(B)  # window [i, min(i+w, B))
+    ends = jnp.minimum(starts + w, B)
+    win = cs[:, ends] - cs[:, starts]  # [P, B, 2]
+    match = win[..., 0].astype(jnp.float32)
+    absent = win[..., 1].astype(jnp.float32)
+    total = match + absent
+    enough = total >= min_rays
+    if use_relative:
+        frac_abs = jnp.where(total > 0, absent / jnp.maximum(total, 1.0), 0.0)
+        frac_match = jnp.where(total > 0, match / jnp.maximum(total, 1.0), 0.0)
+        is_absent = enough & (frac_abs > absence_conf)
+        is_present = enough & (frac_match > presence_conf)
+    else:
+        is_absent = enough & (absent > absence_conf)
+        is_present = enough & (match > presence_conf)
+
+    bins = jnp.arange(B)
+    big = B + 1
+
+    def first_true(mask):
+        return jnp.where(mask.any(axis=1), jnp.argmax(mask, axis=1), -1)
+
+    def last_true(mask):
+        rev = mask[:, ::-1]
+        idx = jnp.where(rev.any(axis=1), B - 1 - jnp.argmax(rev, axis=1), -1)
+        return idx
+
+    return (
+        first_true(is_absent),
+        last_true(is_absent),
+        first_true(is_present),
+        last_true(is_present),
+    )
+
+
+class RayChangeDetector:
+    def __init__(self, config: RayChangeDetectorConfig, bin_size_s: float):
+        self.config = config
+        self.bin_size_s = bin_size_s
+
+    def scan(self, evidence: np.ndarray, t_min_s: float = 0.0, t_max_s: float = np.inf):
+        """evidence [P, B, 2] -> dict of per-point bin indices and times (s).
+
+        Semantics per point (reference cpp:66-133):
+          first/last_absent: window starts where absence dominates
+          first/last_persistent: windows with sufficient presence
+        Times are window-start bin centers; -1/NaN where no evidence.
+        """
+        cfg = self.config
+        P, B, _ = evidence.shape
+        bin_t = (np.arange(B) + 0.5) * self.bin_size_s
+        valid = (bin_t >= t_min_s) & (bin_t <= t_max_s)
+        fa, la, fp, lp = _scan_device(
+            jnp.asarray(evidence),
+            jnp.asarray(valid),
+            cfg.absence_confidence,
+            cfg.presence_confidence,
+            cfg.min_rays_per_window,
+            cfg.window_size,
+            cfg.use_relative_confidence,
+        )
+        fa, la, fp, lp = (np.asarray(x) for x in (fa, la, fp, lp))
+
+        def to_time(idx):
+            t = (idx + 0.5) * self.bin_size_s
+            return np.where(idx >= 0, t, np.nan)
+
+        return {
+            "first_absent_bin": fa,
+            "last_absent_bin": la,
+            "first_persistent_bin": fp,
+            "last_persistent_bin": lp,
+            "first_absent_s": to_time(fa),
+            "last_absent_s": to_time(la),
+            "first_persistent_s": to_time(fp),
+            "last_persistent_s": to_time(lp),
+        }

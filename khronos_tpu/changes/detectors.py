@@ -1,0 +1,157 @@
+"""Object + background change detectors and the sequential orchestrator.
+
+Equivalents of the reference RayObjectChangeDetector (khronos/src/backend/
+change_detection/objects/ray_object_change_detector.cpp:62-163: per
+(re-)observed static object, query subsampled mesh vertices before
+first_seen and after last_seen through the verificator, merge evidence, run
+the windowed detector both directions), RayBackgroundChangeDetector
+(background/ray_background_change_detector.cpp:59-103: per background vertex,
+rays after last-seen -> {Unobserved, Persistent, Absent}), and
+SequentialChangeDetector (sequential_change_detector.cpp:76-102: composes
+verificator + detectors, full recompute on loop closure, incremental
+otherwise).
+
+TPU batching: ALL objects' subsampled vertices go through ONE verificator
+query (object ids are a segment vector); the per-object evidence histograms
+come from a segment-sum; the windowed scans run batched over objects and over
+all background vertices at once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from khronos_tpu.changes.change_detector import RayChangeDetector, RayChangeDetectorConfig
+from khronos_tpu.changes.change_state import ABSENT, PERSISTENT, UNOBSERVED, Changes, ObjectChange
+from khronos_tpu.changes.ray_verificator import RayVerificator, RayVerificatorConfig
+from khronos_tpu.utils.timing import Timer
+
+
+@dataclasses.dataclass
+class ObjectChangeDetectionConfig:
+    vertex_subsample: int = 32  # mesh vertices queried per object
+    time_filtering_threshold: float = 1.0  # s slack around first/last seen
+
+
+@dataclasses.dataclass
+class BackgroundChangeDetectionConfig:
+    time_filtering_threshold: float = 1.0  # s after last_seen
+
+
+@dataclasses.dataclass
+class SequentialChangeDetectorConfig:
+    verificator: RayVerificatorConfig = dataclasses.field(default_factory=RayVerificatorConfig)
+    detector: RayChangeDetectorConfig = dataclasses.field(default_factory=RayChangeDetectorConfig)
+    objects: ObjectChangeDetectionConfig = dataclasses.field(default_factory=ObjectChangeDetectionConfig)
+    background: BackgroundChangeDetectionConfig = dataclasses.field(default_factory=BackgroundChangeDetectionConfig)
+    detect_object_changes: bool = True
+    detect_background_changes: bool = True
+
+
+class SequentialChangeDetector:
+    """Runs change detection over a DSG snapshot; holds the Changes state."""
+
+    def __init__(self, config: SequentialChangeDetectorConfig):
+        self.config = config
+        self.verificator = RayVerificator(config.verificator)
+        self.detector = RayChangeDetector(
+            config.detector, config.verificator.temporal_resolution
+        )
+        self.changes = Changes()
+
+    # ------------------------------------------------------------------
+    def detect_changes(self, dsg, had_loop_closure: bool = True) -> Changes:
+        """Full pass over the snapshot (the reference recomputes the hash and
+        all states on loop closure, cpp:76-102; we always rebuild — the build
+        is one sort, cheap on device)."""
+        with Timer("change_detection/all"):
+            with Timer("change_detection/update_verificator"):
+                self.verificator.build(dsg)
+            if self.config.detect_object_changes:
+                with Timer("change_detection/objects"):
+                    self._detect_object_changes(dsg)
+            if self.config.detect_background_changes:
+                with Timer("change_detection/background"):
+                    self._detect_background_changes(dsg)
+        return self.changes
+
+    # ------------------------------------------------------------------
+    def _detect_object_changes(self, dsg) -> None:
+        cfg = self.config.objects
+        objs = [o for o in dsg.objects.values() if not o.is_dynamic]
+        if not objs:
+            return
+        pts_all: List[np.ndarray] = []
+        seg: List[int] = []
+        for k, o in enumerate(objs):
+            verts = o.world_mesh_vertices()
+            if len(verts) == 0:
+                # fall back to bbox corners + center
+                mn, mx = o.bbox_min, o.bbox_max
+                verts = np.stack(
+                    [mn, mx, [mn[0], mn[1], mx[2]], [mn[0], mx[1], mn[2]],
+                     [mx[0], mn[1], mn[2]], 0.5 * (mn + mx)]
+                ).astype(np.float32)
+            if len(verts) > cfg.vertex_subsample:
+                sel = np.linspace(0, len(verts) - 1, cfg.vertex_subsample).astype(int)
+                verts = verts[sel]
+            pts_all.append(verts)
+            seg.extend([k] * len(verts))
+        points = np.concatenate(pts_all).astype(np.float32)
+        seg = np.asarray(seg)
+        ev = self.verificator.query(points)  # [P, B, 2]
+        B = ev.shape[1]
+        # per-object evidence: sum over its vertices
+        obj_ev = np.zeros((len(objs), B, 2), np.int64)
+        np.add.at(obj_ev, seg, ev)
+
+        bin_s = self.detector.bin_size_s
+        for k, o in enumerate(objs):
+            first_seen_s = o.first_observed_ns[0] * 1e-9
+            last_seen_s = o.last_observed_ns[-1] * 1e-9
+            oc = self.changes.object_changes.get(o.node_id) or ObjectChange(o.node_id)
+            # BEFORE window: evidence strictly before first seen
+            pre = self.detector.scan(
+                obj_ev[k : k + 1], 0.0, max(first_seen_s - cfg.time_filtering_threshold, 0.0)
+            )
+            # scanning backward from first_seen: the latest absent window
+            if not np.isnan(pre["last_absent_s"][0]):
+                oc.first_absent_ns = int(pre["last_absent_s"][0] * 1e9)
+            if not np.isnan(pre["first_persistent_s"][0]):
+                oc.first_persistent_ns = int(pre["first_persistent_s"][0] * 1e9)
+            # AFTER window: evidence after last seen
+            post = self.detector.scan(
+                obj_ev[k : k + 1], last_seen_s + cfg.time_filtering_threshold, np.inf
+            )
+            if not np.isnan(post["first_absent_s"][0]):
+                oc.last_absent_ns = int(post["first_absent_s"][0] * 1e9)
+            if not np.isnan(post["last_persistent_s"][0]):
+                oc.last_persistent_ns = int(post["last_persistent_s"][0] * 1e9)
+            self.changes.object_changes[o.node_id] = oc
+
+    # ------------------------------------------------------------------
+    def _detect_background_changes(self, dsg) -> None:
+        cfg = self.config.background
+        mesh = dsg.mesh
+        V = mesh.num_vertices
+        if V == 0:
+            self.changes.background_states = np.zeros((0,), np.int8)
+            return
+        ev = self.verificator.query(mesh.vertices)  # [V, B, 2]
+        B = ev.shape[1]
+        bin_s = self.detector.bin_size_s
+        last_seen_s = mesh.last_seen_ns.astype(np.float64) * 1e-9
+        # consider only bins after each vertex's last_seen (+ slack):
+        bin_t = (np.arange(B) + 0.5) * bin_s
+        after = bin_t[None, :] > (last_seen_s[:, None] + cfg.time_filtering_threshold)
+        ev_after = ev * after[..., None]
+        res = self.detector.scan(ev_after)
+        states = np.full(V, UNOBSERVED, np.int8)
+        has_absent = res["first_absent_bin"] >= 0
+        has_persist = res["first_persistent_bin"] >= 0
+        states[has_persist] = PERSISTENT
+        states[has_absent] = ABSENT  # absence evidence wins (vertex is gone)
+        self.changes.background_states = states

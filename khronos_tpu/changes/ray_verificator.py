@@ -1,0 +1,256 @@
+"""Ray verificator: visibility evidence for long-term change detection.
+
+Equivalent of the reference RayVerificator (khronos/src/backend/
+change_detection/ray_verificator.cpp): agent nodes are ray sources; each
+background mesh vertex spawns rays to the poses that observed it per
+`ray_policy` in {First, Last, FirstAndLast, Middle, All} over
+[first_seen, last_seen - active_window_duration] (cpp:211-314). Rays are
+hashed into a coarse block grid (block_size 0.5 m, step block/4,
+cpp:327-349). A query point is classified against each candidate ray through
+its block (cpp:66-145):
+
+    radial distance > radial_tolerance            -> no overlap
+    |ray_length - depth_along_ray| <= depth_tol   -> MATCH   (point present)
+    ray_length  >  depth + depth_tol              -> ABSENT  (saw through it)
+    ray_length  <  depth - depth_tol              -> occluded
+
+TPU design: the whole library is flat arrays. Ray->cell assignment
+materializes [R, S] stamped cell ids (S fixed marching steps), sorted once
+into a CSR index (sort IS the hash build on TPU). A query batches
+P points x K candidate rays and scatter-adds evidence directly into
+per-point time-bin counters [P, B, 2] — the variable-length timestamp lists
+of the reference collapse into fixed histograms that the change detector
+consumes directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from khronos_tpu.config import check_gt, check_in
+
+
+@dataclasses.dataclass
+class RayVerificatorConfig:
+    block_size: float = 0.5  # m coarse hash cell
+    radial_tolerance: float = 0.1  # m (point-to-ray distance)
+    depth_tolerance: float = 0.15  # m (along-ray)
+    ray_policy: str = "Middle"  # First | Last | FirstAndLast | Middle | All
+    active_window_duration: float = 3.0  # s excluded from the recent end
+    max_steps: int = 24  # marching steps per ray (cells)
+    max_candidates: int = 256  # rays considered per query point
+    temporal_resolution: float = 5.0  # s per evidence bin (change detector)
+    num_bins: int = 64
+
+    def check(self):
+        check_gt(self.block_size, 0.0, "block_size")
+        check_in(
+            self.ray_policy,
+            ("First", "Last", "FirstAndLast", "Middle", "All"),
+            "ray_policy",
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def _ray_cells(origins, targets, origin_cell, block_size, max_steps: int):
+    """March each ray origin->target; returns int32 cell ids [R, S] (-1 pad).
+
+    Cells are linearized relative to `origin_cell` (int32[3]) over a virtual
+    grid — the caller guarantees queries use the same linearization."""
+    delta = targets - origins
+    # step along the ray at block_size/4 up to the target
+    length = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+    step_len = block_size * 0.25
+    n_steps = jnp.minimum(length / step_len, float(max_steps - 1))
+    ts = jnp.linspace(0.0, 1.0, max_steps)[None, :, None]  # fractions
+    # sample uniformly along each ray (dense enough given max_steps cap)
+    pts = origins[:, None, :] + delta[:, None, :] * ts
+    cell = jnp.floor(pts / block_size).astype(jnp.int32) - origin_cell
+    return cell  # [R, S, 3]
+
+
+def _linearize(cells, dims):
+    cx = jnp.clip(cells[..., 0], 0, dims[0] - 1)
+    cy = jnp.clip(cells[..., 1], 0, dims[1] - 1)
+    cz = jnp.clip(cells[..., 2], 0, dims[2] - 1)
+    inb = (
+        (cells[..., 0] >= 0) & (cells[..., 0] < dims[0])
+        & (cells[..., 1] >= 0) & (cells[..., 1] < dims[1])
+        & (cells[..., 2] >= 0) & (cells[..., 2] < dims[2])
+    )
+    lin = (cx * dims[1] + cy) * dims[2] + cz
+    return jnp.where(inb, lin, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins", "max_candidates"))
+def _query_device(
+    points,  # [P, 3]
+    sorted_cells,  # [E] int32 sorted cell id per (ray, step) entry
+    sorted_rays,  # [E] int32 ray index per entry
+    cell_start,  # [C+1] CSR offsets into sorted arrays
+    origins,  # [R, 3]
+    targets,  # [R, 3]
+    stamps_s,  # [R] ray timestamps (s)
+    origin_cell,  # [3]
+    dims,  # [3] static? passed as array, use in linearize via jnp
+    block_size,
+    radial_tol,
+    depth_tol,
+    bin_size_s,
+    num_bins: int,
+    max_candidates: int,
+):
+    """Returns evidence [P, num_bins, 2] (0: present/match, 1: absent)."""
+    P = points.shape[0]
+    pc = jnp.floor(points / block_size).astype(jnp.int32) - origin_cell
+    lin = _linearize(pc[:, None, :], dims)[:, 0]  # [P]
+    lin_ok = lin >= 0
+    lin_safe = jnp.maximum(lin, 0)
+    start = cell_start[lin_safe]
+    end = cell_start[lin_safe + 1]
+    count = jnp.minimum(end - start, max_candidates)
+    offs = jnp.arange(max_candidates)[None, :]
+    entry_idx = jnp.minimum(start[:, None] + offs, sorted_rays.shape[0] - 1)
+    cand_valid = (offs < count[:, None]) & lin_ok[:, None]
+    rays = sorted_rays[entry_idx]  # [P, K]
+
+    o = origins[rays]  # [P, K, 3]
+    tgt = targets[rays]
+    d = tgt - o
+    ray_len = jnp.linalg.norm(d, axis=-1)
+    dir_ = d / jnp.maximum(ray_len[..., None], 1e-6)
+    rel = points[:, None, :] - o
+    depth = jnp.einsum("pkc,pkc->pk", rel, dir_)
+    radial = jnp.linalg.norm(rel - depth[..., None] * dir_, axis=-1)
+
+    overlap = cand_valid & (radial <= radial_tol) & (depth > 0.0)
+    match = overlap & (jnp.abs(ray_len - depth) <= depth_tol)
+    absent = overlap & (ray_len > depth + depth_tol)
+
+    bins = jnp.clip((stamps_s[rays] / bin_size_s).astype(jnp.int32), 0, num_bins - 1)
+    evidence = jnp.zeros((P, num_bins, 2), jnp.int32)
+    p_idx = jnp.broadcast_to(jnp.arange(P)[:, None], bins.shape)
+    evidence = evidence.at[p_idx, bins, 0].add(match.astype(jnp.int32))
+    evidence = evidence.at[p_idx, bins, 1].add(absent.astype(jnp.int32))
+    return evidence
+
+
+class RayVerificator:
+    """Builds the ray library from a SceneGraph and answers batched queries."""
+
+    def __init__(self, config: RayVerificatorConfig):
+        self.config = config
+        self._built = False
+
+    # ------------------------------------------------------------------
+    def build(self, dsg) -> None:
+        """(Re)build the full ray library from scratch (recomputeHash path —
+        after loop closures the geometry moved, cpp:316-325)."""
+        cfg = self.config
+        agents_t = dsg.agent_positions()  # [A, 3]
+        agent_stamps = dsg.agent_stamps().astype(np.float64) * 1e-9  # s
+        mesh = dsg.mesh
+        V = mesh.num_vertices
+        if V == 0 or len(agents_t) == 0:
+            self._built = False
+            return
+        first = mesh.first_seen_ns.astype(np.float64) * 1e-9
+        last = mesh.last_seen_ns.astype(np.float64) * 1e-9 - cfg.active_window_duration
+        last = np.maximum(last, first)
+
+        # observer selection per policy: indices into agents by stamp
+        lo = np.searchsorted(agent_stamps, first)
+        hi = np.maximum(np.searchsorted(agent_stamps, last, side="right") - 1, lo)
+        lo = np.clip(lo, 0, len(agent_stamps) - 1)
+        hi = np.clip(hi, 0, len(agent_stamps) - 1)
+        if cfg.ray_policy == "First":
+            obs = [lo]
+        elif cfg.ray_policy == "Last":
+            obs = [hi]
+        elif cfg.ray_policy == "FirstAndLast":
+            obs = [lo, hi]
+        elif cfg.ray_policy == "Middle":
+            obs = [(lo + hi) // 2]
+        else:  # All: cap at 4 evenly spaced
+            obs = [lo, (2 * lo + hi) // 3, (lo + 2 * hi) // 3, hi]
+
+        ray_src, ray_tgt, ray_stamp = [], [], []
+        for ob in obs:
+            ray_src.append(agents_t[ob])
+            ray_tgt.append(mesh.vertices)
+            ray_stamp.append(agent_stamps[ob])
+        origins = np.concatenate(ray_src).astype(np.float32)
+        targets = np.concatenate(ray_tgt).astype(np.float32)
+        stamps = np.concatenate(ray_stamp).astype(np.float32)
+        # drop duplicate (vertex, observer) rays
+        self._build_index(origins, targets, stamps)
+
+    def _build_index(self, origins, targets, stamps):
+        cfg = self.config
+        all_pts = np.concatenate([origins, targets])
+        lo = all_pts.min(axis=0) - cfg.block_size
+        hi = all_pts.max(axis=0) + cfg.block_size
+        self.origin_cell = np.floor(lo / cfg.block_size).astype(np.int32)
+        dims = (
+            np.floor(hi / cfg.block_size).astype(np.int32) - self.origin_cell + 2
+        )
+        self.dims = dims.astype(np.int32)
+        C = int(np.prod(self.dims))
+
+        cells = _ray_cells(
+            jnp.asarray(origins), jnp.asarray(targets), jnp.asarray(self.origin_cell),
+            cfg.block_size, cfg.max_steps,
+        )  # [R, S, 3]
+        lin = _linearize(cells, self.dims)  # [R, S]
+        R, S = lin.shape
+        ray_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, S))
+        flat_cells = lin.reshape(-1)
+        flat_rays = ray_ids.reshape(-1)
+        # dedup consecutive duplicates (same cell repeated along the march)
+        prev = jnp.concatenate([jnp.full((R, 1), -2, jnp.int32), lin[:, :-1]], axis=1)
+        keep = (lin != prev) & (lin >= 0)
+        flat_cells = jnp.where(keep.reshape(-1), flat_cells, C)  # C = sentinel end
+        order = jnp.argsort(flat_cells, stable=True)
+        sorted_cells = flat_cells[order]
+        sorted_rays = flat_rays[order]
+        # CSR offsets
+        cell_start = jnp.searchsorted(sorted_cells, jnp.arange(C + 1, dtype=jnp.int32))
+        self.sorted_cells = sorted_cells
+        self.sorted_rays = sorted_rays
+        self.cell_start = cell_start
+        self.origins = jnp.asarray(origins)
+        self.targets = jnp.asarray(targets)
+        self.stamps_s = jnp.asarray(stamps)
+        self.num_rays = len(origins)
+        self._built = True
+
+    # ------------------------------------------------------------------
+    def query(self, points: np.ndarray) -> np.ndarray:
+        """points [P,3] -> evidence histogram [P, num_bins, 2] (match, absent)."""
+        cfg = self.config
+        if not self._built or len(points) == 0:
+            return np.zeros((len(points), cfg.num_bins, 2), np.int32)
+        ev = _query_device(
+            jnp.asarray(points, jnp.float32),
+            self.sorted_cells,
+            self.sorted_rays,
+            self.cell_start,
+            self.origins,
+            self.targets,
+            self.stamps_s,
+            jnp.asarray(self.origin_cell),
+            jnp.asarray(self.dims),
+            cfg.block_size,
+            cfg.radial_tolerance,
+            cfg.depth_tolerance,
+            cfg.temporal_resolution,
+            cfg.num_bins,
+            cfg.max_candidates,
+        )
+        return np.asarray(ev)

@@ -1,0 +1,234 @@
+"""Reconciler: apply detected changes + validated merges to the scene graph.
+
+Equivalent of the reference Reconciler (khronos/src/backend/reconciliation/
+reconciler.cpp): object presence intervals estimated via the
+minimum-expected-risk midpoint between last-absent and first-evidence
+(cpp:201-248; conservative vs optimistic via `time_estimates_conservative`);
+verified merges executed — clamp overestimated intervals (cpp:379-412), merge
+meshes in a common bbox frame or keep the larger (cpp:320-377), concat
+trajectories, union presence intervals, merge the ObjectChange records
+(cpp:250-318). Background reconciliation runs the configured MeshMerger.
+
+Mesh mergers:
+  ChangeMerger (default; mesh/change_merger.cpp:54-99): erase vertices whose
+    ChangeState != Unobserved + vertices within `object_proximity_threshold`
+    of any object mesh, then drop dangling faces.
+  OverwriteMesh (mesh/overwrite_mesh.cpp:59-135): voxel-hash face centers,
+    "newest wins" within a cell by > time_threshold.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from khronos_tpu.changes.change_state import UNOBSERVED, Changes, ObjectChange
+from khronos_tpu.stm.scene_graph import KhronosObject, Mesh, SceneGraph
+from khronos_tpu.utils import intervals as iv
+from khronos_tpu.utils.timing import Timer
+
+
+@dataclasses.dataclass
+class ReconcilerConfig:
+    time_estimates_conservative: bool = True
+    merge_object_meshes: bool = False  # else: keep the larger mesh
+    mesh_merger: str = "ChangeMerger"  # 'ChangeMerger' | 'OverwriteMesh' | 'none'
+    object_proximity_threshold: float = 0.08  # m (vertices near objects removed)
+    overwrite_voxel_size: float = 0.1
+    overwrite_time_threshold_s: float = 2.0
+
+
+class Reconciler:
+    def __init__(self, config: ReconcilerConfig):
+        self.config = config
+
+    # ------------------------------------------------------------------
+    def reconcile(self, dsg: SceneGraph, changes: Changes, merges=None) -> SceneGraph:
+        """Mutates (a clone of) dsg applying changes; returns it."""
+        with Timer("reconciliation/all"):
+            self._update_presence(dsg, changes)
+            if merges:
+                self._execute_merges(dsg, changes, merges)
+            with Timer("reconciliation/background"):
+                if self.config.mesh_merger == "ChangeMerger":
+                    self._change_merge_background(dsg, changes)
+                elif self.config.mesh_merger == "OverwriteMesh":
+                    self._overwrite_background(dsg)
+        return dsg
+
+    # ------------------------------------------------------------------
+    def _update_presence(self, dsg: SceneGraph, changes: Changes) -> None:
+        """Estimate presence intervals from change evidence (cpp:201-248).
+
+        For an object first seen at t_f and last seen at t_l:
+          - if absent evidence exists before t_f at t_a: appearance time =
+            midpoint (minimum expected risk) of [t_a, first-evidence-or-t_f];
+            else appeared at 0 (conservative) / its first_seen (optimistic).
+          - symmetric for disappearance after t_l.
+        """
+        conservative = self.config.time_estimates_conservative
+        for oid, obj in dsg.objects.items():
+            oc = changes.object_changes.get(oid)
+            if oc is None or obj.is_dynamic:
+                continue
+            t_f = obj.first_observed_ns[0]
+            t_l = obj.last_observed_ns[-1]
+            # appearance
+            if oc.first_absent_ns >= 0:
+                lo = oc.first_absent_ns
+                hi = oc.first_persistent_ns if 0 <= oc.first_persistent_ns < t_f else t_f
+                start = (lo + max(hi, lo)) // 2
+            else:
+                if oc.first_persistent_ns >= 0:
+                    start = min(oc.first_persistent_ns, t_f)
+                else:
+                    start = t_f if conservative else 0
+            # disappearance
+            if oc.last_absent_ns >= 0:
+                hi = oc.last_absent_ns
+                lo = oc.last_persistent_ns if oc.last_persistent_ns > t_l else t_l
+                end = (min(lo, hi) + hi) // 2
+            else:
+                if oc.last_persistent_ns >= 0:
+                    end = max(oc.last_persistent_ns, t_l)
+                else:
+                    end = t_l if conservative else (1 << 62)
+            start = min(start, t_f)
+            end = max(end, t_l)
+            obj.first_observed_ns = [int(start)]
+            obj.last_observed_ns = [int(end)]
+
+    # ------------------------------------------------------------------
+    def _execute_merges(self, dsg: SceneGraph, changes: Changes, merges) -> None:
+        """Apply validated merge proposals (cpp:250-318)."""
+        for m in merges:
+            if not getattr(m, "is_valid", True):
+                continue
+            src = dsg.objects.get(m.from_id)
+            dst = dsg.objects.get(m.into_id)
+            if src is None or dst is None or src is dst:
+                continue
+            # union presence intervals
+            f, l = iv.merge_presence(
+                dst.first_observed_ns, dst.last_observed_ns,
+                src.first_observed_ns, src.last_observed_ns,
+            )
+            dst.first_observed_ns, dst.last_observed_ns = f, l
+            # mesh: keep larger (or merge in common bbox frame)
+            if self.config.merge_object_meshes and len(src.mesh_vertices):
+                new_min = np.minimum(dst.bbox_min, src.bbox_min)
+                new_max = np.maximum(dst.bbox_max, src.bbox_max)
+                dst_v = dst.mesh_vertices + (dst.bbox_min - new_min)
+                src_v = src.mesh_vertices + (src.bbox_min - new_min)
+                off = len(dst_v)
+                dst.mesh_vertices = np.concatenate([dst_v, src_v]).astype(np.float32)
+                dst.mesh_faces = np.concatenate(
+                    [dst.mesh_faces, src.mesh_faces + off]
+                )
+                dst.mesh_colors = np.concatenate([dst.mesh_colors, src.mesh_colors])
+                dst.bbox_min, dst.bbox_max = new_min, new_max
+            elif len(src.mesh_vertices) > len(dst.mesh_vertices):
+                dst.mesh_vertices = src.mesh_vertices
+                dst.mesh_faces = src.mesh_faces
+                dst.mesh_colors = src.mesh_colors
+                dst.bbox_min, dst.bbox_max = src.bbox_min, src.bbox_max
+            # trajectories (dynamic)
+            if len(src.trajectory_positions):
+                order = np.argsort(
+                    np.concatenate([dst.trajectory_stamps_ns, src.trajectory_stamps_ns])
+                )
+                stamps = np.concatenate(
+                    [dst.trajectory_stamps_ns, src.trajectory_stamps_ns]
+                )[order]
+                pos = np.concatenate(
+                    [
+                        np.asarray(dst.trajectory_positions).reshape(-1, 3),
+                        np.asarray(src.trajectory_positions).reshape(-1, 3),
+                    ]
+                )[order]
+                dst.trajectory_stamps_ns = stamps.tolist()
+                dst.trajectory_positions = pos.astype(np.float32)
+            # merge change records
+            oc_src = changes.object_changes.get(m.from_id)
+            oc_dst = changes.object_changes.setdefault(m.into_id, ObjectChange(m.into_id))
+            if oc_src is not None:
+                if oc_dst.first_absent_ns < 0:
+                    oc_dst.first_absent_ns = oc_src.first_absent_ns
+                if oc_src.last_absent_ns >= 0:
+                    oc_dst.last_absent_ns = oc_src.last_absent_ns
+                oc_src.merged_id = m.into_id
+            del dsg.objects[m.from_id]
+
+    # ------------------------------------------------------------------
+    def _change_merge_background(self, dsg: SceneGraph, changes: Changes) -> None:
+        mesh = dsg.mesh
+        V = mesh.num_vertices
+        if V == 0:
+            return
+        states = changes.background_states
+        keep = np.ones(V, bool)
+        if len(states) == V:
+            keep &= states == UNOBSERVED
+        # remove vertices near object meshes
+        prox = self.config.object_proximity_threshold
+        obj_pts = [
+            o.world_mesh_vertices() for o in dsg.objects.values() if len(o.mesh_vertices)
+        ]
+        if obj_pts and prox > 0:
+            pts = np.concatenate(obj_pts)
+            # coarse-grid proximity: hash object points into cells of size
+            # prox; a mesh vertex is near iff its (or a neighboring) cell hit
+            cell = np.floor(pts / prox).astype(np.int64)
+            cells = set(map(tuple, cell))
+            vc = np.floor(mesh.vertices / prox).astype(np.int64)
+            near = np.zeros(V, bool)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        shifted = vc + np.array([dx, dy, dz])
+                        near |= np.fromiter(
+                            (tuple(c) in cells for c in shifted), bool, count=V
+                        )
+            keep &= ~near
+        self._filter_mesh(mesh, keep, changes)
+
+    def _overwrite_background(self, dsg: SceneGraph) -> None:
+        """'Newest wins' per voxel cell (overwrite_mesh.cpp:59-135)."""
+        mesh = dsg.mesh
+        if mesh.num_faces == 0:
+            return
+        vs = self.config.overwrite_voxel_size
+        centers = mesh.vertices[mesh.faces].mean(axis=1)
+        cell = np.floor(centers / vs).astype(np.int64)
+        keys = [tuple(c) for c in cell]
+        face_t = mesh.last_seen_ns[mesh.faces].max(axis=1)
+        newest: Dict[tuple, int] = {}
+        for k, t in zip(keys, face_t):
+            if k not in newest or t > newest[k]:
+                newest[k] = t
+        thr = int(self.config.overwrite_time_threshold_s * 1e9)
+        face_keep = np.asarray(
+            [t >= newest[k] - thr for k, t in zip(keys, face_t)], bool
+        )
+        mesh.faces = mesh.faces[face_keep]
+        used = np.zeros(mesh.num_vertices, bool)
+        used[mesh.faces.reshape(-1)] = True
+        self._filter_mesh(mesh, used, None)
+
+    @staticmethod
+    def _filter_mesh(mesh: Mesh, keep: np.ndarray, changes: Optional[Changes]) -> None:
+        """Compact vertices by mask; drop faces missing a vertex."""
+        remap = -np.ones(mesh.num_vertices, np.int64)
+        remap[keep] = np.arange(int(keep.sum()))
+        mesh.vertices = mesh.vertices[keep]
+        mesh.colors = mesh.colors[keep]
+        mesh.labels = mesh.labels[keep]
+        mesh.first_seen_ns = mesh.first_seen_ns[keep]
+        mesh.last_seen_ns = mesh.last_seen_ns[keep]
+        if mesh.num_faces:
+            f = remap[mesh.faces]
+            mesh.faces = f[(f >= 0).all(axis=1)]
+        if changes is not None and len(changes.background_states) == len(keep):
+            changes.background_states = changes.background_states[keep]

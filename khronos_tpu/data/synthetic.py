@@ -1,0 +1,475 @@
+"""Synthetic scene generator + analytic RGB-D-semantic renderer (fake sensor).
+
+The reference has no test fixtures (SURVEY.md §4); its de-facto integration
+test is replaying tesse_cd rosbags. This module provides the equivalent
+driver for the TPU build: parametric indoor scenes with
+
+  - a room (floor/ceiling/walls),
+  - static objects with semantic labels,
+  - long-term changes (objects with presence intervals — appear/disappear
+    mid-sequence, the tesse_cd "chair removed / cooler added" pattern),
+  - dynamic objects (humans) moving along waypoint paths,
+  - a camera trajectory with revisits (loop-closure structure) and optional
+    odometric drift,
+
+rendered to depth/color/semantic-label images by sphere-tracing the scene SDF
+on device (jitted; scene state is arrays). Ground truth (surface samples,
+object records, change times, trajectory) comes from the same parametric
+scene, giving the evaluation suite an exact oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from khronos_tpu.geometry.camera import Camera
+from khronos_tpu.geometry import transforms as tf
+
+# primitive types
+BOX, SPHERE, ROOM = 0, 1, 2
+
+
+@dataclasses.dataclass
+class Primitive:
+    kind: int
+    center: np.ndarray  # [3]
+    half_extents: np.ndarray  # [3]; sphere radius in [0]
+    label: int
+    color: np.ndarray  # [3] in [0,1]
+    name: str = ""
+    # presence interval in seconds (long-term changes)
+    t_appear: float = -np.inf
+    t_disappear: float = np.inf
+    # dynamic motion: waypoints [K,3] visited at times waypoint_times [K]
+    waypoints: Optional[np.ndarray] = None
+    waypoint_times: Optional[np.ndarray] = None
+
+    @property
+    def is_dynamic(self) -> bool:
+        return self.waypoints is not None
+
+    def center_at(self, t: float) -> np.ndarray:
+        if not self.is_dynamic:
+            return self.center
+        wt = self.waypoint_times
+        w = self.waypoints
+        if t <= wt[0]:
+            return w[0]
+        if t >= wt[-1]:
+            return w[-1]
+        k = int(np.searchsorted(wt, t) - 1)
+        a = (t - wt[k]) / (wt[k + 1] - wt[k])
+        return (1 - a) * w[k] + a * w[k + 1]
+
+    def present_at(self, t: float) -> bool:
+        return self.t_appear <= t <= self.t_disappear
+
+
+@dataclasses.dataclass
+class Scene:
+    room_half_extents: np.ndarray  # room is a box centered at room_center
+    room_center: np.ndarray
+    primitives: List[Primitive]
+    room_label: int = 0
+    room_color: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.7, 0.7, 0.65], np.float32)
+    )
+
+    def device_arrays(self, t: float):
+        """Pack current scene state (at time t) for the renderer."""
+        prims = [p for p in self.primitives]
+        P = len(prims)
+        kinds = np.zeros(P + 1, np.int32)
+        centers = np.zeros((P + 1, 3), np.float32)
+        halfs = np.ones((P + 1, 3), np.float32)
+        labels = np.zeros(P + 1, np.int32)
+        colors = np.zeros((P + 1, 3), np.float32)
+        present = np.zeros(P + 1, np.bool_)
+        # slot 0: the room itself
+        kinds[0] = ROOM
+        centers[0] = self.room_center
+        halfs[0] = self.room_half_extents
+        labels[0] = self.room_label
+        colors[0] = self.room_color
+        present[0] = True
+        for i, p in enumerate(prims):
+            kinds[i + 1] = p.kind
+            centers[i + 1] = p.center_at(t)
+            halfs[i + 1] = p.half_extents
+            labels[i + 1] = p.label
+            colors[i + 1] = p.color
+            present[i + 1] = p.present_at(t)
+        return (
+            jnp.asarray(kinds),
+            jnp.asarray(centers),
+            jnp.asarray(halfs),
+            jnp.asarray(labels),
+            jnp.asarray(colors),
+            jnp.asarray(present),
+        )
+
+
+def _primitive_sdf(kind, center, half, p):
+    """SDF of one primitive at points p [..., 3] (solid: negative inside)."""
+    q = p - center
+    # box
+    d = jnp.abs(q) - half
+    box = jnp.linalg.norm(jnp.maximum(d, 0.0), axis=-1) + jnp.minimum(
+        jnp.max(d, axis=-1), 0.0
+    )
+    sphere = jnp.linalg.norm(q, axis=-1) - half[0]
+    room = -box  # walls are the complement of the room box
+    return jnp.where(kind == BOX, box, jnp.where(kind == SPHERE, sphere, room))
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "n_steps"))
+def _render(
+    kinds,
+    centers,
+    halfs,
+    labels,
+    colors,
+    present,
+    rays_c,  # [H, W, 3] unit-z pixel rays in camera frame
+    R_w_c,
+    t_w_c,
+    max_range,
+    height: int,
+    width: int,
+    n_steps: int = 96,
+):
+    dirs_w = jnp.einsum("ij,hwj->hwi", R_w_c, rays_c)
+    norms = jnp.linalg.norm(dirs_w, axis=-1, keepdims=True)
+    dirs = dirs_w / norms  # unit rays, world frame
+
+    def scene_sdf(p):
+        # p: [H, W, 3] -> per-primitive sdf [P, H, W]
+        sd = jax.vmap(lambda k, c, h: _primitive_sdf(k, c, h, p))(kinds, centers, halfs)
+        sd = jnp.where(present[:, None, None], sd, jnp.inf)
+        return sd
+
+    def body(i, carry):
+        t_acc, done = carry
+        p = t_w_c + dirs * t_acc[..., None]
+        sd = jnp.min(scene_sdf(p), axis=0)
+        step = jnp.clip(sd, 1e-4, 0.5)
+        t_new = jnp.where(done, t_acc, t_acc + step)
+        done_new = done | (sd < 1e-3) | (t_new > max_range * 1.5)
+        return t_new, done_new
+
+    t0 = jnp.zeros((height, width), jnp.float32)
+    done0 = jnp.zeros((height, width), jnp.bool_)
+    t_hit, done = jax.lax.fori_loop(0, n_steps, body, (t0, done0))
+
+    p_hit = t_w_c + dirs * t_hit[..., None]
+    sd_final = scene_sdf(p_hit)
+    hit_prim = jnp.argmin(sd_final, axis=0)
+    hit_ok = (jnp.min(sd_final, axis=0) < 5e-3) & (t_hit <= max_range * 1.5)
+
+    # euclidean t -> z-depth: rays_c=(x,y,1) so unit-ray z = 1/|ray_c|
+    depth = jnp.where(hit_ok, t_hit / jnp.linalg.norm(rays_c, axis=-1), 0.0)
+    label_img = jnp.where(hit_ok, labels[hit_prim], -1)
+    color_img = jnp.where(hit_ok[..., None], colors[hit_prim], 0.0)
+    return depth, label_img, color_img, hit_prim, hit_ok
+
+
+@dataclasses.dataclass
+class SyntheticSequenceConfig:
+    height: int = 240
+    width: int = 320
+    fx: float = 200.0
+    fy: float = 200.0
+    cx: float = 160.0
+    cy: float = 120.0
+    max_range: float = 5.0
+    min_range: float = 0.1
+    fps: float = 10.0
+    duration: float = 30.0
+    n_loops: float = 2.0  # camera orbits (>=2 gives revisits / loop closure)
+    orbit_radius: float = 2.5
+    camera_height: float = 1.4
+    drift_rate: float = 0.0  # m per m of odometric drift (0 = GT odometry)
+    seed: int = 0
+
+
+class SyntheticSequence:
+    """Iterable sequence of rendered frames with GT poses + drifted odometry."""
+
+    def __init__(self, scene: Scene, config: SyntheticSequenceConfig):
+        self.scene = scene
+        self.config = config
+        self.camera = Camera(
+            config.height,
+            config.width,
+            config.fx,
+            config.fy,
+            config.cx,
+            config.cy,
+            config.min_range,
+            config.max_range,
+        )
+        self._rays = self.camera.pixel_rays()
+        self.n_frames = int(config.duration * config.fps)
+        rng = np.random.default_rng(config.seed)
+        self._drift_dirs = rng.normal(size=(self.n_frames, 3))
+        self._drift_dirs[:, 2] *= 0.1
+
+    def pose_at(self, t: float):
+        """GT camera pose: orbit around room center, looking outward/forward."""
+        cfg = self.config
+        c = self.scene.room_center
+        w = 2 * np.pi * cfg.n_loops / cfg.duration
+        ang = w * t
+        pos = c + np.array(
+            [cfg.orbit_radius * np.cos(ang), cfg.orbit_radius * np.sin(ang), 0.0]
+        )
+        pos[2] = cfg.camera_height
+        # look direction: travel direction blended inward so room content
+        # (humans, furniture, change objects) crosses the view
+        fwd = np.array([-np.sin(ang), np.cos(ang), 0.0])
+        inward = c - pos
+        inward[2] = 0.0
+        inward /= max(np.linalg.norm(inward), 1e-6)
+        look = fwd + 0.8 * inward + np.array([0.0, 0.0, -0.15])
+        up = np.array([0.0, 0.0, 1.0])
+        z = look / np.linalg.norm(look)
+        x = np.cross(z, up)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z], axis=1)  # columns = camera axes in world
+        return R.astype(np.float32), pos.astype(np.float32)
+
+    def frame_stamp_ns(self, i: int) -> int:
+        return int(round(i / self.config.fps * 1e9))
+
+    def render_frame(self, i: int):
+        """Returns dict with depth/labels/color jnp images + GT pose + stamp."""
+        t = i / self.config.fps
+        R, pos = self.pose_at(t)
+        arrays = self.scene.device_arrays(t)
+        depth, label_img, color_img, hit_prim, hit_ok = _render(
+            *arrays,
+            self._rays,
+            jnp.asarray(R),
+            jnp.asarray(pos),
+            jnp.float32(self.config.max_range),
+            self.config.height,
+            self.config.width,
+        )
+        return {
+            "stamp_ns": self.frame_stamp_ns(i),
+            "t": t,
+            "depth": depth,
+            "labels": label_img,
+            "color": color_img,
+            "R_w_c": jnp.asarray(R),
+            "t_w_c": jnp.asarray(pos),
+            "R_gt": R,
+            "t_gt": pos,
+        }
+
+    def odometry_pose(self, i: int):
+        """Drifted odometry (for backend testing): GT + accumulated noise."""
+        R, pos = self.pose_at(i / self.config.fps)
+        if self.config.drift_rate <= 0:
+            return R, pos
+        # accumulate small drift per frame
+        drift = np.cumsum(self._drift_dirs[: i + 1], axis=0)[-1] if i >= 0 else 0
+        scale = self.config.drift_rate / max(self.config.fps, 1)
+        return R, pos + drift * scale
+
+
+# ----------------------------------------------------------------------------
+# Scene presets (labels: 0 bg/room, 1 human, 2 table, 3 chair, 4 cooler,
+#                5 box, 6 shelf)
+# ----------------------------------------------------------------------------
+
+LABEL_NAMES = ["background", "human", "table", "chair", "cooler", "box", "shelf"]
+HUMAN, TABLE, CHAIR, COOLER, BOXLBL, SHELF = 1, 2, 3, 4, 5, 6
+
+
+def office_scene(duration: float = 30.0) -> Scene:
+    """Office-like room with static furniture, one removed + one added object
+    (changes at duration/2, mirroring tesse_cd_office), and two walking humans."""
+    half = np.array([5.0, 4.0, 1.5], np.float32)
+    center = np.array([0.0, 0.0, 1.5], np.float32)
+    t_change = duration / 2
+
+    def box(name, label, cx, cy, cz, hx, hy, hz, color, **kw):
+        return Primitive(
+            kind=BOX,
+            center=np.array([cx, cy, cz], np.float32),
+            half_extents=np.array([hx, hy, hz], np.float32),
+            label=label,
+            color=np.asarray(color, np.float32),
+            name=name,
+            **kw,
+        )
+
+    prims = [
+        box("table_1", TABLE, 4.0, 2.4, 0.4, 0.6, 0.4, 0.4, [0.6, 0.4, 0.2]),
+        box("table_2", TABLE, -4.0, -2.4, 0.4, 0.6, 0.4, 0.4, [0.6, 0.4, 0.2]),
+        box("shelf_1", SHELF, 0.0, 3.5, 0.9, 0.8, 0.3, 0.9, [0.4, 0.3, 0.2]),
+        box("box_1", BOXLBL, -4.2, 2.8, 0.3, 0.3, 0.3, 0.3, [0.8, 0.7, 0.2]),
+        # long-term changes:
+        box(
+            "chair_removed",
+            CHAIR,
+            3.8,
+            -2.6,
+            0.35,
+            0.3,
+            0.3,
+            0.35,
+            [0.2, 0.3, 0.8],
+            t_disappear=t_change,
+        ),
+        box(
+            "cooler_added",
+            COOLER,
+            -0.5,
+            -3.4,
+            0.5,
+            0.3,
+            0.3,
+            0.5,
+            [0.2, 0.7, 0.8],
+            t_appear=t_change,
+        ),
+    ]
+    # two humans walking back and forth across the room center
+    walk_t = np.linspace(0, duration, 9)
+    path1 = np.array(
+        [[1.5, -1.5, 0.85], [-1.5, 1.5, 0.85]] * 5, np.float32
+    )[: len(walk_t)]
+    path2 = np.array(
+        [[-1.5, -1.0, 0.85], [1.5, 1.0, 0.85]] * 5, np.float32
+    )[: len(walk_t)]
+    prims.append(
+        Primitive(
+            kind=BOX,
+            center=path1[0],
+            half_extents=np.array([0.25, 0.25, 0.85], np.float32),
+            label=HUMAN,
+            color=np.array([0.9, 0.3, 0.3], np.float32),
+            name="human_1",
+            waypoints=path1,
+            waypoint_times=walk_t,
+        )
+    )
+    prims.append(
+        Primitive(
+            kind=BOX,
+            center=path2[0],
+            half_extents=np.array([0.22, 0.22, 0.8], np.float32),
+            label=HUMAN,
+            color=np.array([0.3, 0.9, 0.3], np.float32),
+            name="human_2",
+            waypoints=path2,
+            waypoint_times=walk_t,
+        )
+    )
+    return Scene(room_half_extents=half, room_center=center, primitives=prims)
+
+
+def apartment_scene(duration: float = 20.0) -> Scene:
+    """Smaller static-heavy scene (tesse_cd apartment analog): no humans."""
+    half = np.array([3.5, 3.0, 1.4], np.float32)
+    center = np.array([0.0, 0.0, 1.4], np.float32)
+    prims = [
+        Primitive(
+            kind=BOX,
+            center=np.array([2.6, 1.8, 0.4], np.float32),
+            half_extents=np.array([0.5, 0.4, 0.4], np.float32),
+            label=TABLE,
+            color=np.array([0.6, 0.4, 0.2], np.float32),
+            name="table_1",
+        ),
+        Primitive(
+            kind=SPHERE,
+            center=np.array([-2.4, -1.8, 0.4], np.float32),
+            half_extents=np.array([0.4, 0.4, 0.4], np.float32),
+            label=BOXLBL,
+            color=np.array([0.8, 0.7, 0.2], np.float32),
+            name="ball_1",
+        ),
+        Primitive(
+            kind=BOX,
+            center=np.array([0.0, 2.6, 0.8], np.float32),
+            half_extents=np.array([0.7, 0.3, 0.8], np.float32),
+            label=SHELF,
+            color=np.array([0.4, 0.3, 0.2], np.float32),
+            name="shelf_1",
+        ),
+    ]
+    return Scene(room_half_extents=half, room_center=center, primitives=prims)
+
+
+def default_label_space():
+    from khronos_tpu.active_window.object_detection import LabelSpace
+
+    return LabelSpace(
+        num_classes=len(LABEL_NAMES),
+        object_labels=(TABLE, CHAIR, COOLER, BOXLBL, SHELF),
+        dynamic_labels=(HUMAN,),
+    )
+
+
+def sample_scene_surface(scene: Scene, t: float, n_points: int = 20000, seed: int = 0):
+    """GT surface samples at time t via rejection sampling + SDF projection.
+
+    Returns (points [N,3], labels [N]): background (room) + present objects.
+    Used as the evaluation ground-truth cloud.
+    """
+    rng = np.random.default_rng(seed)
+    kinds, centers, halfs, labels, colors, present = (
+        np.asarray(a) for a in scene.device_arrays(t)
+    )
+    pts_all, lab_all = [], []
+    for i in range(len(kinds)):
+        if not present[i]:
+            continue
+        n = n_points // 2 if kinds[i] == ROOM else max(n_points // (2 * (len(kinds) - 1)), 200)
+        if kinds[i] == SPHERE:
+            d = rng.normal(size=(n, 3))
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            p = centers[i] + d * halfs[i][0]
+        else:
+            h = halfs[i]
+            # sample box faces proportional to area
+            areas = np.array([h[1] * h[2], h[1] * h[2], h[0] * h[2], h[0] * h[2], h[0] * h[1], h[0] * h[1]])
+            face = rng.choice(6, size=n, p=areas / areas.sum())
+            u = rng.uniform(-1, 1, size=(n, 3)) * h
+            for k in range(3):
+                sel = face // 2 == k
+                u[sel, k] = np.where(face[sel] % 2 == 0, -h[k], h[k])
+            p = centers[i] + u
+        if kinds[i] == ROOM:
+            lab = np.full(len(p), scene.room_label)
+        else:
+            lab = np.full(len(p), labels[i])
+        pts_all.append(p)
+        lab_all.append(lab)
+    pts = np.concatenate(pts_all)
+    labs = np.concatenate(lab_all)
+    # drop points hidden inside other solids (e.g. object bottom inside floor)
+    keep = np.ones(len(pts), bool)
+    for i in range(len(kinds)):
+        if not present[i] or kinds[i] == ROOM:
+            continue
+        q = np.abs(pts - centers[i]) - halfs[i]
+        if kinds[i] == BOX:
+            inside = (q < -1e-3).all(axis=1)
+        else:
+            inside = np.linalg.norm(pts - centers[i], axis=1) < halfs[i][0] - 1e-3
+        keep &= ~inside
+    # drop points outside the room
+    qr = np.abs(pts - scene.room_center) - scene.room_half_extents
+    keep &= (qr <= 1e-3).all(axis=1)
+    return pts[keep], labs[keep]

@@ -1,0 +1,176 @@
+"""PipelineEvaluator: run the evaluation suite over a saved 4D map.
+
+Equivalent of the reference PipelineEvaluator (khronos_eval/src/
+pipeline_evaluator.cpp): loads `final.4dmap`, extracts one reconciled DSG per
+snapshot stamp, runs mesh/object/dynamic evaluators over (map stamp, query
+time <= stamp) pairs, and writes results/{background_mesh,static_objects,
+dynamic_objects}.csv + map_timestamps.txt (cpp:48-178).
+
+Ground truth comes from the synthetic scene oracle (khronos_tpu.data.synthetic
+is the GT builder — the reference's tesse GT builders' role).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from khronos_tpu.eval.evaluators import (
+    ChangeEvalConfig,
+    DynamicEvaluatorConfig,
+    GtObject,
+    MeshEvaluatorConfig,
+    ObjectEvaluatorConfig,
+    evaluate_changes,
+    evaluate_dynamic,
+    evaluate_mesh,
+    evaluate_objects,
+)
+from khronos_tpu.stm.spatio_temporal_map import SpatioTemporalMap
+
+
+@dataclasses.dataclass
+class PipelineEvaluatorConfig:
+    mesh: MeshEvaluatorConfig = dataclasses.field(default_factory=MeshEvaluatorConfig)
+    objects: ObjectEvaluatorConfig = dataclasses.field(default_factory=ObjectEvaluatorConfig)
+    dynamic: DynamicEvaluatorConfig = dataclasses.field(default_factory=DynamicEvaluatorConfig)
+    changes: ChangeEvalConfig = dataclasses.field(default_factory=ChangeEvalConfig)
+    only_final: bool = False  # evaluate only the last snapshot
+
+
+class SceneGroundTruth:
+    """GT oracle built from a synthetic Scene (GT-builder equivalent)."""
+
+    def __init__(self, scene, duration_s: float, n_bg_points: int = 20000, seed: int = 0):
+        from khronos_tpu.data import synthetic as syn
+
+        self.scene = scene
+        self.duration_s = duration_s
+        self._syn = syn
+        self.n_bg_points = n_bg_points
+        self.seed = seed
+
+    def background_points(self, t_s: float) -> np.ndarray:
+        pts, labs = self._syn.sample_scene_surface(
+            self.scene, t_s, self.n_bg_points, seed=self.seed
+        )
+        return pts.astype(np.float32)
+
+    def gt_objects(self) -> List[GtObject]:
+        out = []
+        for i, p in enumerate(self.scene.primitives):
+            if p.is_dynamic:
+                continue
+            c = p.center
+            h = p.half_extents
+            out.append(
+                GtObject(
+                    gt_id=i,
+                    label=p.label,
+                    center=np.asarray(c, np.float32),
+                    bbox_min=np.asarray(c - h, np.float32),
+                    bbox_max=np.asarray(c + h, np.float32),
+                    t_appear_ns=int(max(p.t_appear, 0.0) * 1e9)
+                    if np.isfinite(p.t_appear)
+                    else -(1 << 62),
+                    t_disappear_ns=int(p.t_disappear * 1e9)
+                    if np.isfinite(p.t_disappear)
+                    else (1 << 62),
+                )
+            )
+        return out
+
+    def gt_dynamic_trajectories(self, dt_s: float = 0.5):
+        out = {}
+        for i, p in enumerate(self.scene.primitives):
+            if not p.is_dynamic:
+                continue
+            ts = np.arange(0.0, self.duration_s, dt_s)
+            pos = np.stack([p.center_at(t) for t in ts]).astype(np.float32)
+            out[i] = ((ts * 1e9).astype(np.int64), pos)
+        return out
+
+    def gt_changes_csv(self, path: str):
+        with open(path, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["gt_id", "label", "t_appear_ns", "t_disappear_ns"])
+            for g in self.gt_objects():
+                w.writerow([g.gt_id, g.label, g.t_appear_ns, g.t_disappear_ns])
+
+
+class PipelineEvaluator:
+    def __init__(self, config: PipelineEvaluatorConfig = None):
+        self.config = config or PipelineEvaluatorConfig()
+
+    def evaluate(
+        self,
+        stm: SpatioTemporalMap,
+        gt: SceneGroundTruth,
+        results_dir: str,
+        query_times_s: Optional[Sequence[float]] = None,
+    ) -> Dict[str, Dict[str, float]]:
+        """Writes the CSV suite; returns the final-map summary metrics."""
+        os.makedirs(results_dir, exist_ok=True)
+        cfg = self.config
+        stamps = stm.stamps()
+        with open(os.path.join(results_dir, "map_timestamps.txt"), "w") as fh:
+            fh.write("\n".join(str(s) for s in stamps))
+        if not stamps:
+            return {}
+        eval_stamps = [stamps[-1]] if cfg.only_final else stamps
+        if query_times_s is None:
+            query_times_s = [s * 1e-9 for s in eval_stamps]
+
+        mesh_rows, obj_rows, dyn_rows = [], [], []
+        summary: Dict[str, Dict[str, float]] = {}
+        gt_objs = gt.gt_objects()
+        gt_dyn = gt.gt_dynamic_trajectories()
+        seq_end_ns = int(gt.duration_s * 1e9)
+
+        for robot_ns in eval_stamps:
+            dsg = stm.get_dsg(robot_ns)
+            for q_s in query_times_s:
+                q_ns = int(q_s * 1e9)
+                if q_ns > robot_ns:
+                    continue
+                gt_bg = gt.background_points(q_s)
+                m = evaluate_mesh(dsg.mesh.vertices, gt_bg, cfg.mesh)
+                m.update({"robot_time_ns": robot_ns, "query_time_ns": q_ns})
+                mesh_rows.append(m)
+                o = evaluate_objects(list(dsg.objects.values()), gt_objs, q_ns, cfg.objects)
+                o.update({"robot_time_ns": robot_ns, "query_time_ns": q_ns})
+                obj_rows.append(o)
+            d = evaluate_dynamic(list(dsg.objects.values()), gt_dyn, cfg.dynamic)
+            d.update({"robot_time_ns": robot_ns})
+            dyn_rows.append(d)
+
+        # change metrics on the final map
+        final = stm.get_dsg(stamps[-1])
+        ch = evaluate_changes(
+            list(final.objects.values()), gt_objs, 0, seq_end_ns, cfg.changes, cfg.objects
+        )
+
+        self._write_csv(os.path.join(results_dir, "background_mesh.csv"), mesh_rows)
+        self._write_csv(os.path.join(results_dir, "static_objects.csv"), obj_rows)
+        self._write_csv(os.path.join(results_dir, "dynamic_objects.csv"), dyn_rows)
+        self._write_csv(os.path.join(results_dir, "changes.csv"), [ch])
+
+        summary["mesh"] = mesh_rows[-1] if mesh_rows else {}
+        summary["objects"] = obj_rows[-1] if obj_rows else {}
+        summary["dynamic"] = dyn_rows[-1] if dyn_rows else {}
+        summary["changes"] = ch
+        return summary
+
+    @staticmethod
+    def _write_csv(path: str, rows: List[dict]):
+        if not rows:
+            return
+        keys = sorted({k for r in rows for k in r})
+        with open(path, "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=keys)
+            w.writeheader()
+            w.writerows(rows)

@@ -11,6 +11,17 @@ import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
+_TINY = 1e-12
+
+
+def _safe_theta(w):
+    """Differentiable-at-zero rotation angle: [..., 3] -> ([...,1,1] theta,
+    [...,1,1] theta^2). Gradients are exact for theta > sqrt(_TINY) and zero
+    (not NaN) at w = 0 — required because the factor-graph optimizer takes
+    jacfwd of exp/log at the origin."""
+    theta2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]
+    theta = jnp.sqrt(jnp.maximum(theta2, _TINY))
+    return theta, theta2
 
 
 def hat(w: jnp.ndarray) -> jnp.ndarray:
@@ -29,26 +40,24 @@ def hat(w: jnp.ndarray) -> jnp.ndarray:
 
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: [..., 3] axis-angle -> [..., 3, 3] rotation."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]  # [...,1,1]
+    theta, t2 = _safe_theta(w)
     K = hat(w)
     K2 = K @ K
-    # Taylor-safe coefficients.
-    t2 = theta * theta
-    a = jnp.where(theta > _EPS, jnp.sin(theta) / jnp.maximum(theta, _EPS), 1.0 - t2 / 6.0)
-    b = jnp.where(
-        theta > _EPS,
-        (1.0 - jnp.cos(theta)) / jnp.maximum(t2, _EPS * _EPS),
-        0.5 - t2 / 24.0,
-    )
+    # wide Taylor branch: 1-cos(theta) is float32-degenerate below ~3e-2
+    small = t2 < 1e-3
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / (theta * theta))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     return eye + a * K + b * K2
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """[..., 3, 3] rotation -> [..., 3] axis-angle."""
+    # atan2 formulation: |w_skew| = 2 sin(theta), trace = 1 + 2 cos(theta).
+    # arccos has an infinite derivative at theta=0, which poisons jacfwd at
+    # the origin (the factor-graph linearization point); atan2 is smooth there.
     trace = jnp.trace(R, axis1=-2, axis2=-1)
     cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     w_skew = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -57,11 +66,14 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_theta = jnp.sin(theta)
+    sin_theta = 0.5 * jnp.sqrt(jnp.maximum(jnp.sum(w_skew * w_skew, axis=-1), _TINY))
+    theta = jnp.arctan2(sin_theta, cos_theta)
+    small = (sin_theta[..., None] < 1e-5)
+    safe_sin = jnp.where(small, 1.0, sin_theta[..., None])
     scale = jnp.where(
-        theta[..., None] > _EPS,
-        theta[..., None] / jnp.maximum(2.0 * sin_theta[..., None], _EPS),
+        small,
         0.5 + theta[..., None] ** 2 / 12.0,
+        theta[..., None] / (2.0 * safe_sin),
     )
     return scale * w_skew
 
@@ -70,19 +82,13 @@ def se3_exp(xi: jnp.ndarray):
     """[..., 6] (rho, w) -> (R [...,3,3], t [...,3]). rho = translation part."""
     rho, w = xi[..., :3], xi[..., 3:]
     R = so3_exp(w)
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    theta, t2 = _safe_theta(w)
     K = hat(w)
     K2 = K @ K
-    t2 = theta * theta
-    b = jnp.where(
-        theta > _EPS,
-        (1.0 - jnp.cos(theta)) / jnp.maximum(t2, _EPS * _EPS),
-        0.5 - t2 / 24.0,
-    )
+    small = t2 < 1e-3
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / (theta * theta))
     c = jnp.where(
-        theta > _EPS,
-        (theta - jnp.sin(theta)) / jnp.maximum(t2 * theta, _EPS**3),
-        1.0 / 6.0 - t2 / 120.0,
+        small, 1.0 / 6.0 - t2 / 120.0, (theta - jnp.sin(theta)) / (theta * theta * theta)
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
     V = eye + b * K + c * K2
@@ -93,16 +99,18 @@ def se3_exp(xi: jnp.ndarray):
 def se3_log(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """(R, t) -> [..., 6] (rho, w)."""
     w = so3_log(R)
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    theta, t2 = _safe_theta(w)
     K = hat(w)
     K2 = K @ K
-    t2 = theta * theta
     # V^{-1} = I - K/2 + (1/theta^2)(1 - theta sin / (2 (1-cos))) K^2
-    denom = 2.0 * (1.0 - jnp.cos(theta))
+    # The Taylor branch must cover all theta where 1-cos(theta) is degenerate
+    # in float32 (catastrophic near 1.0): switch at theta ~ 3e-2.
+    small = t2 < 1e-3
+    denom = jnp.where(small, 1.0, jnp.maximum(2.0 * (1.0 - jnp.cos(theta)), 1e-9))
     coef = jnp.where(
-        theta > _EPS,
-        (1.0 - theta * jnp.sin(theta) / jnp.maximum(denom, _EPS)) / jnp.maximum(t2, _EPS * _EPS),
+        small,
         1.0 / 12.0 + t2 / 720.0,
+        (1.0 - theta * jnp.sin(theta) / denom) / jnp.maximum(theta * theta, 1e-12),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     Vinv = eye - 0.5 * K + coef * K2

@@ -23,7 +23,6 @@ Channels (all [X, Y, Z] float32 unless noted):
   first_obs       first observation time (s, +inf)
   last_obs        last observation time (s, -inf)
   last_occupied   last time tsdf said occupied (-inf)
-  free_since      start of current continuous-free streak (+inf)
   ever_free       bool: long-term-free evidence (Dynablox, motion seeds)
   archived        bool: left the active window, surface already extractable
   cell_meshed     bool: cell at min-corner has been emitted to the mesh
@@ -54,7 +53,12 @@ class VolumeConfig:
     # tracking layer (reference tracking_integrator.h:79-80)
     temporal_window: float = 3.0  # s until a voxel exits the active window
     temporal_buffer: float = 0.5  # s a voxel must stay free to become ever-free
-    occupancy_factor: float = -1.5  # occupied iff tsdf < factor * voxel_size
+    # Occupancy threshold for the tracking layer, reference semantics
+    # (tracking_integrator.cpp:136-138): negative values are multiples of the
+    # voxel size with the sign flipped — the default -1.5 means "occupied iff
+    # tsdf < +1.5 * voxel_size", i.e. the whole near-surface shell counts as
+    # occupied so it can never seed ever-free space.
+    tsdf_occupancy_threshold: float = -1.5
     recenter_margin: float = 2.0  # m camera-to-center slack before scrolling
 
     def check(self):
@@ -66,7 +70,8 @@ class VolumeConfig:
 
     @property
     def occupancy_threshold(self) -> float:
-        return self.occupancy_factor * self.voxel_size
+        t = self.tsdf_occupancy_threshold
+        return -t * self.voxel_size if t < 0 else t
 
 
 class VolumeState(NamedTuple):
@@ -79,7 +84,6 @@ class VolumeState(NamedTuple):
     first_obs: jnp.ndarray
     last_obs: jnp.ndarray
     last_occupied: jnp.ndarray
-    free_since: jnp.ndarray
     ever_free: jnp.ndarray
     archived: jnp.ndarray
     cell_meshed: jnp.ndarray
@@ -102,7 +106,6 @@ def create(config: VolumeConfig, origin_xyz: Optional[np.ndarray] = None) -> Vol
         first_obs=z(jnp.inf),
         last_obs=z(-jnp.inf),
         last_occupied=z(-jnp.inf),
-        free_since=z(jnp.inf),
         ever_free=z(False, jnp.bool_),
         archived=z(False, jnp.bool_),
         cell_meshed=z(False, jnp.bool_),
@@ -142,7 +145,6 @@ def _reset_values(config: VolumeConfig, state: VolumeState, reset: jnp.ndarray) 
         first_obs=jnp.where(reset, INF, state.first_obs),
         last_obs=jnp.where(reset, -INF, state.last_obs),
         last_occupied=jnp.where(reset, -INF, state.last_occupied),
-        free_since=jnp.where(reset, INF, state.free_since),
         ever_free=jnp.where(reset, False, state.ever_free),
         archived=jnp.where(reset, False, state.archived),
         cell_meshed=jnp.where(cell_dirty, False, state.cell_meshed),
@@ -222,15 +224,13 @@ def integrate_frame(
     first_obs = jnp.where(upd, jnp.minimum(state.first_obs, t_now), state.first_obs)
     last_obs = jnp.where(upd, t_now, state.last_obs)
 
-    # tracking layer (occupancy from the *updated* tsdf)
+    # tracking layer (occupancy from the *updated* tsdf). Reference
+    # voxelIsFree (tracking_integrator.cpp:248-252): observed and not occupied
+    # within temporal_buffer.
     occ = (w_new > 0.0) & (tsdf_new < config.occupancy_threshold)
     last_occupied = jnp.where(occ, t_now, state.last_occupied)
-    free_now = upd & ~occ
-    free_since = jnp.where(
-        occ, INF, jnp.where(free_now, jnp.minimum(state.free_since, t_now), state.free_since)
-    )
-    # ever-free: voxel + full 26-neighborhood continuously free for temporal_buffer
-    cand = free_since + config.temporal_buffer <= t_now
+    # ever-free: voxel + full 26-neighborhood observed-free for temporal_buffer
+    cand = (w_new > 0.0) & (last_occupied + config.temporal_buffer < t_now)
     ever_free = (state.ever_free | all_pool3(cand)) & ~occ
 
     # integration dirties the meshed flag of touched cells
@@ -244,7 +244,6 @@ def integrate_frame(
         first_obs=first_obs,
         last_obs=last_obs,
         last_occupied=last_occupied,
-        free_since=free_since,
         ever_free=ever_free,
         cell_meshed=jnp.where(cell_dirty, False, state.cell_meshed),
     )
@@ -313,7 +312,6 @@ def scroll(config: VolumeConfig, state: VolumeState, shift: np.ndarray) -> Volum
         first_obs=roll3(state.first_obs),
         last_obs=roll3(state.last_obs),
         last_occupied=roll3(state.last_occupied),
-        free_since=roll3(state.free_since),
         ever_free=roll3(state.ever_free),
         archived=roll3(state.archived),
         cell_meshed=roll3(state.cell_meshed),

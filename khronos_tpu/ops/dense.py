@@ -127,3 +127,81 @@ def compact_labels(labels_flat: jnp.ndarray, max_clusters: int):
     compact = jnp.where((labels_flat >= 0) & hit, idx, -1)
     uniq_out = jnp.where(sorted_reals[:max_clusters] == jnp.iinfo(jnp.int32).max, -1, sorted_reals[:max_clusters])
     return compact, uniq_out, n
+
+
+def _shift3(arr: jnp.ndarray, offset, fill):
+    """Shift a 3D grid by integer offset (data moves by +offset), fill edges."""
+    out = arr
+    for axis, o in enumerate(offset):
+        if o == 0:
+            continue
+        n = out.shape[axis]
+        pad = [(0, 0)] * out.ndim
+        pad[axis] = (max(o, 0), max(-o, 0))
+        padded = jnp.pad(out, pad, constant_values=fill)
+        out = jax.lax.slice_in_dim(padded, max(-o, 0), max(-o, 0) + n, axis=axis)
+    return out
+
+
+_FACE_OFFSETS_3D = [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1), (0, 0, 1)]
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def propagate_labels_keyed_3d(
+    labels: jnp.ndarray, key: jnp.ndarray, growable: jnp.ndarray, iterations: int
+) -> jnp.ndarray:
+    """Label propagation constrained to neighbors with equal `key` (6-conn).
+
+    Used for per-class connected components (ConnectedSemantics 3D mode,
+    reference connected_semantics.cpp:70-144): labels only spread between
+    voxels of the same semantic class.
+    """
+    labels = jnp.where(growable, labels, -1)
+
+    def body(_, lab):
+        best = lab
+        for off in _FACE_OFFSETS_3D:
+            nl = _shift3(lab, off, -1)
+            nk = _shift3(key, off, jnp.int32(-2))
+            best = jnp.maximum(best, jnp.where(nk == key, nl, -1))
+        return jnp.where(growable, best, -1)
+
+    return jax.lax.fori_loop(0, iterations, body, labels)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "full_connectivity"))
+def propagate_labels_keyed_2d(
+    labels: jnp.ndarray,
+    key: jnp.ndarray,
+    growable: jnp.ndarray,
+    iterations: int,
+    full_connectivity: bool = True,
+) -> jnp.ndarray:
+    """2D image variant (ConnectedSemantics 2D mode, 4/8-connectivity)."""
+    labels = jnp.where(growable, labels, -1)
+    if full_connectivity:
+        offsets = [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1) if (di, dj) != (0, 0)]
+    else:
+        offsets = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+
+    def shift2(arr, off, fill):
+        out = arr
+        for axis, o in enumerate(off):
+            if o == 0:
+                continue
+            n = out.shape[axis]
+            pad = [(0, 0)] * out.ndim
+            pad[axis] = (max(o, 0), max(-o, 0))
+            padded = jnp.pad(out, pad, constant_values=fill)
+            out = jax.lax.slice_in_dim(padded, max(-o, 0), max(-o, 0) + n, axis=axis)
+        return out
+
+    def body(_, lab):
+        best = lab
+        for off in offsets:
+            nl = shift2(lab, off, -1)
+            nk = shift2(key, off, jnp.int32(-2))
+            best = jnp.maximum(best, jnp.where(nk == key, nl, -1))
+        return jnp.where(growable, best, -1)
+
+    return jax.lax.fori_loop(0, iterations, body, labels)

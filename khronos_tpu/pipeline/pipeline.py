@@ -1,0 +1,198 @@
+"""KhronosPipeline: full online pipeline L0->L5 plus the experiment harness.
+
+Equivalent of khronos::KhronosPipeline + ExperimentManager (khronos_ros/src/
+khronos_pipeline.cpp, experiments/experiment_manager.cpp): wires the active
+window, backend, change detection, reconciliation, and the 4D map; runs the
+sequence; saves the full output-directory contract (config.txt, timing/,
+dsg.npz, final.4dmap.npz, object/background change CSVs, experiment_log.txt
+with the "Experiment Finished Cleanly" flag).
+
+Threading note: the reference spins each module on its own thread with queues
+(SURVEY.md §2.7). Here each frame runs the stages inline — stage-level
+parallelism on TPU comes from kernel width, and the detached change-detection
+thread's snapshot isolation is inherent (detection runs on a freshly built
+DSG copy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from khronos_tpu.active_window.active_window import ActiveWindow, ActiveWindowConfig
+from khronos_tpu.active_window.frame_data import FrameData
+from khronos_tpu.active_window.object_detection import LabelSpace
+from khronos_tpu.backend.backend import Backend, BackendConfig
+from khronos_tpu.changes.detectors import (
+    SequentialChangeDetector,
+    SequentialChangeDetectorConfig,
+)
+from khronos_tpu.changes.reconciler import Reconciler, ReconcilerConfig
+from khronos_tpu.config import format_config
+from khronos_tpu.geometry.camera import Camera
+from khronos_tpu.stm.spatio_temporal_map import SpatioTemporalMap
+from khronos_tpu.stm import serialization
+from khronos_tpu.utils.logging import FINISHED_CLEANLY, ExperimentLogger, setup_output_directory
+from khronos_tpu.utils.timing import Timer, TimingRecorder
+
+
+@dataclasses.dataclass
+class LabelSpaceConfig:
+    num_classes: int = 32
+    object_labels: Tuple[int, ...] = ()
+    dynamic_labels: Tuple[int, ...] = ()
+
+    def create(self) -> LabelSpace:
+        return LabelSpace(self.num_classes, tuple(self.object_labels), tuple(self.dynamic_labels))
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    active_window: ActiveWindowConfig = dataclasses.field(default_factory=ActiveWindowConfig)
+    backend: BackendConfig = dataclasses.field(default_factory=BackendConfig)
+    change_detection: SequentialChangeDetectorConfig = dataclasses.field(
+        default_factory=SequentialChangeDetectorConfig
+    )
+    reconciler: ReconcilerConfig = dataclasses.field(default_factory=ReconcilerConfig)
+    label_space: LabelSpaceConfig = dataclasses.field(default_factory=LabelSpaceConfig)
+    # -1: off, 0: only on loop closure, n: every n frames (+ on LC)
+    # (reference map_update_frequency, uHumans2.yaml:7)
+    run_change_detection_every_n_frames: int = 50
+
+
+class KhronosPipeline:
+    def __init__(self, config: PipelineConfig, camera: Camera):
+        self.config = config
+        self.camera = camera
+        self.label_space = config.label_space.create()
+        self.active_window = ActiveWindow(config.active_window, camera, self.label_space)
+        self.backend = Backend(config.backend)
+        self.change_detector = SequentialChangeDetector(config.change_detection)
+        self.reconciler = Reconciler(config.reconciler)
+        self.map = SpatioTemporalMap()
+        self.frame_count = 0
+        self._frames_since_cd = 0
+        self._last_stamp_ns = 0
+        self._last_frame: Optional[FrameData] = None
+
+    # ------------------------------------------------------------------
+    def process_frame(
+        self,
+        frame: FrameData,
+        gt_pose: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    ) -> None:
+        with Timer("pipeline/frame", frame.stamp_ns):
+            out = self.active_window.spin_once(frame)
+            had_lc = False
+            if out is not None:
+                had_lc = self.backend.add_output(out, gt_pose=gt_pose)
+            self.frame_count += 1
+            self._frames_since_cd += 1
+            self._last_stamp_ns = frame.stamp_ns
+            self._last_frame = frame
+
+            n = self.config.run_change_detection_every_n_frames
+            if n >= 0 and (had_lc or (n > 0 and self._frames_since_cd >= n)):
+                self.run_change_detection(had_loop_closure=had_lc)
+
+    # ------------------------------------------------------------------
+    def run_change_detection(self, had_loop_closure: bool = False) -> None:
+        """Snapshot the DSG, detect changes, reconcile, store a 4D snapshot
+        (backend.cpp:189-216 runChangeDetection)."""
+        self._frames_since_cd = 0
+        with Timer("pipeline/change_detection", self._last_stamp_ns):
+            dsg = self.backend.get_dsg()
+            changes = self.change_detector.detect_changes(dsg, had_loop_closure)
+            dsg = self.reconciler.reconcile(dsg, changes, self.backend.proposed_merges)
+            self.map.update(dsg, self._last_stamp_ns)
+
+    # ------------------------------------------------------------------
+    def finish(self) -> None:
+        """Flush everything (finishMapping + finishProcessing + final CD)."""
+        with Timer("pipeline/finish"):
+            out = self.active_window.finish_mapping(self._last_frame)
+            self.backend.add_output(out)
+            self.backend.finish_processing()
+            if self.config.run_change_detection_every_n_frames >= 0:
+                self.run_change_detection(had_loop_closure=False)
+            elif self.map.num_snapshots == 0:
+                # always leave at least one snapshot for consumers
+                self.map.update(self.backend.get_dsg(), self._last_stamp_ns)
+
+    # ------------------------------------------------------------------
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        self.backend.save(directory)
+        dsg = self.map.snapshots[-1] if self.map.num_snapshots else self.backend.get_dsg()
+        serialization.save_mesh_ply(dsg.mesh, os.path.join(directory, "mesh.ply"))
+        self.map.save(os.path.join(directory, "final.4dmap.npz"))
+        self.change_detector.changes.save(directory)
+        # reconciled-object summary (for quick inspection)
+        import csv
+
+        with open(os.path.join(directory, "objects.csv"), "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(
+                ["node_id", "category", "is_dynamic", "first_observed_ns",
+                 "last_observed_ns", "cx", "cy", "cz"]
+            )
+            for oid, o in sorted(dsg.objects.items()):
+                c = o.position()
+                w.writerow(
+                    [oid, o.semantic_category, int(o.is_dynamic),
+                     o.first_observed_ns[0], o.last_observed_ns[-1],
+                     f"{c[0]:.3f}", f"{c[1]:.3f}", f"{c[2]:.3f}"]
+                )
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    output_dir: str = "/tmp/khronos_experiment"
+    overwrite: bool = True
+    log_timing: bool = True
+    save_every_n_frames: int = 0  # 0 = no periodic snapshots
+
+
+class ExperimentManager:
+    """Runs a pipeline over a frame source with the reference's output-dir
+    contract (experiment_manager.cpp:96-169)."""
+
+    def __init__(
+        self,
+        config: ExperimentConfig,
+        pipeline: KhronosPipeline,
+        pipeline_config: Optional[PipelineConfig] = None,
+    ):
+        self.config = config
+        self.pipeline = pipeline
+        self.output_dir = setup_output_directory(config.output_dir, config.overwrite)
+        self.logger = ExperimentLogger(self.output_dir)
+        if pipeline_config is not None:
+            with open(os.path.join(self.output_dir, "config.txt"), "w") as fh:
+                fh.write(format_config(pipeline_config, "pipeline"))
+        self.logger.log("Experiment initialized")
+
+    def run(self, frames, gt_poses=None) -> str:
+        """frames: iterable of FrameData; gt_poses: optional parallel list."""
+        self.logger.flag("Experiment Started")
+        for i, frame in enumerate(frames):
+            gt = gt_poses[i] if gt_poses is not None else None
+            self.pipeline.process_frame(frame, gt_pose=gt)
+            if (
+                self.config.save_every_n_frames > 0
+                and (i + 1) % self.config.save_every_n_frames == 0
+            ):
+                snap_dir = os.path.join(self.output_dir, "snapshots", f"{i + 1:05d}")
+                os.makedirs(snap_dir, exist_ok=True)
+                dsg = self.pipeline.backend.get_dsg()
+                serialization.save_scene_graph(dsg, os.path.join(snap_dir, "dsg.npz"))
+        self.pipeline.finish()
+        self.pipeline.save(self.output_dir)
+        if self.config.log_timing:
+            TimingRecorder.instance().save(os.path.join(self.output_dir, "timing"))
+        self.logger.flag(FINISHED_CLEANLY)
+        self.logger.close()
+        return self.output_dir

@@ -1,0 +1,162 @@
+"""SpatioTemporalMap: the queryable 4D map (scene state at all times).
+
+Equivalent of khronos::SpatioTemporalMap (khronos/src/spatio_temporal_map/
+spatio_temporal_map.cpp): stores one reconciled DSG snapshot per
+change-detection pass (h:120-123); `finalize` sorts mesh vertices by
+first-seen stamp so any time slice is a prefix (cpp:120-135); query
+`getDsg(robot_time)` picks the closest snapshot and filters mesh
+vertices/faces (all-vertices-present, cpp:646-661), objects by effective
+appearance time (cpp:244-293), and trims dynamic trajectories (cpp:295-325);
+binary save/load with a version field (cpp:545-640, `.4dmap`).
+
+TPU-era simplification: snapshots are array archives; the prefix trick is an
+argsort + searchsorted per snapshot (cheap, done once at update), so a time
+query is numpy slicing — no incremental clone bookkeeping needed.
+
+Semantics of query(robot_time): "what the robot KNEW at robot_time" — the
+latest snapshot taken at or before robot_time, restricted to geometry first
+seen by then. (The reference additionally supports query_time scrubbing
+within a snapshot — exposed here via the `query_time_ns` argument using
+presence intervals.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from khronos_tpu.stm import serialization
+from khronos_tpu.stm.scene_graph import Mesh, SceneGraph
+from khronos_tpu.utils import intervals as iv
+
+FORMAT_VERSION = 1
+
+
+class SpatioTemporalMap:
+    def __init__(self):
+        self.stamps_ns: List[int] = []
+        self.snapshots: List[SceneGraph] = []
+
+    # ------------------------------------------------------------------
+    def update(self, dsg: SceneGraph, stamp_ns: int) -> None:
+        """Add a reconciled snapshot (finalized: vertices sorted by first_seen)."""
+        snap = dsg.clone()
+        self._finalize(snap)
+        self.stamps_ns.append(int(stamp_ns))
+        self.snapshots.append(snap)
+
+    @staticmethod
+    def _finalize(dsg: SceneGraph) -> None:
+        mesh = dsg.mesh
+        if mesh.num_vertices == 0:
+            return
+        order = np.argsort(mesh.first_seen_ns, kind="stable")
+        remap = np.empty(len(order), np.int64)
+        remap[order] = np.arange(len(order))
+        mesh.vertices = mesh.vertices[order]
+        mesh.colors = mesh.colors[order]
+        mesh.labels = mesh.labels[order]
+        mesh.first_seen_ns = mesh.first_seen_ns[order]
+        mesh.last_seen_ns = mesh.last_seen_ns[order]
+        if mesh.num_faces:
+            mesh.faces = remap[mesh.faces]
+
+    # ------------------------------------------------------------------
+    @property
+    def num_snapshots(self) -> int:
+        return len(self.snapshots)
+
+    def stamps(self) -> List[int]:
+        return list(self.stamps_ns)
+
+    def earliest_ns(self) -> int:
+        return self.stamps_ns[0] if self.stamps_ns else 0
+
+    def latest_ns(self) -> int:
+        return self.stamps_ns[-1] if self.stamps_ns else 0
+
+    # ------------------------------------------------------------------
+    def get_dsg(
+        self, robot_time_ns: int, query_time_ns: Optional[int] = None
+    ) -> Optional[SceneGraph]:
+        """Scene state as known at robot_time (optionally evaluated at
+        query_time for presence filtering). Returns a fresh SceneGraph."""
+        if not self.snapshots:
+            return None
+        idx = int(np.searchsorted(self.stamps_ns, robot_time_ns, side="right")) - 1
+        idx = max(idx, 0)
+        snap = self.snapshots[idx]
+        out = SceneGraph()
+        q = robot_time_ns if query_time_ns is None else query_time_ns
+
+        # mesh: prefix of vertices first seen by robot_time
+        mesh = snap.mesh
+        n_vis = int(np.searchsorted(mesh.first_seen_ns, robot_time_ns, side="right"))
+        out.mesh = Mesh(
+            vertices=mesh.vertices[:n_vis].copy(),
+            colors=mesh.colors[:n_vis].copy(),
+            labels=mesh.labels[:n_vis].copy(),
+            first_seen_ns=mesh.first_seen_ns[:n_vis].copy(),
+            last_seen_ns=mesh.last_seen_ns[:n_vis].copy(),
+            faces=mesh.faces[(mesh.faces < n_vis).all(axis=1)].copy()
+            if mesh.num_faces
+            else mesh.faces.copy(),
+        )
+
+        # agents: trajectory up to robot_time
+        out.agents = [a for a in snap.agents if a.stamp_ns <= robot_time_ns]
+
+        # objects: known by robot_time; present at query time (if filtering)
+        for oid, o in snap.objects.items():
+            known = o.first_observed_ns and o.first_observed_ns[0] <= robot_time_ns
+            if not known:
+                continue
+            oc = o.clone()
+            if oc.is_dynamic:
+                keep = [i for i, s in enumerate(oc.trajectory_stamps_ns) if s <= robot_time_ns]
+                if not keep:
+                    continue
+                oc.trajectory_stamps_ns = [oc.trajectory_stamps_ns[i] for i in keep]
+                oc.trajectory_positions = np.asarray(oc.trajectory_positions).reshape(-1, 3)[keep]
+            out.objects[oid] = oc
+        return out
+
+    def objects_present_at(self, robot_time_ns: int, query_time_ns: int) -> Dict[int, object]:
+        """Objects the robot knew at robot_time that were present at query_time."""
+        dsg = self.get_dsg(robot_time_ns)
+        if dsg is None:
+            return {}
+        return {
+            oid: o
+            for oid, o in dsg.objects.items()
+            if iv.is_present(o.first_observed_ns, o.last_observed_ns, query_time_ns)
+        }
+
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Versioned `.4dmap` archive (npz)."""
+        arrays = {
+            "format_version": np.asarray([FORMAT_VERSION]),
+            "stamps_ns": np.asarray(self.stamps_ns, np.int64),
+        }
+        for i, snap in enumerate(self.snapshots):
+            arrays.update(serialization.scene_graph_arrays(snap, prefix=f"snap/{i}/"))
+        np.savez_compressed(path, **arrays)
+
+    @staticmethod
+    def load(path: str) -> "SpatioTemporalMap":
+        out = SpatioTemporalMap()
+        with np.load(path, allow_pickle=False) as data:
+            version = int(data["format_version"][0])
+            if version != FORMAT_VERSION:
+                raise ValueError(f"unsupported 4dmap version {version}")
+            stamps = data["stamps_ns"]
+            out.stamps_ns = [int(s) for s in stamps]
+            for i in range(len(stamps)):
+                out.snapshots.append(
+                    serialization.scene_graph_from_arrays(data, prefix=f"snap/{i}/")
+                )
+        return out

@@ -1,0 +1,122 @@
+"""End-to-end active-window test on synthetic scenes: frames -> TSDF -> mesh
++ tracked objects. This is the minimum end-to-end slice of SURVEY.md §7.2."""
+
+import numpy as np
+import pytest
+
+from khronos_tpu.active_window.active_window import ActiveWindow, ActiveWindowConfig
+from khronos_tpu.active_window.frame_data import FrameData
+from khronos_tpu.config import build
+from khronos_tpu.data import synthetic as syn
+from khronos_tpu.stm.scene_graph import MeshAccumulator
+
+
+def run_sequence(scene, duration, fps=5.0, n_frames=None, aw_over=None):
+    seq = syn.SyntheticSequence(
+        scene,
+        syn.SyntheticSequenceConfig(
+            duration=duration, fps=fps, height=120, width=160,
+            fx=100.0, fy=100.0, cx=80.0, cy=60.0,
+        ),
+    )
+    over = {
+        "volumetric_map": {"grid_shape": [160, 160, 40], "voxel_size": 0.1},
+        "motion_detector": {"type": "FreeSpaceMotionDetector", "min_cluster_size": 80, "grow_iterations": 12},
+        "object_detector": {"type": "ConnectedSemantics", "min_cluster_size": 40},
+        "tracker": {"type": "MaxIouTracker", "min_num_observations": 4},
+        "object_extractor": {"type": "MeshObjectExtractor", "min_num_observations": 4, "max_frames": 12},
+    }
+    if aw_over:
+        for k, v in aw_over.items():
+            over.setdefault(k, {}).update(v) if isinstance(v, dict) else over.update({k: v})
+    cfg = build(ActiveWindowConfig, over)
+    aw = ActiveWindow(cfg, seq.camera, syn.default_label_space())
+    acc = MeshAccumulator(resolution=0.02)
+    objects = []
+    n = n_frames or seq.n_frames
+    last_frame = None
+    for i in range(n):
+        f = seq.render_frame(i)
+        frame = FrameData(
+            stamp_ns=f["stamp_ns"], depth=f["depth"], color=f["color"],
+            labels=f["labels"], R_w_c=f["R_w_c"], t_w_c=f["t_w_c"],
+        )
+        out = aw.spin_once(frame)
+        last_frame = frame
+        if out is not None:
+            acc.add_triangles(out.mesh_vertices, out.mesh_colors, out.mesh_first_ns, out.mesh_last_ns, out.mesh_labels)
+            objects.extend(out.objects)
+    out = aw.finish_mapping(last_frame)
+    acc.add_triangles(out.mesh_vertices, out.mesh_colors, out.mesh_first_ns, out.mesh_last_ns, out.mesh_labels)
+    objects.extend(out.objects)
+    return seq, acc.build(), objects
+
+
+def completeness(gt_points, mesh_vertices, tau=0.15):
+    """Fraction of GT points with a mesh vertex within tau (brute force)."""
+    if len(mesh_vertices) == 0:
+        return 0.0
+    hits = 0
+    step = 2048
+    for s in range(0, len(gt_points), step):
+        chunk = gt_points[s : s + step]
+        d2 = ((chunk[:, None, :] - mesh_vertices[None, :, :]) ** 2).sum(-1)
+        hits += (d2.min(axis=1) <= tau * tau).sum()
+    return hits / len(gt_points)
+
+
+class TestApartmentSlice:
+    def test_mesh_reconstruction_and_objects(self):
+        scene = syn.apartment_scene()
+        seq, mesh, objects = run_sequence(scene, duration=16.0, fps=5.0)
+        assert mesh.num_vertices > 2000
+        assert mesh.num_faces > 2000
+        # completeness vs GT wall/furniture samples (visible band only: the
+        # orbit at 1.4 m with limited vertical fov does not see everything)
+        gt_pts, gt_labs = syn.sample_scene_surface(scene, 0.0, 4000, seed=1)
+        band = (gt_pts[:, 2] > 0.4) & (gt_pts[:, 2] < 2.2)
+        comp = completeness(gt_pts[band], mesh.vertices, tau=0.2)
+        assert comp > 0.5, f"completeness={comp}"
+        # accuracy: mesh vertices lie on some GT surface
+        acc = completeness(mesh.vertices[:: max(1, mesh.num_vertices // 2000)], gt_pts, tau=0.2)
+        assert acc > 0.75, f"accuracy={acc}"
+        # static objects extracted with sane bboxes
+        static_objs = [o for o in objects if not o.is_dynamic]
+        assert len(static_objs) >= 1
+        cats = {o.semantic_category for o in static_objs}
+        assert cats & {syn.TABLE, syn.SHELF, syn.BOXLBL}
+        for o in static_objs:
+            ext = o.bbox_max - o.bbox_min
+            # single-view flat objects reconstruct as thin sheets — gate on
+            # volume (reference min/max_object_volume) and max extent
+            assert float(np.prod(ext)) > 0.001 and (ext < 3.0).all()
+            assert len(o.mesh_vertices) > 0
+
+    def test_mesh_has_stamps(self):
+        scene = syn.apartment_scene()
+        _, mesh, _ = run_sequence(scene, duration=10.0, fps=5.0, n_frames=30)
+        assert (mesh.first_seen_ns >= 0).all()
+        assert (mesh.last_seen_ns >= mesh.first_seen_ns).all()
+
+
+class TestOfficeDynamics:
+    def test_dynamic_objects_tracked(self):
+        scene = syn.office_scene(duration=24.0)
+        seq, mesh, objects = run_sequence(scene, duration=24.0, fps=5.0)
+        dyn = [o for o in objects if o.is_dynamic]
+        assert len(dyn) >= 1, "no dynamic objects extracted"
+        for o in dyn:
+            traj = o.trajectory_positions
+            assert len(traj) >= 2
+            disp = np.linalg.norm(traj - traj[0], axis=1).max()
+            assert disp >= 1.0
+            # trajectory heights near human center
+            assert 0.2 < traj[:, 2].mean() < 1.6
+        # dynamic objects do not pollute the background mesh: no mesh
+        # vertices in the open middle of the room where only humans walked
+        mid = mesh.vertices
+        in_mid = (
+            (np.abs(mid[:, 0]) < 1.0) & (np.abs(mid[:, 1]) < 0.7)
+            & (mid[:, 2] > 0.3) & (mid[:, 2] < 1.6)
+        )
+        assert in_mid.sum() < 0.02 * len(mid), f"{in_mid.sum()} ghost vertices mid-room"

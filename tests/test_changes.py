@@ -1,0 +1,256 @@
+import numpy as np
+import pytest
+
+from khronos_tpu.changes.change_detector import RayChangeDetector, RayChangeDetectorConfig
+from khronos_tpu.changes.change_state import ABSENT, PERSISTENT, UNOBSERVED, Changes, ObjectChange
+from khronos_tpu.changes.detectors import (
+    SequentialChangeDetector,
+    SequentialChangeDetectorConfig,
+)
+from khronos_tpu.changes.ray_verificator import RayVerificator, RayVerificatorConfig
+from khronos_tpu.changes.reconciler import Reconciler, ReconcilerConfig
+from khronos_tpu.stm.scene_graph import AgentNode, KhronosObject, Mesh, SceneGraph
+
+
+def make_mesh(vertices, first_s, last_s, labels=None):
+    V = len(vertices)
+    return Mesh(
+        vertices=np.asarray(vertices, np.float32),
+        colors=np.zeros((V, 3), np.float32),
+        labels=np.zeros(V, np.int32) if labels is None else np.asarray(labels, np.int32),
+        first_seen_ns=(np.asarray(first_s) * 1e9).astype(np.int64),
+        last_seen_ns=(np.asarray(last_s) * 1e9).astype(np.int64),
+        faces=np.zeros((0, 3), np.int64),
+    )
+
+
+def make_agents(position, stamps_s):
+    return [
+        AgentNode(int(s * 1e9), np.eye(3, dtype=np.float32), np.asarray(position, np.float32))
+        for s in stamps_s
+    ]
+
+
+def make_object(nid, center, first_s, last_s, mesh_pts=None):
+    c = np.asarray(center, np.float32)
+    pts = np.asarray(mesh_pts, np.float32) if mesh_pts is not None else np.zeros((0, 3), np.float32)
+    return KhronosObject(
+        node_id=nid,
+        semantic_category=2,
+        bbox_min=c - 0.2,
+        bbox_max=c + 0.2,
+        first_observed_ns=[int(first_s * 1e9)],
+        last_observed_ns=[int(last_s * 1e9)],
+        mesh_vertices=pts - (c - 0.2) if len(pts) else pts,
+        mesh_faces=np.zeros((0, 3), np.int64),
+        mesh_colors=np.zeros((len(pts), 3), np.float32),
+    )
+
+
+class TestRayVerificator:
+    def build_simple(self):
+        """Agent at origin-ish; wall vertex at (5,0,1) observed [0,100]s."""
+        dsg = SceneGraph()
+        dsg.agents = make_agents([0, 0, 1], np.arange(0, 101, 2.0))
+        dsg.mesh = make_mesh([[5, 0, 1]], [0.0], [100.0])
+        ver = RayVerificator(RayVerificatorConfig(ray_policy="All", num_bins=32, temporal_resolution=4.0))
+        ver.build(dsg)
+        return ver
+
+    def test_absent_match_occluded(self):
+        ver = self.build_simple()
+        ev = ver.query(np.asarray([[3.0, 0, 1], [5.0, 0, 1], [6.5, 0, 1], [3.0, 2.0, 1]], np.float32))
+        # point in front of the wall: rays pass through -> absent evidence
+        assert ev[0, :, 1].sum() > 0 and ev[0, :, 0].sum() == 0
+        # point on the wall: match evidence
+        assert ev[1, :, 0].sum() > 0 and ev[1, :, 1].sum() == 0
+        # point behind the wall: occluded -> no evidence
+        assert ev[2].sum() == 0
+        # point far off-ray: no evidence
+        assert ev[3].sum() == 0
+
+
+class TestChangeScan:
+    def test_windows(self):
+        det = RayChangeDetector(RayChangeDetectorConfig(window_size=2, min_rays_per_window=1), bin_size_s=5.0)
+        ev = np.zeros((1, 16, 2), np.int64)
+        ev[0, 2, 0] = 3  # present around t=12.5
+        ev[0, 8, 1] = 3  # absent around t=42.5
+        ev[0, 9, 1] = 2
+        res = det.scan(ev)
+        assert res["first_persistent_bin"][0] <= 2 <= res["last_persistent_bin"][0] + 1
+        assert 7 <= res["first_absent_bin"][0] <= 8
+        # time range filter excludes early bins
+        res2 = det.scan(ev, t_min_s=30.0)
+        assert res2["first_persistent_bin"][0] == -1
+        assert res2["first_absent_bin"][0] >= 7
+
+
+class TestSequentialChangeDetection:
+    def make_disappearance_scene(self):
+        """Object at (4,0,1) present [0,40]s then gone; wall behind at (5,0,1)
+        observed after 45s; agent at origin the whole time."""
+        dsg = SceneGraph()
+        dsg.agents = make_agents([0, 0, 1], np.arange(0, 101, 2.0))
+        verts = [[4.0, 0, 1], [4.0, 0.1, 1], [5.0, 0, 1], [5.0, 0.1, 1], [0.0, 3.0, 1]]
+        first = [0.0, 0.0, 45.0, 45.0, 0.0]
+        last = [40.0, 40.0, 100.0, 100.0, 100.0]
+        dsg.mesh = make_mesh(verts, first, last)
+        obj = make_object(1, [4.0, 0.05, 1], 0.0, 40.0, mesh_pts=[[4.0, 0, 1], [4.0, 0.1, 1]])
+        dsg.objects[1] = obj
+        return dsg
+
+    def test_object_disappearance_detected(self):
+        dsg = self.make_disappearance_scene()
+        cfg = SequentialChangeDetectorConfig()
+        cfg.verificator.ray_policy = "All"
+        cfg.verificator.num_bins = 64
+        cfg.verificator.temporal_resolution = 2.0
+        cfg.detector.window_size = 4
+        scd = SequentialChangeDetector(cfg)
+        changes = scd.detect_changes(dsg)
+        oc = changes.object_changes[1]
+        assert oc.last_absent_ns > 0, "disappearance not detected"
+        t_abs = oc.last_absent_ns * 1e-9
+        assert 40.0 < t_abs < 100.0
+        # background: old object-surface vertices flagged absent
+        assert changes.background_states[0] == ABSENT
+        assert changes.background_states[1] == ABSENT
+        # wall vertices observed after: no absent evidence through them
+        assert changes.background_states[2] != ABSENT
+        assert changes.background_states[4] == UNOBSERVED
+
+    def test_persistent_object_not_absent(self):
+        dsg = SceneGraph()
+        dsg.agents = make_agents([0, 0, 1], np.arange(0, 101, 2.0))
+        # object surface stays in the background mesh the whole time
+        verts = [[4.0, 0, 1], [4.0, 0.1, 1], [0.0, 3.0, 1]]
+        dsg.mesh = make_mesh(verts, [0.0, 0.0, 0.0], [100.0, 100.0, 100.0])
+        dsg.objects[1] = make_object(1, [4.0, 0.05, 1], 0.0, 40.0, mesh_pts=[[4.0, 0, 1]])
+        cfg = SequentialChangeDetectorConfig()
+        cfg.verificator.ray_policy = "All"
+        cfg.verificator.temporal_resolution = 2.0
+        scd = SequentialChangeDetector(cfg)
+        changes = scd.detect_changes(dsg)
+        oc = changes.object_changes[1]
+        assert oc.last_absent_ns < 0
+        # presence evidence after last_seen (rays still end on its surface)
+        assert oc.last_persistent_ns > int(40e9)
+
+
+class TestReconciler:
+    def test_presence_interval_estimation(self):
+        dsg = SceneGraph()
+        dsg.objects[1] = make_object(1, [0, 0, 0], 50.0, 60.0)
+        changes = Changes()
+        changes.object_changes[1] = ObjectChange(
+            node_id=1,
+            first_absent_ns=int(20e9),  # absent evidence before first seen
+            last_absent_ns=int(80e9),  # absent after last seen
+        )
+        rec = Reconciler(ReconcilerConfig(mesh_merger="none"))
+        rec.reconcile(dsg, changes)
+        o = dsg.objects[1]
+        # appearance midpoint between 20 and 50 -> 35; disappearance (60+80)/2=70
+        assert o.first_observed_ns[0] == pytest.approx(35e9, rel=0.01)
+        assert o.last_observed_ns[0] == pytest.approx(70e9, rel=0.01)
+
+    def test_no_evidence_conservative(self):
+        dsg = SceneGraph()
+        dsg.objects[1] = make_object(1, [0, 0, 0], 50.0, 60.0)
+        rec = Reconciler(ReconcilerConfig(mesh_merger="none", time_estimates_conservative=True))
+        changes = Changes()
+        changes.object_changes[1] = ObjectChange(node_id=1)
+        rec.reconcile(dsg, changes)
+        o = dsg.objects[1]
+        assert o.first_observed_ns[0] == int(50e9)
+        assert o.last_observed_ns[0] == int(60e9)
+
+    def test_merge_execution(self):
+        dsg = SceneGraph()
+        dsg.objects[1] = make_object(1, [0, 0, 0], 0.0, 10.0)
+        dsg.objects[2] = make_object(2, [0.05, 0, 0], 30.0, 40.0)
+        changes = Changes()
+        from khronos_tpu.backend.backend import MergeProposal
+
+        rec = Reconciler(ReconcilerConfig(mesh_merger="none"))
+        rec.reconcile(dsg, changes, merges=[MergeProposal(from_id=2, into_id=1, iou=0.8)])
+        assert 2 not in dsg.objects
+        o = dsg.objects[1]
+        assert o.first_observed_ns == [0, int(30e9)]
+        assert o.last_observed_ns == [int(10e9), int(40e9)]
+
+    def test_change_merger_removes_absent_vertices(self):
+        dsg = SceneGraph()
+        dsg.mesh = make_mesh([[0, 0, 0], [1, 0, 0], [2, 0, 0]], [0, 0, 0], [10, 10, 10])
+        dsg.mesh.faces = np.asarray([[0, 1, 2]], np.int64)
+        changes = Changes()
+        changes.background_states = np.asarray([UNOBSERVED, ABSENT, UNOBSERVED], np.int8)
+        rec = Reconciler(ReconcilerConfig(mesh_merger="ChangeMerger", object_proximity_threshold=0))
+        rec.reconcile(dsg, changes)
+        assert dsg.mesh.num_vertices == 2
+        assert dsg.mesh.num_faces == 0  # face lost its middle vertex
+
+
+class TestSpatioTemporalMap:
+    def make_map(self):
+        from khronos_tpu.stm.spatio_temporal_map import SpatioTemporalMap
+
+        stm = SpatioTemporalMap()
+        for t in (10.0, 20.0):
+            dsg = SceneGraph()
+            n = int(t)
+            verts = [[i * 0.1, 0, 0] for i in range(n)]
+            first = list(np.linspace(0, t - 1, n))
+            dsg.mesh = make_mesh(verts, first, [t] * n)
+            dsg.agents = make_agents([0, 0, 0], np.arange(0, t, 1.0))
+            if t >= 20:
+                dsg.objects[1] = make_object(1, [1, 1, 0], 12.0, 18.0)
+            stm.update(dsg, int(t * 1e9))
+        return stm
+
+    def test_query_prefix_and_objects(self):
+        stm = self.make_map()
+        dsg = stm.get_dsg(int(15e9))
+        # snapshot at 10 chosen; all its vertices first_seen <= 9 < 15
+        assert dsg.mesh.num_vertices == 10
+        assert len(dsg.objects) == 0
+        dsg2 = stm.get_dsg(int(25e9))
+        assert dsg2.mesh.num_vertices == 20
+        assert 1 in dsg2.objects
+        # robot_time before object known
+        dsg3 = stm.get_dsg(int(20e9), query_time_ns=int(5e9))
+        assert 1 in dsg3.objects  # known at t=20 (first_observed 12 <= 20)
+        present = stm.objects_present_at(int(20e9), int(5e9))
+        assert 1 not in present  # but not present at query time 5
+
+    def test_prefix_ordering_within_snapshot(self):
+        stm = self.make_map()
+        dsg = stm.get_dsg(int(14e9))
+        # vertices with first_seen <= 14 only
+        assert (dsg.mesh.first_seen_ns <= int(14e9)).all()
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from khronos_tpu.stm.spatio_temporal_map import SpatioTemporalMap
+
+        stm = self.make_map()
+        path = str(tmp_path / "final.4dmap.npz")
+        stm.save(path)
+        stm2 = SpatioTemporalMap.load(path)
+        assert stm2.stamps() == stm.stamps()
+        d1 = stm.get_dsg(int(25e9))
+        d2 = stm2.get_dsg(int(25e9))
+        np.testing.assert_allclose(d1.mesh.vertices, d2.mesh.vertices)
+        assert set(d1.objects) == set(d2.objects)
+
+
+class TestChangesCSV:
+    def test_save_load(self, tmp_path):
+        ch = Changes()
+        ch.object_changes[3] = ObjectChange(3, first_absent_ns=5, last_absent_ns=9, merged_id=7)
+        ch.background_states = np.asarray([0, 1, 2], np.int8)
+        ch.save(str(tmp_path))
+        ch2 = Changes.load(str(tmp_path))
+        assert ch2.object_changes[3].last_absent_ns == 9
+        assert ch2.object_changes[3].merged_id == 7
+        np.testing.assert_array_equal(ch2.background_states, [0, 1, 2])

@@ -1,0 +1,121 @@
+import numpy as np
+import pytest
+
+from khronos_tpu.backend.factor_graph import (
+    FactorGraphData,
+    OptimizerConfig,
+    optimize,
+)
+from khronos_tpu.geometry import transforms as tf
+import jax.numpy as jnp
+
+
+def rot_z(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+
+def circle_poses(n, radius=5.0):
+    poses = []
+    for k in range(n):
+        a = 2 * np.pi * k / n
+        R = rot_z(a)
+        t = np.array([radius * np.cos(a), radius * np.sin(a), 0], np.float32)
+        poses.append((R, t))
+    return poses
+
+
+def relative(Ra, ta, Rb, tb):
+    R = Ra.T @ Rb
+    t = Ra.T @ (tb - ta)
+    return R, t
+
+
+def ate(est_t, gt_t):
+    return float(np.sqrt(((est_t - gt_t) ** 2).sum(axis=1).mean()))
+
+
+class TestFactorGraph:
+    def test_prior_only_converges(self):
+        g = FactorGraphData()
+        g.add_node(np.eye(3), np.zeros(3))
+        Rz = rot_z(0.3)
+        g.add_prior(0, Rz, np.array([1.0, 2.0, 3.0]))
+        res = optimize(g, OptimizerConfig(gnc_enabled=False, max_iterations=10))
+        np.testing.assert_allclose(res.node_t[0], [1, 2, 3], atol=1e-3)
+        np.testing.assert_allclose(res.node_R[0], Rz, atol=1e-3)
+
+    def test_loop_closure_corrects_drift(self):
+        n = 30
+        gt = circle_poses(n)
+        rng = np.random.default_rng(0)
+        g = FactorGraphData()
+        # initial estimates: integrate noisy odometry
+        R_cur, t_cur = gt[0]
+        g.add_node(R_cur, t_cur)
+        est = [(R_cur, t_cur)]
+        odo = []
+        for k in range(1, n):
+            Rrel, trel = relative(*gt[k - 1], *gt[k])
+            # unbiased random-walk odometry noise (drift from integration)
+            trel_n = trel + rng.normal(0, 0.06, 3)
+            odo.append((Rrel, trel_n))
+            R_cur = est[-1][0] @ Rrel
+            t_cur = est[-1][0] @ trel_n + est[-1][1]
+            est.append((R_cur, t_cur))
+            g.add_node(R_cur, t_cur)
+            g.add_between(k - 1, k, Rrel, trel_n, sigma_rot=0.01, sigma_trans=0.06)
+        g.add_prior(0, *gt[0])
+        gt_t = np.stack([t for _, t in gt])
+        est_t = np.stack([t for _, t in est])
+        ate_before = ate(est_t, gt_t)
+        assert ate_before > 0.1  # drift accumulated
+
+        # loop closures across the loop junction with true relative poses
+        for a, b in [(n - 1, 0), (n - 2, 0), (n - 1, 1), (n - 2, 1)]:
+            Rrel, trel = relative(*gt[a], *gt[b])
+            g.add_between(a, b, Rrel, trel, sigma_rot=0.005, sigma_trans=0.01)
+        res = optimize(g, OptimizerConfig(gnc_enabled=False, max_iterations=30))
+        ate_after = ate(res.node_t, gt_t)
+        assert ate_after < ate_before * 0.75, f"{ate_before} -> {ate_after}"
+        assert ate_after < 0.25
+
+    def test_gnc_rejects_outlier_loop(self):
+        n = 20
+        gt = circle_poses(n)
+        rng = np.random.default_rng(1)
+        g = FactorGraphData()
+        for k in range(n):
+            g.add_node(*gt[k])
+        g.add_prior(0, *gt[0])
+        for k in range(1, n):
+            Rrel, trel = relative(*gt[k - 1], *gt[k])
+            g.add_between(k - 1, k, Rrel, trel + rng.normal(0, 0.005, 3),
+                          sigma_rot=0.01, sigma_trans=0.02)
+        # good LC
+        Rrel, trel = relative(*gt[n - 1], *gt[0])
+        g.add_between(n - 1, 0, Rrel, trel, sigma_rot=0.01, sigma_trans=0.02, robust=True)
+        # bad LC: wildly wrong translation
+        g.add_between(5, 15, np.eye(3), np.array([4.0, -3.0, 1.0]),
+                      sigma_rot=0.01, sigma_trans=0.02, robust=True)
+        res = optimize(g, OptimizerConfig(gnc_enabled=True))
+        gt_t = np.stack([t for _, t in gt])
+        assert ate(res.node_t, gt_t) < 0.15
+        # the bad LC (last robust factor) must be flagged outlier, good one not
+        robust_idx = [i for i, r in enumerate(np.asarray(res.outlier_mask)) if r]
+        n_between = n - 1 + 2
+        assert res.outlier_mask[n_between - 1], "bad LC not rejected"
+        assert not res.outlier_mask[n_between - 2], "good LC wrongly rejected"
+
+    def test_chain_without_noise_stays_put(self):
+        n = 8
+        gt = circle_poses(n)
+        g = FactorGraphData()
+        for k in range(n):
+            g.add_node(*gt[k])
+        g.add_prior(0, *gt[0])
+        for k in range(1, n):
+            g.add_between(k - 1, k, *relative(*gt[k - 1], *gt[k]))
+        res = optimize(g, OptimizerConfig(gnc_enabled=False, max_iterations=5))
+        gt_t = np.stack([t for _, t in gt])
+        assert ate(res.node_t, gt_t) < 1e-3
