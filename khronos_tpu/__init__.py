@@ -17,3 +17,19 @@ Layer map (mirrors SURVEY.md §1, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the voxel-grid programs take minutes to
+# compile in this environment; cache hits make every later process start fast.
+import os as _os
+
+import jax as _jax
+
+_cache_dir = _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/jax_comp")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass

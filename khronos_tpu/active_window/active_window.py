@@ -45,6 +45,10 @@ from khronos_tpu.active_window import object_extraction as _oe  # noqa: F401
 @dataclasses.dataclass
 class ActiveWindowConfig:
     min_output_separation: float = 0.4  # s (uHumans2.yaml:38)
+    # fused mode: the whole per-frame hot path as ONE jitted program with a
+    # single packed host pull (fused_step.py); the modular path keeps each
+    # stage separately inspectable
+    fused: bool = True
     volumetric_map: av.VolumeConfig = dataclasses.field(default_factory=av.VolumeConfig)
     frame_data_buffer: FrameDataBufferConfig = dataclasses.field(
         default_factory=FrameDataBufferConfig
@@ -53,7 +57,7 @@ class ActiveWindowConfig:
     object_detector: Plugin = plugin_field("object_detector", "ConnectedSemantics")
     tracker: Plugin = plugin_field("tracker", "MaxIouTracker")
     object_extractor: Plugin = plugin_field("object_extractor", "MeshObjectExtractor")
-    mesh_max_cells: int = 16384
+    mesh_max_cells: int = 8192
 
 
 @dataclasses.dataclass
@@ -90,6 +94,7 @@ class ActiveWindow:
         self.label_space = label_space
         vol_cfg = config.volumetric_map
         self.state = av.create(vol_cfg)
+        self._origin_np = np.asarray(self.state.origin)
         self._initialized_origin = False
         self.motion_detector = config.motion_detector.create(vol_cfg, camera)
         self.object_detector = config.object_detector.create(vol_cfg, camera, label_space)
@@ -98,8 +103,22 @@ class ActiveWindow:
         self.frame_buffer = FrameDataBuffer(config.frame_data_buffer)
         self._last_output_s: float = -np.inf
         self._pending_mesh: List[dict] = []
+        self._pending_mesh_dev: List = []  # in-flight device emission buffers
         self._pending_tracks = []
         self.frame_count = 0
+        self._pending_track_frame = None
+        self._fused_step = None
+        if config.fused:
+            from khronos_tpu.active_window import fused_step as fs
+
+            self._fused_step = fs.make_frame_step(
+                vol_cfg,
+                camera,
+                config.motion_detector.config if config.motion_detector.enabled else None,
+                config.object_detector.config if config.object_detector.enabled else None,
+                label_space,
+            )
+            self._unpack_stats = fs.unpack_stats
 
     # ------------------------------------------------------------------
     def spin_once(self, frame: FrameData) -> Optional[ActiveWindowOutput]:
@@ -110,65 +129,98 @@ class ActiveWindow:
 
         with Timer("active_window/all", frame.stamp_ns):
             # 0) scroll the volume if the camera approaches the grid boundary
+            # (origin cached on host — no device sync on the hot path)
             if not self._initialized_origin:
                 shape = np.asarray(vol_cfg.grid_shape)
                 origin = np.floor(
                     cam_pos / vol_cfg.voxel_size - shape / 2.0
                 ).astype(np.int32)
                 self.state = self.state._replace(origin=jnp.asarray(origin))
+                self._origin_np = origin
                 self._initialized_origin = True
-            elif av.needs_recenter(vol_cfg, self.state, cam_pos):
+            elif av.needs_recenter(vol_cfg, self.state, cam_pos, self._origin_np):
                 with Timer("active_window/scroll", frame.stamp_ns):
-                    shift = av.recenter_shift(vol_cfg, self.state, cam_pos)
+                    shift = av.recenter_shift(vol_cfg, self.state, cam_pos, self._origin_np)
                     out_mask = av.scroll_out_mask(self.state, shift)
                     self._emit_mesh(meshing.forced_emission_mask(self.state, out_mask))
                     self.state = av.scroll(vol_cfg, self.state, shift)
+                    self._origin_np = self._origin_np + np.asarray(shift, np.int32)
 
-            # 1) motion detection (uses pre-integration tracking state)
-            if self.motion_detector is not None:
-                with Timer("motion_detection/all", frame.stamp_ns):
-                    self.motion_detector.process(self.state, frame)
-            if frame.dynamic_image is None:
-                frame.dynamic_image = jnp.zeros(frame.depth.shape, jnp.int32)
-
-            # 2) object detection
-            if self.object_detector is not None:
-                with Timer("object_detection/all", frame.stamp_ns):
-                    self.object_detector.process(self.state, frame)
-            if frame.object_image is None:
-                frame.object_image = jnp.zeros(frame.depth.shape, jnp.int32)
-
-            # 3) tracking
-            finished_tracks = []
-            if self.tracker is not None:
-                with Timer("tracking/all", frame.stamp_ns):
-                    points_w = np.asarray(
-                        self.camera.vertex_image_world(frame.depth, frame.R_w_c, frame.t_w_c)
+            if self._fused_step is not None:
+                # 1-4 fused) detect + track-stats + integrate + archive in one
+                # device program. The packed stats pull is double-buffered:
+                # this frame's transfer overlaps the NEXT frame's device work;
+                # the tracker processes stats one frame behind (pure host
+                # bookkeeping — the dynamic-integration mask is applied on
+                # device inside the fused step, so map quality is unaffected).
+                with Timer("active_window/fused_step", frame.stamp_ns):
+                    self.state, dyn_img, obj_img, packed = self._fused_step(
+                        self.state,
+                        frame.depth,
+                        frame.color,
+                        frame.labels,
+                        frame.R_w_c,
+                        frame.t_w_c,
+                        jnp.float32(t_now),
                     )
-                    finished_tracks = self.tracker.process(frame, points_w)
-            self._pending_tracks.extend(finished_tracks)
+                    frame.dynamic_image = dyn_img
+                    frame.object_image = obj_img
+                    try:
+                        packed.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                self._track_frame(frame, packed)
+            else:
+                # 1) motion detection (uses pre-integration tracking state)
+                if self.motion_detector is not None:
+                    with Timer("motion_detection/all", frame.stamp_ns):
+                        self.motion_detector.process(self.state, frame)
+                if frame.dynamic_image is None:
+                    frame.dynamic_image = jnp.zeros(frame.depth.shape, jnp.int32)
 
-            # 4) TSDF + tracking-layer integration (dynamic pixels masked out)
-            with Timer("integration/all", frame.stamp_ns):
-                mask = frame.dynamic_image > 0
-                self.state = av.integrate_frame(
-                    vol_cfg,
-                    self.camera,
-                    self.state,
-                    frame.depth,
-                    frame.color,
-                    frame.labels,
-                    mask,
-                    frame.R_w_c,
-                    frame.t_w_c,
-                    jnp.float32(t_now),
-                )
-                self.state = av.update_archival(vol_cfg, self.state, t_now)
+                # 2) object detection
+                if self.object_detector is not None:
+                    with Timer("object_detection/all", frame.stamp_ns):
+                        self.object_detector.process(self.state, frame)
+                if frame.object_image is None:
+                    frame.object_image = jnp.zeros(frame.depth.shape, jnp.int32)
 
-            # 5) frame buffer
+                # 3) tracking
+                finished_tracks = []
+                if self.tracker is not None:
+                    with Timer("tracking/all", frame.stamp_ns):
+                        points_w = np.asarray(
+                            self.camera.vertex_image_world(frame.depth, frame.R_w_c, frame.t_w_c)
+                        )
+                        finished_tracks = self.tracker.process(frame, points_w)
+                self._pending_tracks.extend(finished_tracks)
+
+                # 4) TSDF + tracking-layer integration (dynamic masked out)
+                with Timer("integration/all", frame.stamp_ns):
+                    mask = frame.dynamic_image > 0
+                    self.state = av.integrate_frame(
+                        vol_cfg,
+                        self.camera,
+                        self.state,
+                        frame.depth,
+                        frame.color,
+                        frame.labels,
+                        mask,
+                        frame.R_w_c,
+                        frame.t_w_c,
+                        jnp.float32(t_now),
+                    )
+                    self.state = av.update_archival(vol_cfg, self.state, t_now)
+
+            # 5) frame buffer. Frames not yet seen by the (one-frame-lagged)
+            # tracker must survive the trim.
             self.frame_buffer.store(frame)
             if self.tracker is not None:
-                self.frame_buffer.trim(self.tracker.referenced_stamps())
+                referenced = set(self.tracker.referenced_stamps())
+                referenced.add(frame.stamp_ns)
+                if self._pending_track_frame is not None:
+                    referenced.add(self._pending_track_frame[0].stamp_ns)
+                self.frame_buffer.trim(referenced)
 
             self.frame_count += 1
 
@@ -180,8 +232,33 @@ class ActiveWindow:
         return None
 
     # ------------------------------------------------------------------
+    def _track_frame(self, frame: FrameData, packed) -> None:
+        """Queue (frame, packed stats); run the tracker on the PREVIOUS
+        frame's stats so the device->host transfer overlaps device compute."""
+        prev = self._pending_track_frame
+        self._pending_track_frame = (frame, packed)
+        if prev is not None:
+            self._run_tracker(*prev)
+
+    def _run_tracker(self, frame: FrameData, packed) -> None:
+        dyn_c, sem_c, dyn_p, sem_p = self._unpack_stats(np.asarray(packed))
+        frame.dynamic_clusters = dyn_c
+        frame.semantic_clusters = sem_c
+        if self.tracker is not None:
+            with Timer("tracking/all", frame.stamp_ns):
+                finished = self.tracker.process(frame, cluster_points=(dyn_p, sem_p))
+            self._pending_tracks.extend(finished)
+
+    def _flush_tracker_queue(self) -> None:
+        pending = self._pending_track_frame
+        if pending is not None:
+            self._pending_track_frame = None
+            self._run_tracker(*pending)
+
+    # ------------------------------------------------------------------
     def finish_mapping(self, frame: Optional[FrameData] = None) -> ActiveWindowOutput:
         """Deactivate everything and flush (finishMapping, cpp:176-189)."""
+        self._flush_tracker_queue()
         if self.tracker is not None:
             self._pending_tracks.extend(self.tracker.finish())
         self._emit_mesh(meshing.finish_emission_mask(self.state))
@@ -189,36 +266,37 @@ class ActiveWindow:
         stamp = last.stamp_ns if last is not None else 0
         R = np.asarray(last.R_w_c) if last is not None else np.eye(3, dtype=np.float32)
         t = np.asarray(last.t_w_c) if last is not None else np.zeros(3, np.float32)
-        return self._build_output(stamp, R, t)
+        return self._build_output(stamp, R, t, flush_async=True)
 
     # ------------------------------------------------------------------
     def _extract_output(self, frame: FrameData) -> ActiveWindowOutput:
-        self._emit_mesh(meshing.archived_emission_mask(self.state))
+        # async single round: leftover cells stay unmeshed and re-emit at the
+        # next output; the buffer transfer overlaps upcoming frame compute
+        self._emit_mesh(meshing.archived_emission_mask(self.state), drain=False)
         return self._build_output(
             frame.stamp_ns, np.asarray(frame.R_w_c), np.asarray(frame.t_w_c)
         )
 
-    def _emit_mesh(self, emit_mask) -> None:
-        """Drain all cells wanting emission into the pending mesh list.
+    def _emit_mesh(self, emit_mask, drain: bool = True) -> None:
+        """Emit surface cells into the pending mesh list.
 
-        Overflow rounds re-derive the remaining set from the original mask
-        minus the cells marked meshed so far (any mask kind works)."""
+        drain=True loops until every cell in the (recomputed) mask is out —
+        used on scroll-out and finish where the data is about to be dropped.
+        drain=False dispatches ONE device round and defers the host pull
+        (consumed in _build_output); leftover cells re-emit next output."""
         vol_cfg = self.config.volumetric_map
+        if not drain:
+            self.state, packed_dev = meshing.extract_mesh_async(
+                self.state, emit_mask, vol_cfg, max_cells=self.config.mesh_max_cells
+            )
+            self._pending_mesh_dev.append(packed_dev)
+            return
         rounds = 0
         while True:
             self.state, tris, n_rem = meshing.extract_mesh(
                 vol_cfg, self.state, emit_mask, max_cells=self.config.mesh_max_cells
             )
-            if len(tris["vertices"]):
-                self._pending_mesh.append(
-                    dict(
-                        mesh_vertices=tris["vertices"],
-                        mesh_colors=tris["colors"],
-                        mesh_first_ns=(tris["first_obs"] * 1e9).astype(np.int64),
-                        mesh_last_ns=(tris["last_obs"] * 1e9).astype(np.int64),
-                        mesh_labels=tris["labels"],
-                    )
-                )
+            self._append_mesh_delta(tris)
             if n_rem == 0:
                 return
             rounds += 1
@@ -227,7 +305,28 @@ class ActiveWindow:
             meshed = self.state.cell_meshed[:-1, :-1, :-1]
             emit_mask = emit_mask & ~meshed
 
-    def _build_output(self, stamp_ns, R, t) -> ActiveWindowOutput:
+    def _append_mesh_delta(self, tris) -> None:
+        if len(tris["vertices"]):
+            self._pending_mesh.append(
+                dict(
+                    mesh_vertices=tris["vertices"],
+                    mesh_colors=tris["colors"],
+                    mesh_first_ns=(tris["first_obs"] * 1e9).astype(np.int64),
+                    mesh_last_ns=(tris["last_obs"] * 1e9).astype(np.int64),
+                    mesh_labels=tris["labels"],
+                )
+            )
+
+    def _build_output(self, stamp_ns, R, t, flush_async: bool = False) -> ActiveWindowOutput:
+        # Collect deferred async emission buffers. Buffers dispatched in THIS
+        # output are left in flight (their transfer overlaps the next frames)
+        # unless flush_async (finish) — so each pull is a cheap cache hit.
+        keep = [] if flush_async else self._pending_mesh_dev[-1:]
+        consume = self._pending_mesh_dev if flush_async else self._pending_mesh_dev[:-1]
+        for packed_dev in consume:
+            tris, _ = meshing.unpack_mesh(np.asarray(packed_dev))
+            self._append_mesh_delta(tris)
+        self._pending_mesh_dev = keep
         # merge pending mesh deltas
         if self._pending_mesh:
             delta = {

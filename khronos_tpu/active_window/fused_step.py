@@ -1,0 +1,264 @@
+"""Fused per-frame device program: the whole active-window hot path in ONE jit.
+
+Motivation (measured on the axon TPU tunnel): every device->host pull costs
+~30 ms latency + ~30 MB/s, so the per-stage pulls of the modular path
+(detector stats, vertex images, id images) dominate the frame time by 10-100x.
+This program fuses motion detection, object detection, TSDF+tracking
+integration, and archival into a single compiled step whose only outputs are
+the new volume state (stays on device), the id images (stay on device for the
+frame buffer / object extraction), and ONE packed float32 stats vector that
+the host pulls per frame for the tracker:
+
+  packed layout (float32):
+    [0                 : MC*DYN_F]        dynamic cluster stats (DYN_F=12):
+                                          centroid xyz, bbox min/max, pixels,
+                                          voxels, valid, pad
+    [MC*DYN_F          : +MC*SEM_F]       semantic cluster stats (SEM_F=12):
+                                          centroid xyz, bbox min/max, pixels,
+                                          category, valid, pad
+    [...               : +MC*K*3]         dynamic cluster point subsamples
+    [...               : +MC*K*3]         semantic cluster point subsamples
+
+This is the SURVEY.md §2.7 design realized: "AW step = one compiled pjit
+program per frame"; the reference's per-stage thread pools become kernel
+width inside one XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from khronos_tpu.active_window.motion_detection import (
+    FreeSpaceMotionDetectorConfig,
+    MeasurementCluster,
+)
+from khronos_tpu.active_window.object_detection import (
+    ConnectedSemanticsConfig,
+    LabelSpace,
+)
+from khronos_tpu.geometry.camera import Camera
+from khronos_tpu.map import active_volume as av
+from khronos_tpu.ops import clusters as cl
+from khronos_tpu.ops.dense import (
+    dilate,
+    max_pool3,
+    propagate_labels_3d,
+    propagate_labels_keyed_3d,
+)
+
+MC = 32  # max clusters per frame per kind
+K_SAMPLES = 64  # point subsamples per cluster
+DYN_F = 12
+SEM_F = 12
+
+
+def _lin_iota(shape):
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0) * (shape[1] * shape[2])
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1) * shape[2]
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    )
+
+
+def make_frame_step(
+    vol_cfg: av.VolumeConfig,
+    camera: Camera,
+    md_cfg: FreeSpaceMotionDetectorConfig,
+    od_cfg: ConnectedSemanticsConfig,
+    label_space: LabelSpace,
+    donate: bool = True,
+):
+    """Build the fused jitted step:
+    step(state, depth, color, labels, R, t, t_now)
+      -> (state', dynamic_image, object_image, packed_stats)."""
+    is_object_lut = jnp.asarray(label_space.is_object_lut())
+    shape = tuple(vol_cfg.grid_shape)
+    md_enabled = md_cfg is not None
+    od_enabled = od_cfg is not None
+    merge_dilation = max(0, (md_cfg.min_separation_distance - 1) if md_enabled else 0)
+
+    def step(state, depth, color, labels, R_w_c, t_w_c, t_now):
+        H, W = depth.shape
+        points_w = camera.vertex_image_world(depth, R_w_c, t_w_c)
+        max_r = min(camera.max_range, md_cfg.max_range if md_enabled else camera.max_range)
+        valid = (depth > camera.min_range) & (depth <= max_r)
+
+        idx = jnp.floor(points_w / vol_cfg.voxel_size).astype(jnp.int32) - state.origin
+        in_grid = ((idx >= 0) & (idx < jnp.asarray(shape, jnp.int32))).all(-1) & valid
+        ci = jnp.where(in_grid, idx[..., 0], 0)
+        cj = jnp.where(in_grid, idx[..., 1], 0)
+        ck = jnp.where(in_grid, idx[..., 2], 0)
+        lin = _lin_iota(shape)
+
+        # ---------------- motion detection ----------------
+        if md_enabled:
+            scan = jnp.zeros(shape, jnp.bool_).at[ci, cj, ck].max(in_grid)
+            seeds = scan & state.ever_free
+            growable = dilate(seeds, merge_dilation) if merge_dilation > 0 else seeds
+            mlab = propagate_labels_3d(
+                jnp.where(seeds, lin, -1), growable, md_cfg.grow_iterations
+            )
+            spread = max_pool3(mlab)
+            mlab = jnp.where(mlab >= 0, mlab, jnp.where(scan, spread, -1))
+            mlab = jnp.where(scan, mlab, -1)
+            pix_dyn_raw = jnp.where(in_grid, mlab[ci, cj, ck], -1)
+            zko = points_w[..., 2] >= md_cfg.min_z
+            pix_dyn_raw = jnp.where(zko, pix_dyn_raw, -1)
+            dyn_compact = cl.compact_labels(pix_dyn_raw, MC)
+            d_counts, d_sums, d_bmin, d_bmax = cl.cluster_stats(
+                dyn_compact, points_w, max_clusters=MC
+            )
+            # voxel counts from pixel (cluster, voxel) keys — avoids a 1M sort
+            vox_lin = (ci * shape[1] + cj) * shape[2] + ck
+            d_vox = cl.cluster_voxel_counts(dyn_compact, vox_lin, MC)
+            d_keep = (d_counts >= md_cfg.min_cluster_size) & (
+                d_counts <= md_cfg.max_cluster_size
+            )
+            dynamic_image, d_ids = cl.filter_and_renumber(dyn_compact, d_keep)
+            d_pts, _ = cl.cluster_point_samples(dyn_compact, points_w, K_SAMPLES, MC)
+        else:
+            dynamic_image = jnp.zeros((H, W), jnp.int32)
+            d_counts = jnp.zeros((MC,), jnp.int32)
+            d_vox = jnp.zeros((MC,), jnp.int32)
+            d_sums = jnp.zeros((MC, 3))
+            d_bmin = jnp.zeros((MC, 3))
+            d_bmax = jnp.zeros((MC, 3))
+            d_keep = jnp.zeros((MC,), jnp.bool_)
+            d_ids = jnp.zeros((MC,), jnp.int32)
+            d_pts = jnp.zeros((MC, K_SAMPLES, 3))
+
+        # ---------------- object detection (3D keyed CC) ----------------
+        if od_enabled:
+            safe_lab = jnp.clip(labels, 0, is_object_lut.shape[0] - 1)
+            pix_class = jnp.where((labels >= 0) & is_object_lut[safe_lab], labels, -1)
+            ok = in_grid & (pix_class >= 0)
+            oci = jnp.where(ok, ci, 0)
+            ocj = jnp.where(ok, cj, 0)
+            ock = jnp.where(ok, ck, 0)
+            vclass = jnp.full(shape, -1, jnp.int32).at[oci, ocj, ock].max(
+                jnp.where(ok, pix_class, -1)
+            )
+            ogrow = vclass >= 0
+            olab = propagate_labels_keyed_3d(
+                jnp.where(ogrow, lin, -1), vclass, ogrow, od_cfg.grow_iterations
+            )
+            pix_sem_raw = jnp.where(
+                ok & (vclass[oci, ocj, ock] == pix_class), olab[oci, ocj, ock], -1
+            )
+            sem_compact = cl.compact_labels(pix_sem_raw, MC)
+            s_counts, s_sums, s_bmin, s_bmax, s_cat = cl.cluster_stats(
+                sem_compact, points_w, extra=pix_class, max_clusters=MC
+            )
+            s_keep = s_counts >= od_cfg.min_cluster_size
+            object_image, s_ids = cl.filter_and_renumber(sem_compact, s_keep)
+            s_pts, _ = cl.cluster_point_samples(sem_compact, points_w, K_SAMPLES, MC)
+        else:
+            object_image = jnp.zeros((H, W), jnp.int32)
+            s_counts = jnp.zeros((MC,), jnp.int32)
+            s_sums = jnp.zeros((MC, 3))
+            s_bmin = jnp.zeros((MC, 3))
+            s_bmax = jnp.zeros((MC, 3))
+            s_cat = jnp.full((MC,), -1, jnp.int32)
+            s_keep = jnp.zeros((MC,), jnp.bool_)
+            s_ids = jnp.zeros((MC,), jnp.int32)
+            s_pts = jnp.zeros((MC, K_SAMPLES, 3))
+
+        # ---------------- integrate + archival ----------------
+        state = av.integrate_frame(
+            vol_cfg, camera, state, depth, color, labels,
+            dynamic_image > 0, R_w_c, t_w_c, t_now,
+        )
+        state = av.update_archival(vol_cfg, state, t_now)
+
+        # ---------------- pack stats ----------------
+        f32 = jnp.float32
+        d_stats = jnp.concatenate(
+            [
+                d_sums.astype(f32),
+                d_bmin.astype(f32),
+                d_bmax.astype(f32),
+                d_counts.astype(f32)[:, None],
+                d_vox.astype(f32)[:, None],
+                d_ids.astype(f32)[:, None],
+            ],
+            axis=1,
+        )  # [MC, 12]
+        s_stats = jnp.concatenate(
+            [
+                s_sums.astype(f32),
+                s_bmin.astype(f32),
+                s_bmax.astype(f32),
+                s_counts.astype(f32)[:, None],
+                s_cat.astype(f32)[:, None],
+                s_ids.astype(f32)[:, None],
+            ],
+            axis=1,
+        )
+        packed = jnp.concatenate(
+            [
+                d_stats.reshape(-1),
+                s_stats.reshape(-1),
+                d_pts.astype(f32).reshape(-1),
+                s_pts.astype(f32).reshape(-1),
+            ]
+        )
+        return state, dynamic_image, object_image, packed
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def unpack_stats(packed: np.ndarray):
+    """Host-side unpack -> (dyn_clusters, sem_clusters, dyn_points, sem_points).
+
+    Cluster lists contain MeasurementCluster for valid (renumbered id > 0)
+    entries; points dict maps output id -> [K, 3] subsample."""
+    off = 0
+    d_stats = packed[off : off + MC * DYN_F].reshape(MC, DYN_F)
+    off += MC * DYN_F
+    s_stats = packed[off : off + MC * SEM_F].reshape(MC, SEM_F)
+    off += MC * SEM_F
+    d_pts = packed[off : off + MC * K_SAMPLES * 3].reshape(MC, K_SAMPLES, 3)
+    off += MC * K_SAMPLES * 3
+    s_pts = packed[off : off + MC * K_SAMPLES * 3].reshape(MC, K_SAMPLES, 3)
+
+    dyn_clusters, sem_clusters = [], []
+    dyn_points, sem_points = {}, {}
+    for k in range(MC):
+        out_id = int(d_stats[k, 11])
+        if out_id > 0:
+            n = max(int(d_stats[k, 9]), 1)
+            dyn_clusters.append(
+                MeasurementCluster(
+                    cluster_id=out_id,
+                    num_pixels=int(d_stats[k, 9]),
+                    num_voxels=int(d_stats[k, 10]),
+                    centroid=d_stats[k, 0:3] / n,
+                    bbox_min=d_stats[k, 3:6],
+                    bbox_max=d_stats[k, 6:9],
+                )
+            )
+            npts = min(int(d_stats[k, 9]), K_SAMPLES)
+            dyn_points[out_id] = d_pts[k, :npts]
+        out_id = int(s_stats[k, 11])
+        if out_id > 0:
+            n = max(int(s_stats[k, 9]), 1)
+            sem_clusters.append(
+                MeasurementCluster(
+                    cluster_id=out_id,
+                    num_pixels=int(s_stats[k, 9]),
+                    num_voxels=0,
+                    centroid=s_stats[k, 0:3] / n,
+                    bbox_min=s_stats[k, 3:6],
+                    bbox_max=s_stats[k, 6:9],
+                    category_id=int(s_stats[k, 10]),
+                )
+            )
+            npts = min(int(s_stats[k, 9]), K_SAMPLES)
+            sem_points[out_id] = s_pts[k, :npts]
+    return dyn_clusters, sem_clusters, dyn_points, sem_points

@@ -133,14 +133,11 @@ def _detect_device(
     bb_max = jax.ops.segment_max(
         jnp.where((flat >= 0)[:, None], pts, -jnp.inf), seg, num_segments=MAX_CLUSTERS + 1
     )[:-1]
-    # voxel counts per compact id
-    vox_flat = jnp.where(scan, labels, -1).reshape(-1)
-    vpos = jnp.clip(jnp.searchsorted(reals, vox_flat), 0, MAX_CLUSTERS - 1)
-    vhit = (vox_flat >= 0) & (reals[vpos] == vox_flat)
-    vseg = jnp.where(vhit, vpos, MAX_CLUSTERS)
-    vox_counts = jax.ops.segment_sum(
-        jnp.ones_like(vseg), vseg, num_segments=MAX_CLUSTERS + 1
-    )[:-1]
+    # voxel counts from pixel (cluster, voxel) keys (see ops.clusters)
+    from khronos_tpu.ops.clusters import cluster_voxel_counts
+
+    vox_lin = (ci * shape[1] + cj) * shape[2] + ck
+    vox_counts = cluster_voxel_counts(compact, vox_lin, MAX_CLUSTERS)
 
     return compact, pix_counts, vox_counts, sums, bb_min, bb_max
 

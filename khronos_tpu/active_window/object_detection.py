@@ -53,7 +53,7 @@ class ConnectedSemanticsConfig:
     use_full_connectivity: bool = True  # 2D mode connectivity
     grid_size: float = 0.1  # m; 3D binning resolution (uHumans2.yaml:65)
     max_range: float = 5.0
-    grow_iterations: int = 32
+    grow_iterations: int = 20
 
     def check(self):
         check_gt(self.min_cluster_size, 0, "min_cluster_size")

@@ -122,10 +122,14 @@ def _reconstruct_device(
     return tsdf, w, conf
 
 
+MAX_OBJ_TRIS = 4096
+
+
 @functools.partial(jax.jit, static_argnames=("G",))
 def _mesh_small_grid(tsdf, weight, origin, voxel, G: int):
-    """Marching tetrahedra over ALL cells of a small grid (no compaction —
-    host filters by the validity mask). Returns [C*12, 3, 3] verts + valid."""
+    """Marching tetrahedra over ALL cells of a small grid, compacted on
+    device to MAX_OBJ_TRIS (one small host transfer instead of ~50 MB).
+    Returns packed [MAX_OBJ_TRIS + 1, 9]; last row [0] = triangle count."""
     C = G - 1
     off = jnp.asarray(CORNER_OFFSETS)
     ii = jax.lax.broadcasted_iota(jnp.int32, (C, C, C), 0).reshape(-1)[:, None] + off[None, :, 0]
@@ -162,7 +166,12 @@ def _mesh_small_grid(tsdf, weight, origin, voxel, G: int):
     pos_p = pos[c_idx, gc_p]
     pos_q = pos[c_idx, gc_q]
     verts = pos_p + t_int * (pos_q - pos_p)
-    return verts.reshape(N * 12, 3, 3), tri_valid.reshape(N * 12)
+    flat_valid = tri_valid.reshape(N * 12)
+    order = jnp.argsort(~flat_valid, stable=True)[:MAX_OBJ_TRIS]
+    packed = verts.reshape(N * 12, 9)[order]
+    n = jnp.minimum(jnp.sum(flat_valid.astype(jnp.int32)), MAX_OBJ_TRIS)
+    meta = jnp.zeros((1, 9), jnp.float32).at[0, 0].set(n.astype(jnp.float32))
+    return jnp.concatenate([packed, meta], axis=0)
 
 
 class MeshObjectExtractor:
@@ -258,22 +267,29 @@ class MeshObjectExtractor:
 
         K = cfg.max_frames
         H, W = cam.height, cam.width
-        depths = np.zeros((K, H, W), np.float32)
-        fgs = np.zeros((K, H, W), np.bool_)
+        # stack directly from device-resident buffered frames (no host pulls)
+        zero_depth = jnp.zeros((H, W), jnp.float32)
+        zero_fg = jnp.zeros((H, W), jnp.bool_)
+        depth_list, fg_list = [], []
         Rs = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
         ts = np.zeros((K, 3), np.float32)
         ok = np.zeros((K,), np.bool_)
-        for k, o in enumerate(obs):
-            fd = frame_buffer.get(o.stamp_ns)
-            depths[k] = np.asarray(fd.depth)
-            fgs[k] = np.asarray(fd.object_image) == o.semantic_cluster_id
-            Rs[k] = np.asarray(fd.R_w_c)
-            ts[k] = np.asarray(fd.t_w_c)
-            ok[k] = True
+        for k in range(K):
+            if k < len(obs):
+                o = obs[k]
+                fd = frame_buffer.get(o.stamp_ns)
+                depth_list.append(fd.depth)
+                fg_list.append(fd.object_image == o.semantic_cluster_id)
+                Rs[k] = np.asarray(fd.R_w_c)
+                ts[k] = np.asarray(fd.t_w_c)
+                ok[k] = True
+            else:
+                depth_list.append(zero_depth)
+                fg_list.append(zero_fg)
 
         tsdf, weight, conf = _reconstruct_device(
-            jnp.asarray(depths),
-            jnp.asarray(fgs),
+            jnp.stack(depth_list),
+            jnp.stack(fg_list),
             jnp.asarray(ok),
             jnp.asarray(Rs),
             jnp.asarray(ts),
@@ -287,8 +303,11 @@ class MeshObjectExtractor:
         keep = conf >= cfg.min_object_reconstruction_confidence
         weight = jnp.where(keep, weight, 0.0)
 
-        verts, valid = _mesh_small_grid(tsdf, weight, jnp.asarray(origin, jnp.float32), jnp.float32(voxel), G)
-        verts = np.asarray(verts)[np.asarray(valid)]
+        packed = np.asarray(
+            _mesh_small_grid(tsdf, weight, jnp.asarray(origin, jnp.float32), jnp.float32(voxel), G)
+        )
+        n = int(packed[-1, 0])
+        verts = packed[:n].reshape(-1, 3, 3)
         if len(verts) == 0:
             return None if cfg.only_extract_reconstructed_objects else self._bbox_only(track, bbox_min, bbox_max)
 

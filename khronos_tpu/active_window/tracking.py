@@ -123,19 +123,26 @@ class MaxIouTracker:
         self._next_id = 1
 
     # ------------------------------------------------------------------
-    def process(self, frame, points_w: np.ndarray) -> List[Track]:
+    def process(self, frame, points_w: np.ndarray = None, cluster_points=None) -> List[Track]:
         """Associate this frame's clusters with tracks; returns tracks that
         just went inactive (ready for object extraction).
 
-        points_w: [H, W, 3] numpy world-frame vertex image of this frame.
+        Either points_w ([H, W, 3] numpy vertex image; per-cluster points are
+        pulled from the id images) or cluster_points ((dyn_points, sem_points)
+        dicts id -> [K, 3] device-subsampled points from the fused step — the
+        zero-image-pull fast path) must be provided.
         """
         cfg = self.config
         stamp_ns = frame.stamp_ns
-        dyn_img = np.asarray(frame.dynamic_image) if frame.dynamic_image is not None else None
-        obj_img = np.asarray(frame.object_image) if frame.object_image is not None else None
-
-        dyn_data = self._cluster_geometry(dyn_img, frame.dynamic_clusters, points_w)
-        sem_data = self._cluster_geometry(obj_img, frame.semantic_clusters, points_w)
+        if cluster_points is not None:
+            dyn_pts, sem_pts = cluster_points
+            dyn_data = self._cluster_geometry_from_points(frame.dynamic_clusters, dyn_pts)
+            sem_data = self._cluster_geometry_from_points(frame.semantic_clusters, sem_pts)
+        else:
+            dyn_img = np.asarray(frame.dynamic_image) if frame.dynamic_image is not None else None
+            obj_img = np.asarray(frame.object_image) if frame.object_image is not None else None
+            dyn_data = self._cluster_geometry(dyn_img, frame.dynamic_clusters, points_w)
+            sem_data = self._cluster_geometry(obj_img, frame.semantic_clusters, points_w)
 
         # 1) dynamic clusters <-> dynamic tracks by nearest centroid
         assigned_dyn_tracks: Dict[int, int] = {}  # cluster_id -> track idx
@@ -252,6 +259,15 @@ class MaxIouTracker:
             if len(pts) > self.config.max_track_points:
                 sel = np.linspace(0, len(pts) - 1, self.config.max_track_points).astype(int)
                 pts = pts[sel]
+            vox = encode_voxels(pts, self.config.voxel_size)
+            out[c.cluster_id] = (vox, pts, c.bbox_min, c.bbox_max, c.centroid)
+        return out
+
+    def _cluster_geometry_from_points(self, clusters, points_by_id):
+        """Cluster geometry from device-subsampled points (fused path)."""
+        out = {}
+        for c in clusters:
+            pts = np.asarray(points_by_id.get(c.cluster_id, np.zeros((0, 3))))
             vox = encode_voxels(pts, self.config.voxel_size)
             out[c.cluster_id] = (vox, pts, c.bbox_min, c.bbox_max, c.centroid)
         return out

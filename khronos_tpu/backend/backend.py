@@ -73,7 +73,9 @@ class Backend:
         self.config = config
         self.graph = fg.FactorGraphData()
         self.deformation = DeformationGraph(config.deformation)
-        self.mesh_acc = MeshAccumulator(resolution=config.mesh_resolution)
+        from khronos_tpu.native import make_mesh_accumulator
+
+        self.mesh_acc = make_mesh_accumulator(config.mesh_resolution)
         self.objects: Dict[int, KhronosObject] = {}  # raw odometry-frame objects
         self.agents: List[AgentNode] = []  # raw odometry-frame agent nodes
         self.agent_keys: List[int] = []  # graph node id per agent

@@ -59,7 +59,7 @@ class VolumeConfig:
     # tsdf < +1.5 * voxel_size", i.e. the whole near-surface shell counts as
     # occupied so it can never seed ever-free space.
     tsdf_occupancy_threshold: float = -1.5
-    recenter_margin: float = 2.0  # m camera-to-center slack before scrolling
+    recenter_margin: float = 3.0  # m camera-to-center slack before scrolling
 
     def check(self):
         check_gt(self.voxel_size, 0.0, "voxel_size")
@@ -185,10 +185,22 @@ def integrate_frame(
     ui = jnp.clip(jnp.round(u - 0.5).astype(jnp.int32), 0, camera.width - 1)
     vi = jnp.clip(jnp.round(v - 0.5).astype(jnp.int32), 0, camera.height - 1)
 
-    d = depth[vi, ui]
-    pix_color = color[vi, ui]
-    pix_label = labels[vi, ui]
-    pix_excluded = exclusion_mask[vi, ui]
+    # ONE packed gather per voxel instead of four separate image gathers —
+    # random HBM gathers dominate this kernel's runtime on TPU.
+    packed_img = jnp.concatenate(
+        [
+            depth[..., None],
+            color,
+            labels.astype(jnp.float32)[..., None],
+            exclusion_mask.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )  # [H, W, 6]
+    pix = packed_img[vi, ui]
+    d = pix[..., 0]
+    pix_color = pix[..., 1:4]
+    pix_label = pix[..., 4].astype(jnp.int32)
+    pix_excluded = pix[..., 5] > 0.5
 
     valid_pix = in_img & (d > camera.min_range) & (d <= camera.max_range)
     # along-ray signed distance (projective): scale z-difference by range/z
@@ -260,50 +272,56 @@ def active_mask(config: VolumeConfig, state: VolumeState, t_now) -> jnp.ndarray:
     return (state.weight > 0.0) & (state.last_obs >= t_now - config.temporal_window)
 
 
-def needs_recenter(config: VolumeConfig, state: VolumeState, cam_pos: np.ndarray) -> bool:
-    """Host-side check: camera too far from grid center?"""
+def needs_recenter(
+    config: VolumeConfig, state: VolumeState, cam_pos: np.ndarray, origin_np=None
+) -> bool:
+    """Host-side check: camera too far from grid center? Pass origin_np (the
+    host-cached origin) to avoid a device->host sync on the hot path."""
     shape = np.asarray(state.tsdf.shape)
-    center = (np.asarray(state.origin) + shape / 2.0) * config.voxel_size
+    origin = origin_np if origin_np is not None else np.asarray(state.origin)
+    center = (origin + shape / 2.0) * config.voxel_size
     return bool(np.any(np.abs(np.asarray(cam_pos) - center) > config.recenter_margin))
 
 
-def recenter_shift(config: VolumeConfig, state: VolumeState, cam_pos: np.ndarray) -> np.ndarray:
+def recenter_shift(
+    config: VolumeConfig, state: VolumeState, cam_pos: np.ndarray, origin_np=None
+) -> np.ndarray:
     """Voxel shift that would center the grid on the camera."""
     shape = np.asarray(state.tsdf.shape)
+    origin = origin_np if origin_np is not None else np.asarray(state.origin)
     target_origin = np.floor(
         np.asarray(cam_pos) / config.voxel_size - shape / 2.0
     ).astype(np.int32)
-    return target_origin - np.asarray(state.origin)
+    return target_origin - origin
+
+
+@jax.jit
+def _scroll_out_mask_device(tsdf: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
+    X, Y, Z = tsdf.shape
+    masks = []
+    for axis, n in enumerate((X, Y, Z)):
+        idx = jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), axis)
+        s = shift[axis]
+        masks.append(jnp.where(s > 0, idx < s, idx >= n + s) & (s != 0))
+    return masks[0] | masks[1] | masks[2]
 
 
 def scroll_out_mask(state: VolumeState, shift: np.ndarray) -> jnp.ndarray:
     """Bool grid of voxels that will leave the volume when rolled by `shift`
     (mesh these before calling `scroll`)."""
-    X, Y, Z = state.tsdf.shape
-    masks = []
-    for axis, (n, s) in enumerate(zip((X, Y, Z), shift)):
-        idx = jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), axis)
-        s = int(s)
-        if s > 0:
-            masks.append(idx < s)
-        elif s < 0:
-            masks.append(idx >= n + s)
-        else:
-            masks.append(jnp.zeros((X, Y, Z), jnp.bool_))
-    return masks[0] | masks[1] | masks[2]
+    return _scroll_out_mask_device(state.tsdf, jnp.asarray(np.asarray(shift, np.int32)))
 
 
-def scroll(config: VolumeConfig, state: VolumeState, shift: np.ndarray) -> VolumeState:
-    """Shift the grid window by `shift` voxels (moving-volume scrolling);
-    newly exposed cells are reset to defaults."""
-    shift = np.asarray(shift, np.int32)
-    sx, sy, sz = (int(s) for s in shift)
+def _scroll_device(config: VolumeConfig, state: VolumeState, shift: jnp.ndarray) -> VolumeState:
+    """Jit-traced scroll body: shift is a TRACED int32[3] so every scroll
+    reuses one compiled program (a python-int shift would retrace per value)."""
+    sx, sy, sz = shift[0], shift[1], shift[2]
 
     def roll3(a):
         return jnp.roll(a, shift=(-sx, -sy, -sz), axis=(0, 1, 2))
 
     rolled = VolumeState(
-        origin=state.origin + jnp.asarray(shift),
+        origin=state.origin + shift,
         tsdf=roll3(state.tsdf),
         weight=roll3(state.weight),
         color=roll3(state.color),
@@ -321,13 +339,25 @@ def scroll(config: VolumeConfig, state: VolumeState, shift: np.ndarray) -> Volum
     fresh = []
     for axis, (n, s) in enumerate(zip((X, Y, Z), (sx, sy, sz))):
         idx = jax.lax.broadcasted_iota(jnp.int32, (X, Y, Z), axis)
-        if s > 0:
-            fresh.append(idx >= n - s)
-        elif s < 0:
-            fresh.append(idx < -s)
-        else:
-            fresh.append(jnp.zeros((X, Y, Z), jnp.bool_))
+        fresh.append(jnp.where(s > 0, idx >= n - s, idx < -s))
     fresh_mask = fresh[0] | fresh[1] | fresh[2]
     out = _reset_values(config, rolled, fresh_mask)
     # cells adjacent to the wrap seam must also re-mesh
     return out._replace(cell_meshed=jnp.where(any_pool3(fresh_mask), False, out.cell_meshed))
+
+
+_scroll_cache = {}
+
+
+def scroll(config: VolumeConfig, state: VolumeState, shift: np.ndarray) -> VolumeState:
+    """Shift the grid window by `shift` voxels (moving-volume scrolling);
+    newly exposed cells are reset to defaults. One compiled program per
+    volume configuration (shift is traced)."""
+    import functools
+
+    key = (tuple(config.grid_shape), config.voxel_size, config.truncation_distance)
+    fn = _scroll_cache.get(key)
+    if fn is None:
+        fn = jax.jit(functools.partial(_scroll_device, config))
+        _scroll_cache[key] = fn
+    return fn(state, jnp.asarray(np.asarray(shift, np.int32)))

@@ -104,6 +104,7 @@ def cell_validity(state: VolumeState) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return valid, crossing
 
 
+@jax.jit
 def archived_emission_mask(state: VolumeState) -> jnp.ndarray:
     """Cells ready for one-time emission: fully archived, unmeshed, on-surface."""
     valid, crossing = cell_validity(state)
@@ -112,6 +113,7 @@ def archived_emission_mask(state: VolumeState) -> jnp.ndarray:
     return valid & crossing & arch & ~meshed
 
 
+@jax.jit
 def forced_emission_mask(state: VolumeState, force: jnp.ndarray) -> jnp.ndarray:
     """Cells to emit because voxels in `force` (bool voxel grid) are about to
     be dropped (scroll-out) — any corner forced."""
@@ -121,6 +123,7 @@ def forced_emission_mask(state: VolumeState, force: jnp.ndarray) -> jnp.ndarray:
     return valid & crossing & f & ~meshed
 
 
+@jax.jit
 def finish_emission_mask(state: VolumeState) -> jnp.ndarray:
     """Everything still unmeshed with a surface (finishMapping flush)."""
     valid, crossing = cell_validity(state)
@@ -128,9 +131,13 @@ def finish_emission_mask(state: VolumeState) -> jnp.ndarray:
     return valid & crossing & ~meshed
 
 
-@functools.partial(jax.jit, static_argnames=("max_cells", "voxel_size"))
+@functools.partial(jax.jit, static_argnames=("max_cells", "voxel_size", "tri_capacity"))
 def _extract_device(
-    state: VolumeState, emit_mask: jnp.ndarray, voxel_size: float, max_cells: int
+    state: VolumeState,
+    emit_mask: jnp.ndarray,
+    voxel_size: float,
+    max_cells: int,
+    tri_capacity: int,
 ):
     X, Y, Z = state.tsdf.shape
     CX, CY, CZ = X - 1, Y - 1, Z - 1
@@ -140,11 +147,6 @@ def _extract_device(
     taken = cell_ids >= 0
     safe_ids = jnp.maximum(cell_ids, 0)
     ci, cj, ck = jnp.unravel_index(safe_ids, (CX, CY, CZ))
-
-    # mark emitted cells as meshed
-    cell_meshed = state.cell_meshed.at[ci, cj, ck].set(
-        jnp.where(taken, True, state.cell_meshed[ci, cj, ck])
-    )
 
     # gather 8 corner values per taken cell: [C, 8]
     off = jnp.asarray(CORNER_OFFSETS)  # [8,3]
@@ -214,18 +216,39 @@ def _extract_device(
     lab_q = corner_gather(label, gc_q)
     vlabel = jnp.where(t_interp[..., 0] < 0.5, lab_p, lab_q)
 
-    return (
-        cell_meshed,
-        n_want,
-        {
-            "vertices": verts.reshape(C * 12, 3, 3),
-            "colors": vcolor.reshape(C * 12, 3, 3),
-            "first_obs": vfirst.reshape(C * 12, 3),
-            "last_obs": vlast.reshape(C * 12, 3),
-            "labels": vlabel.reshape(C * 12, 3),
-            "valid": tri_valid.reshape(C * 12),
-        },
+    # ---- device-side compaction to tri_capacity (transfer reduction) ----
+    # Cells whose triangles don't fit are NOT marked meshed (they re-emit in
+    # the next round), so the cap never loses geometry.
+    valid_flat = tri_valid.reshape(C, 12)
+    counts = valid_flat.sum(axis=1)
+    fits = jnp.cumsum(counts) <= tri_capacity  # per taken-cell
+    done = taken & fits
+    cell_meshed = state.cell_meshed.at[ci, cj, ck].set(
+        jnp.where(done, True, state.cell_meshed[ci, cj, ck])
     )
+    n_emitted = jnp.sum(done.astype(jnp.int32))
+
+    kept = (valid_flat & done[:, None]).reshape(C * 12)
+    order = jnp.argsort(~kept, stable=True)[:tri_capacity]
+    n_tris = jnp.sum(kept.astype(jnp.int32))
+    # single packed buffer -> ONE host transfer per emission round:
+    # [T, 27] = verts(9) colors(9) first(3) last(3) labels(3); one extra row
+    # carries (n_tris, n_want, n_emitted).
+    packed = jnp.concatenate(
+        [
+            verts.reshape(C * 12, 9)[order],
+            vcolor.reshape(C * 12, 9)[order],
+            vfirst.reshape(C * 12, 3)[order],
+            vlast.reshape(C * 12, 3)[order],
+            vlabel.reshape(C * 12, 3)[order].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    meta = jnp.zeros((1, 27), jnp.float32)
+    meta = meta.at[0, 0].set(n_tris.astype(jnp.float32))
+    meta = meta.at[0, 1].set(n_want.astype(jnp.float32))
+    meta = meta.at[0, 2].set(n_emitted.astype(jnp.float32))
+    return cell_meshed, jnp.concatenate([packed, meta], axis=0)
 
 
 def extract_mesh(
@@ -233,23 +256,50 @@ def extract_mesh(
     state: VolumeState,
     emit_mask: jnp.ndarray,
     max_cells: int = 16384,
+    tri_capacity: int = None,
 ):
     """One emission round. Returns (new_state, host mesh dict, n_remaining).
 
     Host mesh dict has compacted numpy arrays: vertices [T,3,3], colors,
     first_obs/last_obs [T,3], labels [T,3]. n_remaining > 0 means more cells
-    wanted emission than fit — call again with a recomputed mask.
+    wanted emission than fit (either the cell cap or the device triangle
+    capacity) — call again with a recomputed mask; unemitted cells keep their
+    cell_meshed flag clear.
     """
-    cell_meshed, n_want, tris = _extract_device(
-        state, emit_mask, config.voxel_size, max_cells
+    if tri_capacity is None:
+        tri_capacity = max(min(6 * max_cells, 16384), 1024)
+    state, packed_dev = extract_mesh_async(state, emit_mask, config, max_cells, tri_capacity)
+    out, n_remaining = unpack_mesh(np.asarray(packed_dev))
+    return state, out, n_remaining
+
+
+def extract_mesh_async(state, emit_mask, config, max_cells: int = 16384, tri_capacity: int = None):
+    """Device-side emission only: returns (state', packed device buffer).
+    Start the host transfer with copy_to_host_async and unpack later with
+    `unpack_mesh` — lets the mesh pull overlap subsequent frame compute."""
+    if tri_capacity is None:
+        tri_capacity = max(min(6 * max_cells, 16384), 1024)
+    cell_meshed, packed = _extract_device(
+        state, emit_mask, config.voxel_size, max_cells, tri_capacity
     )
-    valid = np.asarray(tris["valid"])
+    try:
+        packed.copy_to_host_async()
+    except AttributeError:
+        pass
+    return state._replace(cell_meshed=cell_meshed), packed
+
+
+def unpack_mesh(packed: np.ndarray):
+    """Packed emission buffer -> (mesh dict, n_remaining)."""
+    n = int(packed[-1, 0])
+    n_want = int(packed[-1, 1])
+    n_emitted = int(packed[-1, 2])
+    body = packed[:n]
     out = {
-        "vertices": np.asarray(tris["vertices"])[valid],
-        "colors": np.asarray(tris["colors"])[valid],
-        "first_obs": np.asarray(tris["first_obs"])[valid],
-        "last_obs": np.asarray(tris["last_obs"])[valid],
-        "labels": np.asarray(tris["labels"])[valid],
+        "vertices": body[:, 0:9].reshape(-1, 3, 3),
+        "colors": body[:, 9:18].reshape(-1, 3, 3),
+        "first_obs": body[:, 18:21],
+        "last_obs": body[:, 21:24],
+        "labels": body[:, 24:27].astype(np.int32),
     }
-    n_remaining = max(0, int(n_want) - max_cells)
-    return state._replace(cell_meshed=cell_meshed), out, n_remaining
+    return out, max(0, n_want - n_emitted)

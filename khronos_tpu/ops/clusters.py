@@ -1,0 +1,122 @@
+"""Cluster compaction, statistics, and point subsampling (device, fixed-shape).
+
+Shared by the motion/object detectors and the fused per-frame program: raw
+propagated labels -> compact ids -> segment-reduced stats -> renumbered id
+image -> per-cluster point subsamples. Everything returns fixed shapes so the
+whole frame step stays one compiled program with a single packed host pull.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def compact_labels(raw: jnp.ndarray, max_clusters: int) -> jnp.ndarray:
+    """Raw int labels (-1 = none) -> compact ids in [0, max_clusters), -1 none."""
+    flat = raw.reshape(-1)
+    uniq = jnp.unique(flat, size=max_clusters + 1, fill_value=-1)
+    sentinel = jnp.iinfo(jnp.int32).max
+    reals = jnp.sort(jnp.where(uniq >= 0, uniq, sentinel))
+    pos = jnp.clip(jnp.searchsorted(reals, raw), 0, max_clusters - 1)
+    hit = (raw >= 0) & (reals[pos] == raw)
+    return jnp.where(hit, pos, -1)
+
+
+def cluster_stats(
+    compact: jnp.ndarray,  # [H, W] ids in [0, MC) or -1
+    points_w: jnp.ndarray,  # [H, W, 3]
+    extra: jnp.ndarray = None,  # [H, W] extra int (e.g. class) -> segment max
+    max_clusters: int = 32,
+):
+    """Per-cluster (counts, centroid_sums, bbox_min, bbox_max[, extra_max])."""
+    MC = max_clusters
+    flat = compact.reshape(-1)
+    seg = jnp.where(flat >= 0, flat, MC)
+    n = MC + 1
+    on = flat >= 0
+    counts = jax.ops.segment_sum(on.astype(jnp.int32), seg, num_segments=n)[:-1]
+    pts = points_w.reshape(-1, 3)
+    m = on[:, None]
+    sums = jax.ops.segment_sum(jnp.where(m, pts, 0.0), seg, num_segments=n)[:-1]
+    bb_min = jax.ops.segment_min(jnp.where(m, pts, jnp.inf), seg, num_segments=n)[:-1]
+    bb_max = jax.ops.segment_max(jnp.where(m, pts, -jnp.inf), seg, num_segments=n)[:-1]
+    if extra is None:
+        return counts, sums, bb_min, bb_max
+    ex = jax.ops.segment_max(
+        jnp.where(on, extra.reshape(-1), -1), seg, num_segments=n
+    )[:-1]
+    return counts, sums, bb_min, bb_max, ex
+
+
+def filter_and_renumber(
+    compact: jnp.ndarray, keep: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop clusters where ~keep; renumber survivors 1..N (0 = background).
+
+    Returns (id_image int32 [H, W], out_ids [MC] mapping compact k -> new id
+    or 0)."""
+    out_ids = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)), 0)
+    mc = keep.shape[0]
+    lut = jnp.concatenate([out_ids, jnp.zeros((1,), jnp.int32)])
+    safe = jnp.where(compact >= 0, compact, mc)
+    return lut[safe], out_ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_clusters"))
+def cluster_point_samples(
+    compact: jnp.ndarray,  # [H, W]
+    points_w: jnp.ndarray,  # [H, W, 3]
+    k: int = 64,
+    max_clusters: int = 32,
+):
+    """Evenly-strided subsample of up to k pixel points per cluster.
+
+    Returns (samples [MC, k, 3], valid [MC, k]). Sort pixels by cluster id,
+    then take strided indices within each id's segment."""
+    MC = max_clusters
+    flat = compact.reshape(-1)
+    pts = points_w.reshape(-1, 3)
+    seg = jnp.where(flat >= 0, flat, MC).astype(jnp.int32)
+    order = jnp.argsort(seg)
+    seg_sorted = seg[order]
+    starts = jnp.searchsorted(seg_sorted, jnp.arange(MC + 1, dtype=jnp.int32))
+    counts = starts[1:] - starts[:-1]  # [MC]
+    stride_idx = jnp.arange(k)[None, :]  # [1, k]
+    within = (stride_idx * jnp.maximum(counts[:, None], 1)) // k
+    take = jnp.minimum(starts[:-1][:, None] + within, pts.shape[0] - 1)
+    samples = pts[order[take]]  # [MC, k, 3]
+    valid = stride_idx < counts[:, None]
+    return jnp.where(valid[..., None], samples, 0.0), valid
+
+
+@functools.partial(jax.jit, static_argnames=("max_clusters",))
+def cluster_voxel_counts(
+    compact: jnp.ndarray,  # [H, W] compact cluster ids (-1 none)
+    vox_lin: jnp.ndarray,  # [H, W] int32 linear voxel index per pixel
+    max_clusters: int = 32,
+):
+    """Number of distinct voxels per cluster, computed from PIXELS.
+
+    Sorts (cluster, voxel) keys over the image (~300k) instead of compacting
+    the full voxel grid (~1M sort — measured 80+ ms on TPU); counts
+    first-occurrences per cluster segment."""
+    MC = max_clusters
+    flat_c = compact.reshape(-1).astype(jnp.int32)
+    flat_v = vox_lin.reshape(-1).astype(jnp.int32)
+    # int32 keys (x64 is disabled): cluster id (<64) in the high bits, voxel
+    # linear index (< 2^21 voxels, i.e. grids up to ~2M cells) in the low bits
+    SHIFT = 21
+    sentinel = jnp.iinfo(jnp.int32).max
+    key = flat_c * (1 << SHIFT) + jnp.minimum(flat_v, (1 << SHIFT) - 1)
+    key = jnp.where(flat_c >= 0, key, sentinel)
+    s = jnp.sort(key)
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_), s[1:] != s[:-1]])
+    valid = s != sentinel
+    seg = jnp.where(valid, s >> SHIFT, MC)
+    return jax.ops.segment_sum(
+        (first & valid).astype(jnp.int32), seg, num_segments=MC + 1
+    )[:-1]

@@ -144,10 +144,11 @@ class TestScroll:
         cfg = small_config()
         state = av.create(cfg)
         assert not av.needs_recenter(cfg, state, np.zeros(3))
-        assert av.needs_recenter(cfg, state, np.array([3.0, 0, 0]))
-        shift = av.recenter_shift(cfg, state, np.array([3.0, 0, 0]))
+        far = np.array([cfg.recenter_margin + 1.0, 0, 0])
+        assert av.needs_recenter(cfg, state, far)
+        shift = av.recenter_shift(cfg, state, far)
         state2 = av.scroll(cfg, state, shift)
-        assert not av.needs_recenter(cfg, state2, np.array([3.0, 0, 0]))
+        assert not av.needs_recenter(cfg, state2, far)
 
 
 class TestMeshing:

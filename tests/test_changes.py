@@ -254,3 +254,33 @@ class TestChangesCSV:
         assert ch2.object_changes[3].last_absent_ns == 9
         assert ch2.object_changes[3].merged_id == 7
         np.testing.assert_array_equal(ch2.background_states, [0, 1, 2])
+
+
+class TestNativeMeshAccumulator:
+    def test_parity_with_python(self):
+        import numpy as np
+        from khronos_tpu.native import available, make_mesh_accumulator
+        from khronos_tpu.stm.scene_graph import MeshAccumulator
+
+        if not available():
+            import pytest
+
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(3)
+        T = 500
+        verts = (rng.random((T, 3, 3)) * 2).astype(np.float32)
+        cols = rng.random((T, 3, 3)).astype(np.float32)
+        first = rng.integers(0, 100, (T, 3)).astype(np.int64)
+        last = first + rng.integers(0, 50, (T, 3)).astype(np.int64)
+        labels = rng.integers(0, 5, (T, 3)).astype(np.int32)
+        py = MeshAccumulator(0.05)
+        nat = make_mesh_accumulator(0.05)
+        py.add_triangles(verts, cols, first, last, labels)
+        nat.add_triangles(verts, cols, first, last, labels)
+        mp, mn = py.build(), nat.build()
+        assert mp.num_vertices == mn.num_vertices
+        assert mp.num_faces == mn.num_faces
+        # same dedup -> same stamp merging (order may differ; compare sorted)
+        np.testing.assert_allclose(
+            np.sort(mp.first_seen_ns), np.sort(mn.first_seen_ns)
+        )

@@ -1,0 +1,142 @@
+"""Full-pipeline integration test: office scene with dynamics + long-term
+changes + loop closure -> 4D map -> evaluation metrics (the tesse_cd_office
+analog run, SURVEY.md §6 north star)."""
+
+import numpy as np
+import pytest
+
+from khronos_tpu.active_window.frame_data import FrameData
+from khronos_tpu.config import build
+from khronos_tpu.data import synthetic as syn
+from khronos_tpu.eval.pipeline_evaluator import (
+    PipelineEvaluator,
+    PipelineEvaluatorConfig,
+    SceneGroundTruth,
+)
+from khronos_tpu.pipeline.pipeline import (
+    ExperimentConfig,
+    ExperimentManager,
+    KhronosPipeline,
+    PipelineConfig,
+)
+
+
+DURATION = 24.0
+FPS = 4.0
+
+
+@pytest.fixture(scope="module")
+def office_run(tmp_path_factory):
+    scene = syn.office_scene(duration=DURATION)
+    seq = syn.SyntheticSequence(
+        scene,
+        syn.SyntheticSequenceConfig(
+            duration=DURATION, fps=FPS, height=96, width=128,
+            fx=80.0, fy=80.0, cx=64.0, cy=48.0, n_loops=2.0,
+        ),
+    )
+    cfg = build(
+        PipelineConfig,
+        {
+            "active_window": {
+                "volumetric_map": {"grid_shape": [160, 160, 40], "voxel_size": 0.1},
+                "motion_detector": {"type": "FreeSpaceMotionDetector", "min_cluster_size": 60, "grow_iterations": 12},
+                "object_detector": {"type": "ConnectedSemantics", "min_cluster_size": 30},
+                "tracker": {"type": "MaxIouTracker", "min_num_observations": 3},
+                "object_extractor": {
+                    "type": "MeshObjectExtractor",
+                    "min_num_observations": 3,
+                    "max_frames": 10,
+                    "min_dynamic_displacement": 0.8,
+                },
+            },
+            "backend": {"lcd": {"type": "GtLoopClosure", "min_time_gap": 8.0, "max_distance": 1.0}},
+            "label_space": {
+                "num_classes": 7,
+                "object_labels": [2, 3, 4, 5, 6],
+                "dynamic_labels": [1],
+            },
+            "run_change_detection_every_n_frames": 24,
+            "change_detection": {
+                "verificator": {"ray_policy": "All", "temporal_resolution": 2.0, "num_bins": 32},
+                "detector": {"window_size": 3},
+            },
+        },
+    )
+    pipe = KhronosPipeline(cfg, seq.camera)
+    out_dir = str(tmp_path_factory.mktemp("office"))
+    mgr = ExperimentManager(ExperimentConfig(output_dir=out_dir), pipe, cfg)
+
+    frames, gts = [], []
+    for i in range(seq.n_frames):
+        f = seq.render_frame(i)
+        frames.append(
+            FrameData(
+                stamp_ns=f["stamp_ns"], depth=f["depth"], color=f["color"],
+                labels=f["labels"], R_w_c=f["R_w_c"], t_w_c=f["t_w_c"],
+            )
+        )
+        gts.append((f["R_gt"], f["t_gt"]))
+    mgr.run(frames, gts)
+    gt = SceneGroundTruth(scene, DURATION, n_bg_points=6000)
+    return scene, pipe, out_dir, gt
+
+
+class TestOfficePipeline:
+    def test_outputs_written(self, office_run):
+        import os
+
+        scene, pipe, out_dir, gt = office_run
+        for f in ("dsg.npz", "final.4dmap.npz", "mesh.ply", "object_changes.csv",
+                  "objects.csv", "experiment_log.txt"):
+            assert os.path.exists(os.path.join(out_dir, f)), f
+        from khronos_tpu.utils.logging import ExperimentLogger
+
+        assert ExperimentLogger.has_flag(out_dir, "Experiment Finished Cleanly")
+
+    def test_map_quality(self, office_run):
+        scene, pipe, out_dir, gt = office_run
+        ev = PipelineEvaluator(PipelineEvaluatorConfig(only_final=True))
+        summary = ev.evaluate(pipe.map, gt, out_dir + "/results")
+        mesh = summary["mesh"]
+        assert mesh["accuracy@0.2"] > 0.65, mesh
+        assert mesh["completeness@0.2"] > 0.35, mesh
+
+    def test_loop_closure_fired(self, office_run):
+        scene, pipe, out_dir, gt = office_run
+        assert len(pipe.backend.loop_closures) >= 1
+        assert pipe.backend.num_optimizations >= 1
+
+    def test_dynamic_humans_tracked(self, office_run):
+        scene, pipe, out_dir, gt = office_run
+        final = pipe.map.get_dsg(pipe.map.latest_ns())
+        dyn = [o for o in final.objects.values() if o.is_dynamic]
+        assert len(dyn) >= 1, "no dynamic objects in final map"
+
+    def test_change_detection_disappearance(self, office_run):
+        """The chair removed at t=12 s must have absence evidence and a
+        reconciled presence interval ending before the sequence end."""
+        scene, pipe, out_dir, gt = office_run
+        final = pipe.map.get_dsg(pipe.map.latest_ns())
+        t_change_ns = int(DURATION / 2 * 1e9)
+        chair_pos = np.array([3.8, -2.6, 0.35])
+        # find estimated objects near the chair
+        near = [
+            o for o in final.objects.values()
+            if not o.is_dynamic and np.linalg.norm(o.position() - chair_pos) < 1.0
+        ]
+        assert near, "chair never reconstructed"
+        # at least one near-chair object's presence ends near/before the change
+        ends = [o.last_observed_ns[-1] for o in near]
+        assert min(ends) < int((DURATION - 2.0) * 1e9), (
+            f"chair presence never terminated: {[e * 1e-9 for e in ends]}"
+        )
+
+    def test_4dmap_time_scrubbing(self, office_run):
+        scene, pipe, out_dir, gt = office_run
+        stm = pipe.map
+        assert stm.num_snapshots >= 2
+        early = stm.get_dsg(stm.earliest_ns())
+        late = stm.get_dsg(stm.latest_ns())
+        assert late.mesh.num_vertices >= early.mesh.num_vertices
+        assert (early.mesh.first_seen_ns <= stm.earliest_ns()).all()
