@@ -38,6 +38,7 @@ from khronos_tpu.active_window.object_detection import LabelSpace
 # register plugins
 from khronos_tpu.active_window import motion_detection as _md  # noqa: F401
 from khronos_tpu.active_window import object_detection as _od  # noqa: F401
+from khronos_tpu.active_window import instance_forwarding as _if  # noqa: F401
 from khronos_tpu.active_window import tracking as _tk  # noqa: F401
 from khronos_tpu.active_window import object_extraction as _oe  # noqa: F401
 
@@ -108,7 +109,10 @@ class ActiveWindow:
         self.frame_count = 0
         self._pending_track_frame = None
         self._fused_step = None
-        if config.fused:
+        # the fused program covers the closed-set detector; open-set
+        # InstanceForwarding runs on the modular path
+        fused_ok = config.object_detector.type in (None, "ConnectedSemantics")
+        if config.fused and fused_ok:
             from khronos_tpu.active_window import fused_step as fs
 
             self._fused_step = fs.make_frame_step(

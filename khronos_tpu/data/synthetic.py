@@ -262,17 +262,41 @@ class SyntheticSequence:
             self.config.height,
             self.config.width,
         )
+        # open-set outputs: stable instance ids (primitive index, 0 = room/bg)
+        # + synthetic per-instance embedding vectors (fixed unit vectors per
+        # primitive — a stand-in for CLIP features from semantic_inference)
+        instances = jnp.where(hit_ok & (hit_prim > 0), hit_prim, 0)
         return {
             "stamp_ns": self.frame_stamp_ns(i),
             "t": t,
             "depth": depth,
             "labels": label_img,
             "color": color_img,
+            "instances": instances.astype(jnp.int32),
+            "features": self.instance_features(),
             "R_w_c": jnp.asarray(R),
             "t_w_c": jnp.asarray(pos),
             "R_gt": R,
             "t_gt": pos,
         }
+
+    def instance_features(self, dim: int = 32) -> np.ndarray:
+        """Deterministic unit embedding per primitive (row i = instance i+1)."""
+        if not hasattr(self, "_feat_cache"):
+            rng = np.random.default_rng(1234)
+            n = len(self.scene.primitives)
+            f = rng.normal(size=(n, dim)).astype(np.float32)
+            f /= np.linalg.norm(f, axis=1, keepdims=True)
+            self._feat_cache = f
+        return self._feat_cache
+
+    def background_embeddings(self, dim: int = 32) -> np.ndarray:
+        """Fake background-prompt embeddings (near the room's visual feature
+        space): vectors orthogonal-ish to object features."""
+        rng = np.random.default_rng(4321)
+        f = rng.normal(size=(4, dim)).astype(np.float32)
+        f /= np.linalg.norm(f, axis=1, keepdims=True)
+        return f
 
     def odometry_pose(self, i: int):
         """Drifted odometry (for backend testing): GT + accumulated noise."""

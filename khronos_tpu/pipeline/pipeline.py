@@ -31,6 +31,7 @@ from khronos_tpu.changes.detectors import (
     SequentialChangeDetectorConfig,
 )
 from khronos_tpu.changes.reconciler import Reconciler, ReconcilerConfig
+from khronos_tpu.stm.places import PlacesConfig, PlacesExtractor
 from khronos_tpu.config import format_config
 from khronos_tpu.geometry.camera import Camera
 from khronos_tpu.stm.spatio_temporal_map import SpatioTemporalMap
@@ -61,6 +62,9 @@ class PipelineConfig:
     # -1: off, 0: only on loop closure, n: every n frames (+ on LC)
     # (reference map_update_frequency, uHumans2.yaml:7)
     run_change_detection_every_n_frames: int = 50
+    # free-space places layer (hydra GVD frontend equivalent); None disables
+    places: Optional[PlacesConfig] = dataclasses.field(default_factory=PlacesConfig)
+    extract_places_every_snapshot: bool = False  # else only at finish
 
 
 class KhronosPipeline:
@@ -72,8 +76,12 @@ class KhronosPipeline:
         self.backend = Backend(config.backend)
         self.change_detector = SequentialChangeDetector(config.change_detection)
         self.reconciler = Reconciler(config.reconciler)
+        self.places_extractor = (
+            PlacesExtractor(config.places) if config.places is not None else None
+        )
         self.map = SpatioTemporalMap()
         self.frame_count = 0
+        self._finishing = False
         self._frames_since_cd = 0
         self._last_stamp_ns = 0
         self._last_frame: Optional[FrameData] = None
@@ -107,11 +115,17 @@ class KhronosPipeline:
             dsg = self.backend.get_dsg()
             changes = self.change_detector.detect_changes(dsg, had_loop_closure)
             dsg = self.reconciler.reconcile(dsg, changes, self.backend.proposed_merges)
+            if self.places_extractor is not None and (
+                self.config.extract_places_every_snapshot or self._finishing
+            ):
+                with Timer("pipeline/places"):
+                    dsg.places = self.places_extractor.extract(dsg.mesh.vertices)
             self.map.update(dsg, self._last_stamp_ns)
 
     # ------------------------------------------------------------------
     def finish(self) -> None:
         """Flush everything (finishMapping + finishProcessing + final CD)."""
+        self._finishing = True
         with Timer("pipeline/finish"):
             out = self.active_window.finish_mapping(self._last_frame)
             self.backend.add_output(out)

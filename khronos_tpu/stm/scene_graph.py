@@ -168,17 +168,19 @@ class AgentNode:
 
 @dataclasses.dataclass
 class SceneGraph:
-    """The DSG: background mesh + object nodes + agent trajectory."""
+    """The DSG: background mesh + object nodes + agent trajectory + places."""
 
     mesh: Mesh = dataclasses.field(default_factory=Mesh.empty)
     objects: Dict[int, KhronosObject] = dataclasses.field(default_factory=dict)
     agents: List[AgentNode] = dataclasses.field(default_factory=list)
+    places: object = None  # stm.places.PlacesLayer (optional layer)
 
     def clone(self) -> "SceneGraph":
         return SceneGraph(
             mesh=self.mesh.clone(),
             objects={k: v.clone() for k, v in self.objects.items()},
             agents=[AgentNode(a.stamp_ns, a.R_w_b.copy(), a.t_w_b.copy(), a.key) for a in self.agents],
+            places=copy.deepcopy(self.places),
         )
 
     def add_object(self, obj: KhronosObject):

@@ -87,6 +87,14 @@ def scene_graph_arrays(dsg: SceneGraph, prefix: str = "") -> Dict[str, np.ndarra
     arrays[f"{prefix}objects_meta"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     )
+    if dsg.places is not None and dsg.places.nodes:
+        pl = dsg.places
+        arrays[f"{prefix}places/positions"] = np.stack([n.position for n in pl.nodes]).astype(np.float32)
+        arrays[f"{prefix}places/distances"] = np.asarray([n.distance for n in pl.nodes], np.float32)
+        arrays[f"{prefix}places/room_ids"] = np.asarray([n.room_id for n in pl.nodes], np.int32)
+        arrays[f"{prefix}places/edges"] = (
+            np.asarray(pl.edges, np.float32) if pl.edges else np.zeros((0, 3), np.float32)
+        )
     return arrays
 
 
@@ -120,6 +128,17 @@ def scene_graph_from_arrays(data, prefix: str = "") -> SceneGraph:
             feature=feature,
             confidence=m["confidence"],
         )
+    if f"{prefix}places/positions" in data:
+        from khronos_tpu.stm.places import PlaceNode, PlacesLayer
+
+        pl = PlacesLayer()
+        pos = data[f"{prefix}places/positions"]
+        dist = data[f"{prefix}places/distances"]
+        rooms = data[f"{prefix}places/room_ids"]
+        for i in range(len(pos)):
+            pl.nodes.append(PlaceNode(i, pos[i], float(dist[i]), int(rooms[i])))
+        pl.edges = [(int(a), int(b), float(c)) for a, b, c in data[f"{prefix}places/edges"]]
+        dsg.places = pl
     return dsg
 
 
