@@ -166,9 +166,10 @@ def _mesh_small_grid(tsdf, weight, origin, voxel, G: int):
     pos_p = pos[c_idx, gc_p]
     pos_q = pos[c_idx, gc_q]
     verts = pos_p + t_int * (pos_q - pos_p)
+    from khronos_tpu.ops.clusters import compact_rows
+
     flat_valid = tri_valid.reshape(N * 12)
-    order = jnp.argsort(~flat_valid, stable=True)[:MAX_OBJ_TRIS]
-    packed = verts.reshape(N * 12, 9)[order]
+    packed = compact_rows(verts.reshape(N * 12, 9), flat_valid, MAX_OBJ_TRIS)
     n = jnp.minimum(jnp.sum(flat_valid.astype(jnp.int32)), MAX_OBJ_TRIS)
     meta = jnp.zeros((1, 9), jnp.float32).at[0, 0].set(n.astype(jnp.float32))
     return jnp.concatenate([packed, meta], axis=0)

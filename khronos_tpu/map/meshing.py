@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from khronos_tpu.map.active_volume import VolumeConfig, VolumeState
+from khronos_tpu.ops.clusters import compact_indices, compact_rows
 
 # --- cube corners: c0..c7; tets around the c0-c6 diagonal -------------------
 CORNER_OFFSETS = np.array(
@@ -143,7 +144,7 @@ def _extract_device(
     CX, CY, CZ = X - 1, Y - 1, Z - 1
     flat = emit_mask.reshape(-1)
     n_want = jnp.sum(flat.astype(jnp.int32))
-    (cell_ids,) = jnp.nonzero(flat, size=max_cells, fill_value=-1)
+    cell_ids = compact_indices(flat, max_cells)
     taken = cell_ids >= 0
     safe_ids = jnp.maximum(cell_ids, 0)
     ci, cj, ck = jnp.unravel_index(safe_ids, (CX, CY, CZ))
@@ -229,21 +230,21 @@ def _extract_device(
     n_emitted = jnp.sum(done.astype(jnp.int32))
 
     kept = (valid_flat & done[:, None]).reshape(C * 12)
-    order = jnp.argsort(~kept, stable=True)[:tri_capacity]
     n_tris = jnp.sum(kept.astype(jnp.int32))
     # single packed buffer -> ONE host transfer per emission round:
     # [T, 27] = verts(9) colors(9) first(3) last(3) labels(3); one extra row
-    # carries (n_tris, n_want, n_emitted).
-    packed = jnp.concatenate(
+    # carries (n_tris, n_want, n_emitted). Compaction by cumsum+scatter.
+    rows = jnp.concatenate(
         [
-            verts.reshape(C * 12, 9)[order],
-            vcolor.reshape(C * 12, 9)[order],
-            vfirst.reshape(C * 12, 3)[order],
-            vlast.reshape(C * 12, 3)[order],
-            vlabel.reshape(C * 12, 3)[order].astype(jnp.float32),
+            verts.reshape(C * 12, 9),
+            vcolor.reshape(C * 12, 9),
+            vfirst.reshape(C * 12, 3),
+            vlast.reshape(C * 12, 3),
+            vlabel.reshape(C * 12, 3).astype(jnp.float32),
         ],
         axis=1,
     )
+    packed = compact_rows(rows, kept, tri_capacity)
     meta = jnp.zeros((1, 27), jnp.float32)
     meta = meta.at[0, 0].set(n_tris.astype(jnp.float32))
     meta = meta.at[0, 1].set(n_want.astype(jnp.float32))

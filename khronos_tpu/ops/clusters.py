@@ -120,3 +120,28 @@ def cluster_voxel_counts(
     return jax.ops.segment_sum(
         (first & valid).astype(jnp.int32), seg, num_segments=MC + 1
     )[:-1]
+
+
+def compact_indices(mask_flat: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Indices of True elements (ascending), -1 padded, via cumsum+scatter.
+
+    Replaces `jnp.nonzero(size=...)` on large masks: the sort-based lowering
+    costs ~90 ms per 1M elements on v5e while scatter runs in well under a
+    millisecond."""
+    n = mask_flat.shape[0]
+    pos = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
+    slot = jnp.where(mask_flat & (pos < capacity), pos, capacity)
+    out = jnp.full((capacity + 1,), -1, jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    return out[:capacity]
+
+
+def compact_rows(values: jnp.ndarray, mask: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Rows of `values` [N, D] where mask, packed ascending into
+    [capacity, D] (zero padded), via cumsum+scatter (no sort)."""
+    n = values.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.where(mask & (pos < capacity), pos, capacity)
+    out = jnp.zeros((capacity + 1, values.shape[1]), values.dtype).at[slot].set(values)
+    return out[:capacity]

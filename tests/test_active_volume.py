@@ -80,7 +80,7 @@ class TestIntegration:
         vs = cfg.voxel_size
         idx = tuple(np.floor(np.array([0.0, 0.0, 1.95]) / vs).astype(int) - origin)
         assert int(np.asarray(state.label)[idx]) == 3
-        np.testing.assert_allclose(np.asarray(state.color)[idx], 0.5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(state.color)[idx], 0.5, atol=1 / 255)
         # free-space voxel keeps no label
         idx_free = tuple(np.floor(np.array([0.0, 0.0, 0.8]) / vs).astype(int) - origin)
         assert int(np.asarray(state.label)[idx_free]) == -1
