@@ -122,14 +122,16 @@ def _reconstruct_device(
     return tsdf, w, conf
 
 
-MAX_OBJ_TRIS = 4096
+MAX_OBJ_TRIS = 32768
 
 
 @functools.partial(jax.jit, static_argnames=("G",))
 def _mesh_small_grid(tsdf, weight, origin, voxel, G: int):
     """Marching tetrahedra over ALL cells of a small grid, compacted on
     device to MAX_OBJ_TRIS (one small host transfer instead of ~50 MB).
-    Returns packed [MAX_OBJ_TRIS + 1, 9]; last row [0] = triangle count."""
+    Returns packed [MAX_OBJ_TRIS + 1, 9]; last row = [n_tris, vmin(3),
+    vmax(3), 0, 0] where the bbox covers ALL valid triangles (even those
+    dropped by the capacity cap, so volume filters see the true extent)."""
     C = G - 1
     off = jnp.asarray(CORNER_OFFSETS)
     ii = jax.lax.broadcasted_iota(jnp.int32, (C, C, C), 0).reshape(-1)[:, None] + off[None, :, 0]
@@ -169,9 +171,18 @@ def _mesh_small_grid(tsdf, weight, origin, voxel, G: int):
     from khronos_tpu.ops.clusters import compact_rows
 
     flat_valid = tri_valid.reshape(N * 12)
-    packed = compact_rows(verts.reshape(N * 12, 9), flat_valid, MAX_OBJ_TRIS)
+    flat_verts = verts.reshape(N * 12, 9)
+    packed = compact_rows(flat_verts, flat_valid, MAX_OBJ_TRIS)
     n = jnp.minimum(jnp.sum(flat_valid.astype(jnp.int32)), MAX_OBJ_TRIS)
-    meta = jnp.zeros((1, 9), jnp.float32).at[0, 0].set(n.astype(jnp.float32))
+    # bbox over ALL valid triangles (cap-independent)
+    tri_pts = flat_verts.reshape(N * 12, 3, 3)
+    big = jnp.float32(1e30)
+    vmask = flat_valid[:, None, None]
+    vmin = jnp.min(jnp.where(vmask, tri_pts, big), axis=(0, 1))
+    vmax = jnp.max(jnp.where(vmask, tri_pts, -big), axis=(0, 1))
+    meta = jnp.concatenate(
+        [n.astype(jnp.float32)[None], vmin, vmax, jnp.zeros(2, jnp.float32)]
+    )[None, :]
     return jnp.concatenate([packed, meta], axis=0)
 
 
@@ -300,9 +311,14 @@ class MeshObjectExtractor:
             jnp.float32(trunc),
             G,
         )
-        # prune low-confidence voxels (mark unobserved)
-        keep = conf >= cfg.min_object_reconstruction_confidence
-        weight = jnp.where(keep, weight, 0.0)
+        # prune low-confidence voxels: only voxels INSIDE the surface
+        # (tsdf < 0) are confidence-gated, and pruning pushes them to
+        # +truncation while keeping their weight — free space around the
+        # object stays "observed" so boundary cells still mesh
+        # (mesh_object_extractor.cpp:245-264: `if (distance > 0) continue;
+        # ... distance = truncation_distance`)
+        prune = (tsdf < 0.0) & (conf < cfg.min_object_reconstruction_confidence)
+        tsdf = jnp.where(prune, trunc, tsdf)
 
         packed = np.asarray(
             _mesh_small_grid(tsdf, weight, jnp.asarray(origin, jnp.float32), jnp.float32(voxel), G)
@@ -312,9 +328,11 @@ class MeshObjectExtractor:
         if len(verts) == 0:
             return None if cfg.only_extract_reconstructed_objects else self._bbox_only(track, bbox_min, bbox_max)
 
-        # volume filter: bbox of reconstructed surface
-        vmin = verts.reshape(-1, 3).min(axis=0)
-        vmax = verts.reshape(-1, 3).max(axis=0)
+        # volume filter: bbox of the FULL reconstructed surface (from the
+        # device-side reduction over all valid triangles, independent of the
+        # MAX_OBJ_TRIS packing cap)
+        vmin = packed[-1, 1:4].copy()
+        vmax = packed[-1, 4:7].copy()
         vol = float(np.prod(np.clip(vmax - vmin, 0, None)))
         if vol < cfg.min_object_volume or vol > cfg.max_object_volume:
             return None

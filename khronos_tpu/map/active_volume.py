@@ -275,9 +275,16 @@ def integrate_frame(
 
 def update_archival(config: VolumeConfig, state: VolumeState, t_now) -> VolumeState:
     """Flag voxels unobserved for temporal_window as archived
-    (TrackingIntegrator::resetInactive equivalent; data stays until reuse)."""
+    (TrackingIntegrator::resetInactive equivalent; data stays until reuse).
+
+    Ever-free is cleared on archival: the reference REMOVES inactive blocks
+    (tracking_integrator.cpp resetInactive -> map.removeBlock), so a re-visited
+    region starts with a fresh tracking layer. Without this, a static object
+    appearing in a previously-free region (the tesse_cd "cooler added" case)
+    would land in stale ever-free voxels and be flagged dynamic forever."""
     inactive = (state.weight > 0.0) & (state.last_obs < t_now - config.temporal_window)
-    return state._replace(archived=state.archived | inactive)
+    archived = state.archived | inactive
+    return state._replace(archived=archived, ever_free=state.ever_free & ~archived)
 
 
 def active_mask(config: VolumeConfig, state: VolumeState, t_now) -> jnp.ndarray:
