@@ -231,26 +231,40 @@ class RayVerificator:
         self._built = True
 
     # ------------------------------------------------------------------
+    # fixed device chunk: bounds the [chunk, max_candidates, 3] geometry
+    # temporaries to ~25 MB so arbitrarily large vertex sets fit in HBM,
+    # and gives ONE compiled program reused across all chunks.
+    QUERY_CHUNK = 8192
+
     def query(self, points: np.ndarray) -> np.ndarray:
         """points [P,3] -> evidence histogram [P, num_bins, 2] (match, absent)."""
         cfg = self.config
         if not self._built or len(points) == 0:
             return np.zeros((len(points), cfg.num_bins, 2), np.int32)
-        ev = _query_device(
-            jnp.asarray(points, jnp.float32),
-            self.sorted_cells,
-            self.sorted_rays,
-            self.cell_start,
-            self.origins,
-            self.targets,
-            self.stamps_s,
-            jnp.asarray(self.origin_cell),
-            jnp.asarray(self.dims),
-            cfg.block_size,
-            cfg.radial_tolerance,
-            cfg.depth_tolerance,
-            cfg.temporal_resolution,
-            cfg.num_bins,
-            cfg.max_candidates,
-        )
-        return np.asarray(ev)
+        points = np.asarray(points, np.float32)
+        P = len(points)
+        chunk = self.QUERY_CHUNK
+        pad = (-P) % chunk
+        if pad:
+            points = np.concatenate([points, np.zeros((pad, 3), np.float32)])
+        outs = []
+        for s in range(0, len(points), chunk):
+            ev = _query_device(
+                jnp.asarray(points[s : s + chunk]),
+                self.sorted_cells,
+                self.sorted_rays,
+                self.cell_start,
+                self.origins,
+                self.targets,
+                self.stamps_s,
+                jnp.asarray(self.origin_cell),
+                jnp.asarray(self.dims),
+                cfg.block_size,
+                cfg.radial_tolerance,
+                cfg.depth_tolerance,
+                cfg.temporal_resolution,
+                cfg.num_bins,
+                cfg.max_candidates,
+            )
+            outs.append(ev)
+        return np.concatenate([np.asarray(o) for o in outs])[:P]
