@@ -91,7 +91,12 @@ class KhronosPipeline:
         self,
         frame: FrameData,
         gt_pose: Optional[Tuple[np.ndarray, np.ndarray]] = None,
-    ) -> None:
+        defer_cd: bool = False,
+    ):
+        """Run one frame through AW + backend. When change detection is due:
+        inline by default; with defer_cd=True return a snapshot request
+        (dsg, stamp_ns, had_lc, merges) for a detached CD stage instead —
+        the reference's detached-thread semantics (backend.cpp:189-216)."""
         with Timer("pipeline/frame", frame.stamp_ns):
             out = self.active_window.spin_once(frame)
             had_lc = False
@@ -104,23 +109,41 @@ class KhronosPipeline:
 
             n = self.config.run_change_detection_every_n_frames
             if n >= 0 and (had_lc or (n > 0 and self._frames_since_cd >= n)):
+                if defer_cd:
+                    return self.make_cd_request(had_loop_closure=had_lc)
                 self.run_change_detection(had_loop_closure=had_lc)
+        return None
 
     # ------------------------------------------------------------------
-    def run_change_detection(self, had_loop_closure: bool = False) -> None:
-        """Snapshot the DSG, detect changes, reconcile, store a 4D snapshot
-        (backend.cpp:189-216 runChangeDetection)."""
+    def make_cd_request(self, had_loop_closure: bool = False):
+        """Snapshot backend state for a detached change-detection pass. Must
+        be called from the stage that owns the backend (snapshot isolation:
+        get_dsg() builds a fresh deformed copy)."""
         self._frames_since_cd = 0
-        with Timer("pipeline/change_detection", self._last_stamp_ns):
+        with Timer("pipeline/cd_snapshot", self._last_stamp_ns):
             dsg = self.backend.get_dsg()
+            merges = list(self.backend.proposed_merges)
+        return (dsg, self._last_stamp_ns, had_loop_closure, merges)
+
+    def run_change_detection_on(self, dsg, stamp_ns, had_loop_closure, merges) -> None:
+        """Detached-CD body: detect + reconcile + 4D snapshot on an isolated
+        DSG copy. Touches only CD-owned state (change_detector, map), so it
+        may run concurrently with per-frame processing."""
+        with Timer("pipeline/change_detection", stamp_ns):
             changes = self.change_detector.detect_changes(dsg, had_loop_closure)
-            dsg = self.reconciler.reconcile(dsg, changes, self.backend.proposed_merges)
+            dsg = self.reconciler.reconcile(dsg, changes, merges)
             if self.places_extractor is not None and (
                 self.config.extract_places_every_snapshot or self._finishing
             ):
                 with Timer("pipeline/places"):
                     dsg.places = self.places_extractor.extract(dsg.mesh.vertices)
-            self.map.update(dsg, self._last_stamp_ns)
+            self.map.update(dsg, stamp_ns)
+
+    def run_change_detection(self, had_loop_closure: bool = False) -> None:
+        """Snapshot the DSG, detect changes, reconcile, store a 4D snapshot
+        (backend.cpp:189-216 runChangeDetection)."""
+        req = self.make_cd_request(had_loop_closure)
+        self.run_change_detection_on(*req)
 
     # ------------------------------------------------------------------
     def finish(self) -> None:
@@ -189,20 +212,23 @@ class ExperimentManager:
                 fh.write(format_config(pipeline_config, "pipeline"))
         self.logger.log("Experiment initialized")
 
-    def run(self, frames, gt_poses=None) -> str:
-        """frames: iterable of FrameData; gt_poses: optional parallel list."""
+    def run(self, frames, gt_poses=None, async_stages: bool = False) -> str:
+        """frames: iterable of FrameData; gt_poses: optional parallel list.
+
+        async_stages=True runs ingest / frame-processing / change-detection on
+        the native stage executor (stage threads + bounded queues, the
+        reference's hydra-module threading model incl. the detached CD thread,
+        SURVEY.md §2.7) instead of inline. Outputs are identical; change
+        detection overlaps the per-frame hot path.
+        """
         self.logger.flag("Experiment Started")
-        for i, frame in enumerate(frames):
-            gt = gt_poses[i] if gt_poses is not None else None
-            self.pipeline.process_frame(frame, gt_pose=gt)
-            if (
-                self.config.save_every_n_frames > 0
-                and (i + 1) % self.config.save_every_n_frames == 0
-            ):
-                snap_dir = os.path.join(self.output_dir, "snapshots", f"{i + 1:05d}")
-                os.makedirs(snap_dir, exist_ok=True)
-                dsg = self.pipeline.backend.get_dsg()
-                serialization.save_scene_graph(dsg, os.path.join(snap_dir, "dsg.npz"))
+        if async_stages:
+            self._run_async(frames, gt_poses)
+        else:
+            for i, frame in enumerate(frames):
+                gt = gt_poses[i] if gt_poses is not None else None
+                self.pipeline.process_frame(frame, gt_pose=gt)
+                self._maybe_snapshot(i)
         self.pipeline.finish()
         self.pipeline.save(self.output_dir)
         if self.config.log_timing:
@@ -210,3 +236,67 @@ class ExperimentManager:
         self.logger.flag(FINISHED_CLEANLY)
         self.logger.close()
         return self.output_dir
+
+    def _maybe_snapshot(self, i: int) -> None:
+        if (
+            self.config.save_every_n_frames > 0
+            and (i + 1) % self.config.save_every_n_frames == 0
+        ):
+            snap_dir = os.path.join(self.output_dir, "snapshots", f"{i + 1:05d}")
+            os.makedirs(snap_dir, exist_ok=True)
+            dsg = self.pipeline.backend.get_dsg()
+            serialization.save_scene_graph(dsg, os.path.join(snap_dir, "dsg.npz"))
+
+    def _run_async(self, frames, gt_poses) -> None:
+        import threading
+
+        from khronos_tpu import native as native_rt
+
+        frame_iter = iter(frames)
+        slots = {}
+        cd_slots = {}
+        lock = threading.Lock()
+        INGEST, PROCESS, CD = 0, 1, 2
+
+        def ingest(i: int) -> None:
+            # Single worker pulls the (not thread-safe) dataset iterator and
+            # self-chains the next index; prefetch depth = PROCESS queue
+            # capacity (bounded-queue backpressure like PipelineQueues).
+            try:
+                frame = next(frame_iter)
+            except StopIteration:
+                return
+            gt = gt_poses[i] if gt_poses is not None else None
+            with lock:
+                slots[i] = (frame, gt)
+            ex.push(PROCESS, i)  # blocks when the process queue is full
+            ex.push(INGEST, i + 1)
+
+        def process(i: int) -> None:
+            with lock:
+                frame, gt = slots.pop(i)
+            req = self.pipeline.process_frame(frame, gt_pose=gt, defer_cd=True)
+            if req is not None:
+                with lock:
+                    cd_slots[i] = req
+                ex.push(CD, i)
+            self._maybe_snapshot(i)
+
+        def change_detection(i: int) -> None:
+            with lock:
+                req = cd_slots.pop(i)
+            self.pipeline.run_change_detection_on(*req)
+
+        ex = native_rt.make_pipeline_executor(
+            [ingest, process, change_detection], capacity=4
+        )
+        try:
+            ex.push(INGEST, 0)
+            ex.drain()
+            self._async_stats = {
+                "frames": ex.processed(PROCESS),
+                "cd_runs": ex.processed(CD),
+            }
+            ex.stop()
+        finally:
+            ex.close()
