@@ -149,6 +149,15 @@ class DescriptorLoopClosureConfig:
     max_registration_rms: float = 0.15  # m
     n_icp_points: int = 256
     max_candidate_distance: float = 3.0  # m (odom estimate gate)
+    # registration slot (reference: TEASER++, uHumans2.yaml:298-307):
+    # "gnc" = robust_icp with a GNC-TLS core (registration.py), "icp" = plain
+    # point-to-point ICP. GNC additionally gates on inlier fraction.
+    registration: str = "gnc"
+    noise_bound: float = 0.07  # m, GNC-TLS truncation
+    min_inlier_fraction: float = 0.35
+
+    def check(self):
+        assert self.registration in ("gnc", "icp"), self.registration
 
     def create(self):
         return DescriptorLoopClosureDetector(self)
@@ -201,9 +210,22 @@ class DescriptorLoopClosureDetector:
                 # register candidate cloud (earlier keyframe) into current
                 R0 = jnp.asarray((R_odom.T @ R2).astype(np.float32))
                 t0 = jnp.asarray((R_odom.T @ (t2 - t_odom)).astype(np.float32))
-                R, t, rms = _icp_point2point(
-                    jnp.asarray(self._clouds[idx]), jnp.asarray(cloud), R0, t0
-                )
+                if cfg.registration == "gnc":
+                    from khronos_tpu.backend.registration import robust_icp
+
+                    R, t, rms, inlier_frac = robust_icp(
+                        jnp.asarray(self._clouds[idx]),
+                        jnp.asarray(cloud),
+                        R0,
+                        t0,
+                        noise_bound=cfg.noise_bound,
+                    )
+                    if float(inlier_frac) < cfg.min_inlier_fraction:
+                        continue
+                else:
+                    R, t, rms = _icp_point2point(
+                        jnp.asarray(self._clouds[idx]), jnp.asarray(cloud), R0, t0
+                    )
                 if float(rms) <= cfg.max_registration_rms:
                     out.append(
                         LoopClosure(
