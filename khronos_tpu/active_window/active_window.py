@@ -108,6 +108,14 @@ class ActiveWindow:
         self._pending_tracks = []
         self.frame_count = 0
         self._pending_track_frame = None
+        self._build_fused_step()
+
+    def _build_fused_step(self) -> None:
+        """(Re)compile the fused per-frame device program. Called from
+        __init__ and after checkpoint restore (compiled programs are not
+        serialized)."""
+        config, camera, label_space = self.config, self.camera, self.label_space
+        vol_cfg = config.volumetric_map
         self._fused_step = None
         # the fused program covers the closed-set detector; open-set
         # InstanceForwarding runs on the modular path
@@ -123,6 +131,16 @@ class ActiveWindow:
                 label_space,
             )
             self._unpack_stats = fs.unpack_stats
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_fused_step", None)
+        state.pop("_unpack_stats", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._build_fused_step()
 
     # ------------------------------------------------------------------
     def spin_once(self, frame: FrameData) -> Optional[ActiveWindowOutput]:

@@ -144,6 +144,23 @@ class NativeMeshAccumulator:
             )
         )
 
+    def __getstate__(self):
+        """Checkpoint support: serialize the accumulated mesh content; the
+        native hash table is rebuilt on restore by re-adding triangles."""
+        mesh = self.build()
+        return {"resolution": self.resolution, "mesh": mesh}
+
+    def __setstate__(self, state):
+        self.__init__(state["resolution"])
+        mesh = state["mesh"]
+        if len(mesh.faces):
+            tri = mesh.vertices[mesh.faces]  # [T, 3, 3]
+            col = mesh.colors[mesh.faces]
+            first = mesh.first_seen_ns[mesh.faces]
+            last = mesh.last_seen_ns[mesh.faces]
+            lab = mesh.labels[mesh.faces]  # [T, 3]
+            self.add_triangles(tri, col, first, last, lab)
+
     def build(self):
         from khronos_tpu.stm.scene_graph import Mesh
 

@@ -160,6 +160,25 @@ class KhronosPipeline:
                 self.map.update(self.backend.get_dsg(), self._last_stamp_ns)
 
     # ------------------------------------------------------------------
+    def checkpoint(self, directory: str) -> str:
+        """Write a full resumable state checkpoint (beyond-reference: the
+        reference loses in-memory state on crash, SURVEY.md §5)."""
+        from khronos_tpu.pipeline import checkpoint as ckpt
+
+        with Timer("pipeline/checkpoint"):
+            return ckpt.save(self, directory)
+
+    @staticmethod
+    def restore(directory: str) -> "KhronosPipeline":
+        """Load a pipeline previously saved with checkpoint()."""
+        from khronos_tpu.pipeline import checkpoint as ckpt
+
+        pipe = ckpt.load(directory)
+        if not isinstance(pipe, KhronosPipeline):
+            raise TypeError(f"checkpoint holds {type(pipe)}")
+        return pipe
+
+    # ------------------------------------------------------------------
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
         self.backend.save(directory)
@@ -191,6 +210,8 @@ class ExperimentConfig:
     overwrite: bool = True
     log_timing: bool = True
     save_every_n_frames: int = 0  # 0 = no periodic snapshots
+    # full resumable state checkpoints (crash recovery); 0 = off
+    checkpoint_every_n_frames: int = 0
 
 
 class ExperimentManager:
@@ -225,10 +246,21 @@ class ExperimentManager:
         if async_stages:
             self._run_async(frames, gt_poses)
         else:
+            start = self.pipeline.frame_count  # >0 when resumed from checkpoint
             for i, frame in enumerate(frames):
+                if i < start:
+                    continue
                 gt = gt_poses[i] if gt_poses is not None else None
                 self.pipeline.process_frame(frame, gt_pose=gt)
                 self._maybe_snapshot(i)
+                if (
+                    self.config.checkpoint_every_n_frames > 0
+                    and (i + 1) % self.config.checkpoint_every_n_frames == 0
+                ):
+                    self.pipeline.checkpoint(
+                        os.path.join(self.output_dir, "checkpoint")
+                    )
+                    self.logger.log(f"Checkpoint written at frame {i + 1}")
         self.pipeline.finish()
         self.pipeline.save(self.output_dir)
         if self.config.log_timing:
