@@ -108,7 +108,14 @@ class ActiveWindow:
         self._pending_tracks = []
         self.frame_count = 0
         self._pending_track_frame = None
+        self._sinks: List = []  # per-frame debug sinks (addKhronosSink parity)
         self._build_fused_step()
+
+    def add_sink(self, sink) -> None:
+        """Register a per-frame sink called as sink(frame, aw, output) after
+        each spin_once (reference ActiveWindow::addKhronosSink,
+        active_window.h:116; used by ActiveWindowVisualizer)."""
+        self._sinks.append(sink)
 
     def _build_fused_step(self) -> None:
         """(Re)compile the fused per-frame device program. Called from
@@ -136,6 +143,7 @@ class ActiveWindow:
         state = self.__dict__.copy()
         state.pop("_fused_step", None)
         state.pop("_unpack_stats", None)
+        state["_sinks"] = []  # sinks are session-local (may be unpicklable)
         return state
 
     def __setstate__(self, state):
@@ -247,11 +255,14 @@ class ActiveWindow:
             self.frame_count += 1
 
             # 6) periodic output extraction
+            output = None
             if t_now - self._last_output_s >= cfg.min_output_separation:
                 self._last_output_s = t_now
                 with Timer("active_window/extract_output", frame.stamp_ns):
-                    return self._extract_output(frame)
-        return None
+                    output = self._extract_output(frame)
+        for sink in self._sinks:
+            sink(frame, self, output)
+        return output
 
     # ------------------------------------------------------------------
     def _track_frame(self, frame: FrameData, packed) -> None:

@@ -128,13 +128,18 @@ class ObjectEvaluatorConfig:
     match_labels: bool = False
 
 
-def evaluate_objects(
+def associate_objects(
     est_objects: Sequence[KhronosObject],
     gt_objects: Sequence[GtObject],
     query_time_ns: int,
     config: ObjectEvaluatorConfig = None,
-) -> Dict[str, float]:
-    """Detection P/R/F1 + over/under segmentation at one query time."""
+):
+    """Greedy nearest-first GT<->estimate association at one query time.
+
+    Returns (est_present, gt_present, est_matched {ei->gi},
+    gt_matched {gi->[ei,...]}); shared by evaluate_objects and the
+    association visualizer (reference EvalVisualizer, eval_visualizer.h:41-56).
+    """
     config = config or ObjectEvaluatorConfig()
     est = [
         o
@@ -164,6 +169,20 @@ def evaluate_objects(
             continue
         est_matched[ei] = gi
         gt_matched.setdefault(gi, []).append(ei)
+    return est, gt, est_matched, gt_matched
+
+
+def evaluate_objects(
+    est_objects: Sequence[KhronosObject],
+    gt_objects: Sequence[GtObject],
+    query_time_ns: int,
+    config: ObjectEvaluatorConfig = None,
+) -> Dict[str, float]:
+    """Detection P/R/F1 + over/under segmentation at one query time."""
+    config = config or ObjectEvaluatorConfig()
+    est, gt, est_matched, gt_matched = associate_objects(
+        est_objects, gt_objects, query_time_ns, config
+    )
     detected = len(gt_matched)
     missed = len(gt) - detected
     hallucinated = len(est) - len(est_matched)

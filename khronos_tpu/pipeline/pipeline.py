@@ -85,6 +85,17 @@ class KhronosPipeline:
         self._frames_since_cd = 0
         self._last_stamp_ns = 0
         self._last_frame: Optional[FrameData] = None
+        self._change_sinks: List = []
+
+    def add_change_sink(self, sink) -> None:
+        """Register sink(dsg, changes, stamp_ns) called after every change-
+        detection pass (reference Backend::addChangeSink, backend.h:116)."""
+        self._change_sinks.append(sink)
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_change_sinks"] = []  # session-local
+        return state
 
     # ------------------------------------------------------------------
     def process_frame(
@@ -138,6 +149,8 @@ class KhronosPipeline:
                 with Timer("pipeline/places"):
                     dsg.places = self.places_extractor.extract(dsg.mesh.vertices)
             self.map.update(dsg, stamp_ns)
+        for sink in self._change_sinks:
+            sink(dsg, changes, stamp_ns)
 
     def run_change_detection(self, had_loop_closure: bool = False) -> None:
         """Snapshot the DSG, detect changes, reconcile, store a 4D snapshot
