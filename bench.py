@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--grid", type=int, nargs=3, default=[160, 160, 48])
     ap.add_argument("--full-pipeline", action="store_true",
                     help="include backend + change detection cadence")
+    ap.add_argument("--det-stride", type=int, default=2,
+                    help="detection stride (integration stays full-res)")
     args = ap.parse_args()
 
     import jax
@@ -63,6 +65,7 @@ def main():
         ActiveWindowConfig,
         {
             "volumetric_map": {"grid_shape": list(args.grid), "voxel_size": 0.1},
+            "detection_stride": args.det_stride,
             "motion_detector": {"type": "FreeSpaceMotionDetector", "min_cluster_size": 400},
             "object_detector": {"type": "ConnectedSemantics", "min_cluster_size": 50},
             "tracker": {"type": "MaxIouTracker"},
@@ -94,6 +97,17 @@ def main():
     print("warmup/compile ...", file=sys.stderr)
     for hf in device_frames[: args.warmup]:
         run_frame(hf)
+    # compile the scroll + forced-emission programs (first camera-driven
+    # scroll otherwise pays its multi-second compile inside the timed run)
+    from khronos_tpu.map import active_volume as av
+    from khronos_tpu.map import meshing
+
+    vol_cfg = aw.config.volumetric_map
+    for shift in (np.array([1, 0, 0], np.int32), np.array([-1, 0, 0], np.int32)):
+        out_mask = av.scroll_out_mask(aw.state, shift)
+        aw._emit_mesh(meshing.forced_emission_mask(aw.state, out_mask))
+        aw.state = av.scroll(vol_cfg, aw.state, shift)
+        aw._origin_np = aw._origin_np + shift
     jax.block_until_ready(aw.state.tsdf)
 
     print("timed run ...", file=sys.stderr)
@@ -107,7 +121,7 @@ def main():
 
     for row in sorted(
         TimingRecorder.instance().stats(), key=lambda r: -r["total_s"]
-    )[:10]:
+    )[:14]:
         print(
             f"  {row['name']}: total={row['total_s']:.2f}s mean={row['mean_s']*1e3:.1f}ms n={row['n_samples']}",
             file=sys.stderr,

@@ -50,6 +50,16 @@ class ActiveWindowConfig:
     # single packed host pull (fused_step.py); the modular path keeps each
     # stage separately inspectable
     fused: bool = True
+    # run detection (motion/object clustering) on an s-strided image; TSDF
+    # integration stays full-res. 2 ~halves the per-frame device time at
+    # 480x640 (see fused_step.make_frame_step). Must divide height and width.
+    detection_stride: int = 1
+    # fused mode: number of frames the host tracker runs behind the device.
+    # The per-frame packed-stats pull costs one tunnel round trip (~28 ms on
+    # the axon dev setup); at lag n the pull has n frames of device compute to
+    # overlap with. Track bookkeeping lags by lag frames; the device-side
+    # dynamic-integration mask is unaffected.
+    tracker_lag: int = 2
     volumetric_map: av.VolumeConfig = dataclasses.field(default_factory=av.VolumeConfig)
     frame_data_buffer: FrameDataBufferConfig = dataclasses.field(
         default_factory=FrameDataBufferConfig
@@ -107,7 +117,7 @@ class ActiveWindow:
         self._pending_mesh_dev: List = []  # in-flight device emission buffers
         self._pending_tracks = []
         self.frame_count = 0
-        self._pending_track_frame = None
+        self._track_queue: List = []  # [(frame, packed_stats), ...] oldest first
         self._sinks: List = []  # per-frame debug sinks (addKhronosSink parity)
         self._build_fused_step()
 
@@ -136,6 +146,7 @@ class ActiveWindow:
                 config.motion_detector.config if config.motion_detector.enabled else None,
                 config.object_detector.config if config.object_detector.enabled else None,
                 label_space,
+                detection_stride=config.detection_stride,
             )
             self._unpack_stats = fs.unpack_stats
 
@@ -248,8 +259,8 @@ class ActiveWindow:
             if self.tracker is not None:
                 referenced = set(self.tracker.referenced_stamps())
                 referenced.add(frame.stamp_ns)
-                if self._pending_track_frame is not None:
-                    referenced.add(self._pending_track_frame[0].stamp_ns)
+                for queued_frame, _ in self._track_queue:
+                    referenced.add(queued_frame.stamp_ns)
                 self.frame_buffer.trim(referenced)
 
             self.frame_count += 1
@@ -266,12 +277,13 @@ class ActiveWindow:
 
     # ------------------------------------------------------------------
     def _track_frame(self, frame: FrameData, packed) -> None:
-        """Queue (frame, packed stats); run the tracker on the PREVIOUS
-        frame's stats so the device->host transfer overlaps device compute."""
-        prev = self._pending_track_frame
-        self._pending_track_frame = (frame, packed)
-        if prev is not None:
-            self._run_tracker(*prev)
+        """Queue (frame, packed stats); run the tracker `tracker_lag` frames
+        behind so the device->host stats transfer fully overlaps device
+        compute (one frame of lag still leaves the pull on the critical
+        path when frame compute < tunnel round trip)."""
+        self._track_queue.append((frame, packed))
+        while len(self._track_queue) > max(1, self.config.tracker_lag):
+            self._run_tracker(*self._track_queue.pop(0))
 
     def _run_tracker(self, frame: FrameData, packed) -> None:
         dyn_c, sem_c, dyn_p, sem_p = self._unpack_stats(np.asarray(packed))
@@ -283,10 +295,9 @@ class ActiveWindow:
             self._pending_tracks.extend(finished)
 
     def _flush_tracker_queue(self) -> None:
-        pending = self._pending_track_frame
-        if pending is not None:
-            self._pending_track_frame = None
-            self._run_tracker(*pending)
+        pending, self._track_queue = self._track_queue, []
+        for item in pending:
+            self._run_tracker(*item)
 
     # ------------------------------------------------------------------
     def finish_mapping(self, frame: Optional[FrameData] = None) -> ActiveWindowOutput:
@@ -305,38 +316,41 @@ class ActiveWindow:
     def _extract_output(self, frame: FrameData) -> ActiveWindowOutput:
         # async single round: leftover cells stay unmeshed and re-emit at the
         # next output; the buffer transfer overlaps upcoming frame compute
-        self._emit_mesh(meshing.archived_emission_mask(self.state), drain=False)
+        with Timer("extract/emit_dispatch", frame.stamp_ns):
+            self._emit_mesh(meshing.archived_emission_mask(self.state), drain=False)
         return self._build_output(
             frame.stamp_ns, np.asarray(frame.R_w_c), np.asarray(frame.t_w_c)
         )
 
     def _emit_mesh(self, emit_mask, drain: bool = True) -> None:
-        """Emit surface cells into the pending mesh list.
+        """Emit surface cells into the pending device-buffer list.
 
-        drain=True loops until every cell in the (recomputed) mask is out —
-        used on scroll-out and finish where the data is about to be dropped.
-        drain=False dispatches ONE device round and defers the host pull
-        (consumed in _build_output); leftover cells re-emit next output."""
+        drain=False dispatches ONE device round; leftover cells re-emit at the
+        next output. drain=True guarantees EVERY cell in the mask is emitted
+        before returning (scroll-out / finish, where the voxel data is about
+        to be dropped) — with ONE host sync: round 1's tiny meta reports how
+        many cells are wanted, and each round is guaranteed to consume at
+        least min_cells_per_round cells, so the remaining rounds are
+        dispatched back-to-back without further syncs (device programs
+        execute in order). Body pulls stay deferred to _build_output."""
         vol_cfg = self.config.volumetric_map
+        max_cells = self.config.mesh_max_cells
+        self.state, packed_dev, meta_dev = meshing.extract_mesh_async(
+            self.state, emit_mask, vol_cfg, max_cells=max_cells
+        )
+        self._pending_mesh_dev.append((packed_dev, meta_dev))
         if not drain:
-            self.state, packed_dev = meshing.extract_mesh_async(
-                self.state, emit_mask, vol_cfg, max_cells=self.config.mesh_max_cells
-            )
-            self._pending_mesh_dev.append(packed_dev)
             return
-        rounds = 0
-        while True:
-            self.state, tris, n_rem = meshing.extract_mesh(
-                vol_cfg, self.state, emit_mask, max_cells=self.config.mesh_max_cells
-            )
-            self._append_mesh_delta(tris)
-            if n_rem == 0:
-                return
-            rounds += 1
-            if rounds > 256:
-                raise RuntimeError("mesh emission did not converge")
+        meta = np.asarray(meta_dev)
+        n_remaining = max(0, int(meta[1]) - int(meta[2]))
+        per_round = meshing.min_cells_per_round(max_cells)
+        rounds = -(-n_remaining // per_round)
+        for _ in range(rounds):
             meshed = self.state.cell_meshed[:-1, :-1, :-1]
-            emit_mask = emit_mask & ~meshed
+            self.state, packed_dev, meta_dev = meshing.extract_mesh_async(
+                self.state, emit_mask & ~meshed, vol_cfg, max_cells=max_cells
+            )
+            self._pending_mesh_dev.append((packed_dev, meta_dev))
 
     def _append_mesh_delta(self, tris) -> None:
         if len(tris["vertices"]):
@@ -356,9 +370,10 @@ class ActiveWindow:
         # unless flush_async (finish) — so each pull is a cheap cache hit.
         keep = [] if flush_async else self._pending_mesh_dev[-1:]
         consume = self._pending_mesh_dev if flush_async else self._pending_mesh_dev[:-1]
-        for packed_dev in consume:
-            tris, _ = meshing.unpack_mesh(np.asarray(packed_dev))
-            self._append_mesh_delta(tris)
+        with Timer("extract/consume_pulls", stamp_ns):
+            for packed_dev, meta_dev in consume:
+                tris, _ = meshing.unpack_mesh(np.asarray(packed_dev), np.asarray(meta_dev))
+                self._append_mesh_delta(tris)
         self._pending_mesh_dev = keep
         # merge pending mesh deltas
         if self._pending_mesh:

@@ -42,14 +42,23 @@ class FrameData:
     depth: jnp.ndarray
     color: jnp.ndarray
     labels: jnp.ndarray
-    R_w_c: jnp.ndarray
-    t_w_c: jnp.ndarray
+    R_w_c: np.ndarray
+    t_w_c: np.ndarray
     instances: Optional[jnp.ndarray] = None
     label_features: Optional[np.ndarray] = None  # [num_instances, D] open-set
     dynamic_image: Optional[jnp.ndarray] = None
     object_image: Optional[jnp.ndarray] = None
     dynamic_clusters: list = dataclasses.field(default_factory=list)
     semantic_clusters: list = dataclasses.field(default_factory=list)
+
+    def __post_init__(self):
+        # Poses are HOST data (9+3 floats, consumed by host bookkeeping every
+        # frame). A device-array pose would force a per-frame device->host
+        # pull, and on this runtime ANY pull serializes behind the whole
+        # device queue (measured: 0.2 ms idle vs 270 ms with a backlog) —
+        # so coerce to numpy exactly once, at construction.
+        self.R_w_c = np.asarray(self.R_w_c, np.float32)
+        self.t_w_c = np.asarray(self.t_w_c, np.float32)
 
     @property
     def stamp_s(self) -> float:

@@ -80,8 +80,8 @@ class SyntheticDataset(Dataset):
                 depth=f["depth"],
                 color=f["color"],
                 labels=f["labels"],
-                R_w_c=jnp.asarray(R_odo),
-                t_w_c=jnp.asarray(t_odo),
+                R_w_c=np.asarray(R_odo, np.float32),
+                t_w_c=np.asarray(t_odo, np.float32),
                 instances=f["instances"] if self.openset else None,
                 label_features=f["features"] if self.openset else None,
             )

@@ -274,8 +274,10 @@ class SyntheticSequence:
             "color": color_img,
             "instances": instances.astype(jnp.int32),
             "features": self.instance_features(),
-            "R_w_c": jnp.asarray(R),
-            "t_w_c": jnp.asarray(pos),
+            # poses stay on host: per-frame host bookkeeping reads them, and a
+            # device->host pull serializes behind the whole device queue
+            "R_w_c": np.asarray(R, np.float32),
+            "t_w_c": np.asarray(pos, np.float32),
             "R_gt": R,
             "t_gt": pos,
         }

@@ -231,25 +231,66 @@ def _extract_device(
 
     kept = (valid_flat & done[:, None]).reshape(C * 12)
     n_tris = jnp.sum(kept.astype(jnp.int32))
-    # single packed buffer -> ONE host transfer per emission round:
-    # [T, 27] = verts(9) colors(9) first(3) last(3) labels(3); one extra row
-    # carries (n_tris, n_want, n_emitted). Compaction by cumsum+scatter.
-    rows = jnp.concatenate(
+
+    # ---- quantized packing: 12 uint32 words / triangle (48 B vs 108 B) ----
+    # The emission pull rides a ~30 MB/s dev tunnel in this setup, so buffer
+    # bytes are the spike cost. verts: u16 in qscale units from the grid base
+    # (<=0.25 mm at 16 m extent); colors: u8; labels: u8 (+1, 0=none);
+    # stamps: u16 ticks from t_base (tick adapts to the buffer's time span).
+    base = state.origin.astype(jnp.float32) * voxel_size  # [3]
+    extent = float(max(X, Y, Z)) * voxel_size
+    qscale = extent / 65535.0
+    kr = kept.reshape(C, 6, 2)
+    f_rows = jnp.where(kr[..., None], vfirst, jnp.inf)
+    l_rows = jnp.where(kr[..., None], vlast, -jnp.inf)
+    t_base = jnp.min(f_rows)
+    t_base = jnp.where(jnp.isfinite(t_base), t_base, 0.0)
+    t_max = jnp.max(l_rows)
+    t_max = jnp.where(jnp.isfinite(t_max), t_max, 0.0)
+    tick = jnp.maximum((t_max - t_base) / 65535.0, 1e-4)
+
+    def q16(v):  # [.., 3, 3] world verts -> u32 of u16 units
+        q = jnp.round((v - base) / qscale)
+        return jnp.clip(q, 0, 65535).astype(jnp.uint32)
+
+    vq = q16(verts).reshape(C * 12, 9)  # u16 in u32
+    cq = jnp.clip(jnp.round(vcolor * 255.0), 0, 255).astype(jnp.uint32).reshape(C * 12, 9)
+    lq = jnp.clip(vlabel + 1, 0, 255).astype(jnp.uint32).reshape(C * 12, 3)
+    fq = jnp.clip(jnp.floor((vfirst - t_base) / tick), 0, 65535).astype(jnp.uint32).reshape(C * 12, 3)
+    gq = jnp.clip(jnp.ceil((vlast - t_base) / tick), 0, 65535).astype(jnp.uint32).reshape(C * 12, 3)
+
+    words = jnp.stack(
         [
-            verts.reshape(C * 12, 9),
-            vcolor.reshape(C * 12, 9),
-            vfirst.reshape(C * 12, 3),
-            vlast.reshape(C * 12, 3),
-            vlabel.reshape(C * 12, 3).astype(jnp.float32),
+            vq[:, 0] | (vq[:, 1] << 16),
+            vq[:, 2] | (vq[:, 3] << 16),
+            vq[:, 4] | (vq[:, 5] << 16),
+            vq[:, 6] | (vq[:, 7] << 16),
+            vq[:, 8],
+            cq[:, 0] | (cq[:, 1] << 8) | (cq[:, 2] << 16) | (cq[:, 3] << 24),
+            cq[:, 4] | (cq[:, 5] << 8) | (cq[:, 6] << 16) | (cq[:, 7] << 24),
+            cq[:, 8] | (lq[:, 0] << 8) | (lq[:, 1] << 16) | (lq[:, 2] << 24),
+            fq[:, 0] | (fq[:, 1] << 16),
+            fq[:, 2] | (gq[:, 0] << 16),
+            gq[:, 1] | (gq[:, 2] << 16),
+            jnp.zeros_like(vq[:, 0]),
         ],
         axis=1,
+    )  # [C*12, 12] uint32
+    packed = compact_rows(words, kept, tri_capacity)
+    meta = jnp.stack(
+        [
+            n_tris.astype(jnp.float32),
+            n_want.astype(jnp.float32),
+            n_emitted.astype(jnp.float32),
+            t_base,
+            tick,
+            jnp.float32(qscale),
+            base[0],
+            base[1],
+            base[2],
+        ]
     )
-    packed = compact_rows(rows, kept, tri_capacity)
-    meta = jnp.zeros((1, 27), jnp.float32)
-    meta = meta.at[0, 0].set(n_tris.astype(jnp.float32))
-    meta = meta.at[0, 1].set(n_want.astype(jnp.float32))
-    meta = meta.at[0, 2].set(n_emitted.astype(jnp.float32))
-    return cell_meshed, jnp.concatenate([packed, meta], axis=0)
+    return cell_meshed, packed, meta
 
 
 def extract_mesh(
@@ -269,38 +310,75 @@ def extract_mesh(
     """
     if tri_capacity is None:
         tri_capacity = max(min(6 * max_cells, 16384), 1024)
-    state, packed_dev = extract_mesh_async(state, emit_mask, config, max_cells, tri_capacity)
-    out, n_remaining = unpack_mesh(np.asarray(packed_dev))
+    state, packed_dev, meta_dev = extract_mesh_async(
+        state, emit_mask, config, max_cells, tri_capacity
+    )
+    out, n_remaining = unpack_mesh(np.asarray(packed_dev), np.asarray(meta_dev))
     return state, out, n_remaining
 
 
-def extract_mesh_async(state, emit_mask, config, max_cells: int = 16384, tri_capacity: int = None):
-    """Device-side emission only: returns (state', packed device buffer).
-    Start the host transfer with copy_to_host_async and unpack later with
-    `unpack_mesh` — lets the mesh pull overlap subsequent frame compute."""
+def min_cells_per_round(max_cells: int, tri_capacity: int = None) -> int:
+    """Guaranteed number of wanted cells consumed by one emission round
+    (each cell yields at most 12 triangles), used to bound drain loops
+    without per-round host syncs."""
     if tri_capacity is None:
         tri_capacity = max(min(6 * max_cells, 16384), 1024)
-    cell_meshed, packed = _extract_device(
+    return max(1, min(max_cells, tri_capacity // 12))
+
+
+def extract_mesh_async(state, emit_mask, config, max_cells: int = 16384, tri_capacity: int = None):
+    """Device-side emission only: returns (state', packed u32 buffer, meta).
+    Start the host transfer with copy_to_host_async and unpack later with
+    `unpack_mesh` — lets the mesh pull overlap subsequent frame compute.
+    `meta` is tiny; pull it alone to learn counts without the body."""
+    if tri_capacity is None:
+        tri_capacity = max(min(6 * max_cells, 16384), 1024)
+    cell_meshed, packed, meta = _extract_device(
         state, emit_mask, config.voxel_size, max_cells, tri_capacity
     )
-    try:
-        packed.copy_to_host_async()
-    except AttributeError:
-        pass
-    return state._replace(cell_meshed=cell_meshed), packed
+    for buf in (packed, meta):
+        try:
+            buf.copy_to_host_async()
+        except AttributeError:
+            pass
+    return state._replace(cell_meshed=cell_meshed), packed, meta
 
 
-def unpack_mesh(packed: np.ndarray):
-    """Packed emission buffer -> (mesh dict, n_remaining)."""
-    n = int(packed[-1, 0])
-    n_want = int(packed[-1, 1])
-    n_emitted = int(packed[-1, 2])
-    body = packed[:n]
+def unpack_mesh(packed: np.ndarray, meta: np.ndarray):
+    """Quantized emission buffer + meta -> (mesh dict, n_remaining)."""
+    n = int(meta[0])
+    n_want = int(meta[1])
+    n_emitted = int(meta[2])
+    t_base, tick, qscale = float(meta[3]), float(meta[4]), float(meta[5])
+    base = meta[6:9].astype(np.float32)
+    body = packed[:n].astype(np.uint32)
+
+    def u16(col, hi):
+        w = body[:, col]
+        return ((w >> 16) if hi else (w & 0xFFFF)).astype(np.float32)
+
+    vq = np.stack(
+        [u16(0, 0), u16(0, 1), u16(1, 0), u16(1, 1), u16(2, 0), u16(2, 1),
+         u16(3, 0), u16(3, 1), u16(4, 0)],
+        axis=1,
+    )
+    verts = (vq * qscale + np.tile(base, 3)[None, :]).reshape(-1, 3, 3)
+    cb = np.stack(
+        [(body[:, 5] >> s) & 0xFF for s in (0, 8, 16, 24)]
+        + [(body[:, 6] >> s) & 0xFF for s in (0, 8, 16, 24)]
+        + [body[:, 7] & 0xFF],
+        axis=1,
+    ).astype(np.float32) / 255.0
+    labels = np.stack(
+        [(body[:, 7] >> s) & 0xFF for s in (8, 16, 24)], axis=1
+    ).astype(np.int32) - 1
+    first = np.stack([u16(8, 0), u16(8, 1), u16(9, 0)], axis=1) * tick + t_base
+    last = np.stack([u16(9, 1), u16(10, 0), u16(10, 1)], axis=1) * tick + t_base
     out = {
-        "vertices": body[:, 0:9].reshape(-1, 3, 3),
-        "colors": body[:, 9:18].reshape(-1, 3, 3),
-        "first_obs": body[:, 18:21],
-        "last_obs": body[:, 21:24],
-        "labels": body[:, 24:27].astype(np.int32),
+        "vertices": verts.astype(np.float32),
+        "colors": cb.reshape(-1, 3, 3),
+        "first_obs": first.astype(np.float32),
+        "last_obs": last.astype(np.float32),
+        "labels": labels,
     }
     return out, max(0, n_want - n_emitted)

@@ -122,6 +122,25 @@ def cluster_voxel_counts(
     )[:-1]
 
 
+def exclusive_cumsum_1d(x: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
+    """Exclusive prefix sum of an int vector, blockwise two-pass.
+
+    A flat `jnp.cumsum` over ~1M elements lowers to a serial scan on TPU
+    (measured ~28 ms per 1.2M on v5e); reshaping to [rows, block] makes the
+    inner scan vectorize across rows (sublanes) and leaves only a tiny
+    row-offset scan — ~1 ms for the same input."""
+    n = x.shape[0]
+    rows = -(-n // block)
+    pad = rows * block - n
+    m = jnp.pad(x.astype(jnp.int32), (0, pad)).reshape(rows, block)
+    within = jnp.cumsum(m, axis=1)
+    row_tot = within[:, -1]
+    offs = jnp.cumsum(row_tot) - row_tot  # exclusive row offsets
+    incl = within + offs[:, None]
+    excl = incl - m
+    return excl.reshape(-1)[:n]
+
+
 def compact_indices(mask_flat: jnp.ndarray, capacity: int) -> jnp.ndarray:
     """Indices of True elements (ascending), -1 padded, via cumsum+scatter.
 
@@ -129,7 +148,7 @@ def compact_indices(mask_flat: jnp.ndarray, capacity: int) -> jnp.ndarray:
     costs ~90 ms per 1M elements on v5e while scatter runs in well under a
     millisecond."""
     n = mask_flat.shape[0]
-    pos = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
+    pos = exclusive_cumsum_1d(mask_flat.astype(jnp.int32))
     slot = jnp.where(mask_flat & (pos < capacity), pos, capacity)
     out = jnp.full((capacity + 1,), -1, jnp.int32).at[slot].set(
         jnp.arange(n, dtype=jnp.int32)
@@ -140,8 +159,7 @@ def compact_indices(mask_flat: jnp.ndarray, capacity: int) -> jnp.ndarray:
 def compact_rows(values: jnp.ndarray, mask: jnp.ndarray, capacity: int) -> jnp.ndarray:
     """Rows of `values` [N, D] where mask, packed ascending into
     [capacity, D] (zero padded), via cumsum+scatter (no sort)."""
-    n = values.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    pos = exclusive_cumsum_1d(mask.astype(jnp.int32))
     slot = jnp.where(mask & (pos < capacity), pos, capacity)
     out = jnp.zeros((capacity + 1, values.shape[1]), values.dtype).at[slot].set(values)
     return out[:capacity]
