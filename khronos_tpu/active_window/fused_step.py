@@ -111,6 +111,12 @@ def make_frame_step(
     def _upsample(img):
         return jnp.repeat(jnp.repeat(img, s, axis=0), s, axis=1) if s > 1 else img
 
+    # all grid work (detection scatters/growth + integration) runs in a
+    # camera-centered crop: every voxel within max_range is inside it, and
+    # the crop is typically ~2x smaller than the full grid
+    crop = av.crop_shape_for_camera(vol_cfg, camera)
+    cropping = any(c < g for c, g in zip(crop, shape))
+
     def step(state, depth, color, labels, R_w_c, t_w_c, t_now):
         depth_d = depth[::s, ::s]
         labels_d = labels[::s, ::s]
@@ -119,17 +125,20 @@ def make_frame_step(
         max_r = min(camera.max_range, md_cfg.max_range if md_enabled else camera.max_range)
         valid = (depth_d > camera.min_range) & (depth_d <= max_r)
 
-        idx = jnp.floor(points_w / vol_cfg.voxel_size).astype(jnp.int32) - state.origin
-        in_grid = ((idx >= 0) & (idx < jnp.asarray(shape, jnp.int32))).all(-1) & valid
+        start = av.crop_start(vol_cfg, state, t_w_c, crop)
+        sub = av.slice_state(state, start, crop) if cropping else state
+
+        idx = jnp.floor(points_w / vol_cfg.voxel_size).astype(jnp.int32) - sub.origin
+        in_grid = ((idx >= 0) & (idx < jnp.asarray(crop, jnp.int32))).all(-1) & valid
         ci = jnp.where(in_grid, idx[..., 0], 0)
         cj = jnp.where(in_grid, idx[..., 1], 0)
         ck = jnp.where(in_grid, idx[..., 2], 0)
-        lin = _lin_iota(shape)
+        lin = _lin_iota(crop)
 
         # ---------------- motion detection ----------------
         if md_enabled:
-            scan = jnp.zeros(shape, jnp.bool_).at[ci, cj, ck].max(in_grid)
-            seeds = scan & state.ever_free
+            scan = jnp.zeros(crop, jnp.bool_).at[ci, cj, ck].max(in_grid)
+            seeds = scan & sub.ever_free
             growable = dilate(seeds, merge_dilation) if merge_dilation > 0 else seeds
             mlab = propagate_labels_3d(
                 jnp.where(seeds, lin, -1), growable, md_cfg.grow_iterations
@@ -145,7 +154,7 @@ def make_frame_step(
                 dyn_compact, points_w, max_clusters=MC
             )
             # voxel counts from pixel (cluster, voxel) keys — avoids a 1M sort
-            vox_lin = (ci * shape[1] + cj) * shape[2] + ck
+            vox_lin = (ci * crop[1] + cj) * crop[2] + ck
             d_vox = cl.cluster_voxel_counts(dyn_compact, vox_lin, MC)
             d_keep = (d_counts >= md_min_px) & (d_counts <= md_max_px)
             dynamic_image, d_ids = cl.filter_and_renumber(dyn_compact, d_keep)
@@ -169,7 +178,7 @@ def make_frame_step(
             oci = jnp.where(ok, ci, 0)
             ocj = jnp.where(ok, cj, 0)
             ock = jnp.where(ok, ck, 0)
-            vclass = jnp.full(shape, -1, jnp.int32).at[oci, ocj, ock].max(
+            vclass = jnp.full(crop, -1, jnp.int32).at[oci, ocj, ock].max(
                 jnp.where(ok, pix_class, -1)
             )
             ogrow = vclass >= 0
@@ -200,10 +209,11 @@ def make_frame_step(
         # ---------------- integrate + archival (full resolution) ----------
         dynamic_image = _upsample(dynamic_image)
         object_image = _upsample(object_image)
-        state = av.integrate_frame(
-            vol_cfg, camera, state, depth, color, labels,
+        sub = av.integrate_frame(
+            vol_cfg, camera, sub, depth, color, labels,
             dynamic_image > 0, R_w_c, t_w_c, t_now,
         )
+        state = av.unslice_state(state, sub, start) if cropping else sub
         state = av.update_archival(vol_cfg, state, t_now)
 
         # ---------------- pack stats ----------------

@@ -273,6 +273,92 @@ def integrate_frame(
     )
 
 
+def crop_shape_for_camera(config: VolumeConfig, camera: Camera) -> Tuple[int, int, int]:
+    """Static xy crop size (voxels) of a box guaranteed to contain the camera
+    frustum (range ball + truncation + one-voxel stencil margin), rounded up
+    to a multiple of 8; z is never cropped (grids are shallow)."""
+    need = int(np.ceil(2.0 * (camera.max_range + config.truncation_distance) / config.voxel_size)) + 4
+    need = (need + 7) // 8 * 8
+    X, Y, Z = config.grid_shape
+    return (min(X, need), min(Y, need), Z)
+
+
+def integrate_frame_cropped(
+    config: VolumeConfig,
+    camera: Camera,
+    state: VolumeState,
+    depth: jnp.ndarray,
+    color: jnp.ndarray,
+    labels: jnp.ndarray,
+    exclusion_mask: jnp.ndarray,
+    R_w_c: jnp.ndarray,
+    t_w_c: jnp.ndarray,
+    t_now: jnp.ndarray,
+) -> VolumeState:
+    """integrate_frame restricted to a camera-centered subgrid.
+
+    The projective update only touches voxels within max_range of the camera,
+    so slicing a frustum-bounding box (usually ~2x fewer voxels at the default
+    160x160 grid / 5 m range) halves the dominant per-voxel image-gather cost.
+    The box includes a stencil margin, so every voxel within range sees its
+    true 26-neighborhood for the ever-free update; voxels outside the box are
+    untouched (exactly like out-of-frustum voxels in the full pass)."""
+    crop = crop_shape_for_camera(config, camera)
+    X, Y, Z = state.tsdf.shape
+    if all(c >= s for c, s in zip(crop, (X, Y, Z))):
+        return integrate_frame(
+            config, camera, state, depth, color, labels, exclusion_mask,
+            R_w_c, t_w_c, t_now,
+        )
+    start = crop_start(config, state, t_w_c, crop)
+    sub = slice_state(state, start, crop)
+    sub = integrate_frame(
+        config, camera, sub, depth, color, labels, exclusion_mask, R_w_c, t_w_c, t_now
+    )
+    return unslice_state(state, sub, start)
+
+
+def crop_start(config: VolumeConfig, state: VolumeState, t_w_c, crop) -> jnp.ndarray:
+    """Camera-centered crop start (grid-local voxel index, clamped in-bounds)."""
+    X, Y, Z = state.tsdf.shape
+    cam_vox = jnp.floor(t_w_c / config.voxel_size).astype(jnp.int32) - state.origin
+    return jnp.clip(
+        cam_vox - jnp.asarray(crop, jnp.int32) // 2,
+        0,
+        jnp.asarray((X - crop[0], Y - crop[1], Z - crop[2]), jnp.int32),
+    )
+
+
+def slice_state(state: VolumeState, start: jnp.ndarray, crop) -> VolumeState:
+    sx, sy, sz = start[0], start[1], start[2]
+
+    def take(a):
+        extra = a.shape[3:]
+        return jax.lax.dynamic_slice(a, (sx, sy, sz) + (0,) * len(extra), tuple(crop) + extra)
+
+    return VolumeState(
+        origin=state.origin + start,
+        **{f: take(getattr(state, f)) for f in VolumeState._fields if f != "origin"},
+    )
+
+
+def unslice_state(full: VolumeState, sub: VolumeState, start: jnp.ndarray) -> VolumeState:
+    sx, sy, sz = start[0], start[1], start[2]
+
+    def put(a, part):
+        extra = a.shape[3:]
+        return jax.lax.dynamic_update_slice(a, part, (sx, sy, sz) + (0,) * len(extra))
+
+    return VolumeState(
+        origin=full.origin,
+        **{
+            f: put(getattr(full, f), getattr(sub, f))
+            for f in VolumeState._fields
+            if f != "origin"
+        },
+    )
+
+
 def update_archival(config: VolumeConfig, state: VolumeState, t_now) -> VolumeState:
     """Flag voxels unobserved for temporal_window as archived
     (TrackingIntegrator::resetInactive equivalent; data stays until reuse).
