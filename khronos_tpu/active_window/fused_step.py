@@ -74,6 +74,8 @@ def make_frame_step(
     label_space: LabelSpace,
     donate: bool = True,
     detection_stride: int = 1,
+    crop: bool = True,
+    jit: bool = True,
 ):
     """Build the fused jitted step:
     step(state, depth, color, labels, R, t, t_now)
@@ -113,8 +115,10 @@ def make_frame_step(
 
     # all grid work (detection scatters/growth + integration) runs in a
     # camera-centered crop: every voxel within max_range is inside it, and
-    # the crop is typically ~2x smaller than the full grid
-    crop = av.crop_shape_for_camera(vol_cfg, camera)
+    # the crop is typically ~2x smaller than the full grid. Disabled for
+    # spatially-sharded volumes (a dynamic slice across the sharded axis
+    # would force cross-device gathers; sharded grids want full-width SPMD).
+    crop = av.crop_shape_for_camera(vol_cfg, camera) if crop else tuple(shape)
     cropping = any(c < g for c, g in zip(crop, shape))
 
     def step(state, depth, color, labels, R_w_c, t_w_c, t_now):
@@ -250,6 +254,8 @@ def make_frame_step(
         )
         return state, dynamic_image, object_image, packed
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 

@@ -58,6 +58,91 @@ def shard_volume(state: av.VolumeState, mesh: Mesh, axis: str = "x") -> av.Volum
     return jax.tree.map(jax.device_put, state, shardings)
 
 
+def make_sharded_frame_step(
+    config: av.VolumeConfig,
+    camera,
+    md_cfg,
+    od_cfg,
+    label_space,
+    mesh: Mesh,
+    axis: str = "x",
+    detection_stride: int = 1,
+):
+    """The FULL fused active-window frame step (motion detection, object
+    detection, TSDF+tracking integration, packed cluster stats) compiled SPMD
+    over the device mesh: the voxel grid is sharded spatially on its leading
+    axis, camera images are replicated, detection scatters partition onto the
+    owning shard, the 3x3x3 stencils halo-exchange over ICI, and the
+    pixel-side cluster reductions run replicated (they are image-sized).
+
+    Returns step(state, depth, color, labels, R, t, t_now) ->
+    (state', dynamic_image, object_image, packed_stats) like
+    fused_step.make_frame_step. Cropping is disabled (see make_frame_step)."""
+    from khronos_tpu.active_window import fused_step as fs
+
+    raw = fs.make_frame_step(
+        config,
+        camera,
+        md_cfg,
+        od_cfg,
+        label_space,
+        detection_stride=detection_stride,
+        crop=False,
+        jit=False,
+    )
+    vol_shard = volume_sharding(mesh, axis)
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        raw,
+        in_shardings=(vol_shard, rep, rep, rep, rep, rep, rep),
+        out_shardings=(vol_shard, rep, rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_sharded_ray_query(verificator, mesh: Mesh, axis: str = "x"):
+    """Shard the change-detection ray check over the device mesh: query
+    points split across devices, ray library (CSR block hash) replicated —
+    the '§2.7 CD shards over hosts' axis. Returns query(points [P,3]) ->
+    evidence [P, num_bins, 2] (P padded to a multiple of the mesh size
+    internally)."""
+    from khronos_tpu.changes import ray_verificator as rv
+
+    cfg = verificator.config
+    n = mesh.devices.size
+    shard_p = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def query(points: np.ndarray) -> np.ndarray:
+        P_n = len(points)
+        if not verificator._built or P_n == 0:
+            return np.zeros((P_n, cfg.num_bins, 2), np.int32)
+        pad = (-P_n) % (n * 8)
+        pts = np.asarray(points, np.float32)
+        if pad:
+            pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+        ev = rv._query_device(
+            jax.device_put(jnp.asarray(pts), shard_p),
+            jax.device_put(verificator.sorted_cells, rep),
+            jax.device_put(verificator.sorted_rays, rep),
+            jax.device_put(verificator.cell_start, rep),
+            jax.device_put(verificator.origins, rep),
+            jax.device_put(verificator.targets, rep),
+            jax.device_put(verificator.stamps_s, rep),
+            jax.device_put(jnp.asarray(verificator.origin_cell), rep),
+            jax.device_put(jnp.asarray(verificator.dims), rep),
+            cfg.block_size,
+            cfg.radial_tolerance,
+            cfg.depth_tolerance,
+            cfg.temporal_resolution,
+            cfg.num_bins,
+            cfg.max_candidates,
+        )
+        return np.asarray(ev)[:P_n]
+
+    return query
+
+
 def make_sharded_step(config: av.VolumeConfig, camera, mesh: Mesh, axis: str = "x"):
     """Jit the fused integrate+archival step with explicit in/out shardings.
 

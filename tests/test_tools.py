@@ -140,6 +140,87 @@ class TestMultiDevice:
         # sharding actually applied
         assert len(sharded.tsdf.sharding.device_set) == 8
 
+    def test_sharded_full_frame_step_matches_single_device(self):
+        """The FULL fused frame step (motion+object detection + integration +
+        packed stats) over 8 devices must match the unsharded program."""
+        import jax
+        import jax.numpy as jnp
+
+        from khronos_tpu.active_window import fused_step as fs
+        from khronos_tpu.active_window.motion_detection import (
+            FreeSpaceMotionDetectorConfig,
+        )
+        from khronos_tpu.active_window.object_detection import (
+            ConnectedSemanticsConfig,
+            LabelSpace,
+        )
+        from khronos_tpu.geometry.camera import Camera
+        from khronos_tpu.map import active_volume as av
+        from khronos_tpu.parallel import sharding as sh
+
+        assert len(jax.devices()) >= 8
+        cfg = av.VolumeConfig(grid_shape=(64, 32, 16), voxel_size=0.1)
+        cam = Camera(48, 64, 40.0, 40.0, 32.0, 24.0, max_range=5.0)
+        ls = LabelSpace(num_classes=7, object_labels=[2, 3, 4, 5, 6], dynamic_labels=[1])
+        md = FreeSpaceMotionDetectorConfig(min_cluster_size=5)
+        od = ConnectedSemanticsConfig(min_cluster_size=5)
+
+        depth = jnp.full((48, 64), 0.8, jnp.float32)
+        color = jnp.full((48, 64, 3), 0.4, jnp.float32)
+        labels = np.zeros((48, 64), np.int32)
+        labels[10:30, 20:44] = 3
+        labels = jnp.asarray(labels)
+        R = np.eye(3, dtype=np.float32)
+        t = np.zeros(3, np.float32)
+
+        ref_step = fs.make_frame_step(cfg, cam, md, od, ls, donate=False, crop=False)
+        st0 = av.create(cfg, origin_xyz=np.array([-3.2, -1.6, -0.6]))
+        ref, rd, ro, rp = ref_step(st0, depth, color, labels, R, t, jnp.float32(0.5))
+
+        mesh = sh.make_mesh(8)
+        sh_state = sh.shard_volume(st0, mesh)
+        step = sh.make_sharded_frame_step(cfg, cam, md, od, ls, mesh)
+        out, sd, so, sp = step(sh_state, depth, color, labels, R, t, jnp.float32(0.5))
+
+        np.testing.assert_allclose(np.asarray(ref.tsdf), np.asarray(out.tsdf), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ro), np.asarray(so))
+        np.testing.assert_allclose(np.asarray(rp), np.asarray(sp), atol=1e-4)
+        assert len(out.tsdf.sharding.device_set) == 8
+        assert np.asarray(so).max() > 0, "object not detected in sharded step"
+
+    def test_sharded_ray_query_matches_single_device(self):
+        import jax
+
+        from khronos_tpu.changes.ray_verificator import (
+            RayVerificator,
+            RayVerificatorConfig,
+        )
+        from khronos_tpu.parallel import sharding as sh
+        from khronos_tpu.stm.scene_graph import AgentNode, Mesh, SceneGraph
+
+        rng = np.random.default_rng(3)
+        dsg = SceneGraph()
+        nv = 50
+        dsg.mesh = Mesh(
+            vertices=rng.uniform(-2, 2, (nv, 3)).astype(np.float32),
+            colors=np.zeros((nv, 3), np.float32),
+            faces=np.zeros((0, 3), np.int64),
+            first_seen_ns=np.full(nv, 10**9, np.int64),
+            last_seen_ns=np.full(nv, 20 * 10**9, np.int64),
+            labels=np.zeros(nv, np.int32),
+        )
+        dsg.agents = [
+            AgentNode(int(k * 1e9), np.eye(3), rng.uniform(-1, 1, 3).astype(np.float32), k)
+            for k in range(12)
+        ]
+        ver = RayVerificator(RayVerificatorConfig(ray_policy="All"))
+        ver.build(dsg)
+        ref = ver.query(dsg.mesh.vertices)
+        mesh = sh.make_mesh(8)
+        squery = sh.make_sharded_ray_query(ver, mesh)
+        got = squery(dsg.mesh.vertices)
+        np.testing.assert_array_equal(ref, got)
+
 
 class TestCli:
     def test_run_module_smoke(self, tmp_path):
