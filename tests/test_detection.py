@@ -13,6 +13,7 @@ from khronos_tpu.active_window.object_detection import (
     LabelSpace,
 )
 from khronos_tpu.data import synthetic as syn
+from khronos_tpu.geometry.camera import Camera
 from khronos_tpu.map import active_volume as av
 
 
@@ -172,3 +173,49 @@ class TestObjectDetection:
         ids = [c.cluster_id for c in clusters]
         assert len(ids) == len(set(ids))
         assert max_tables_in_frame >= 1
+
+
+class TestDetectionStride:
+    def test_strided_detection_matches_full_res(self):
+        """detection_stride=2 must find the same object cluster (same centroid
+        within 5 cm, upsampled mask IoU > 0.8) as full-res detection."""
+        import jax.numpy as jnp
+
+        from khronos_tpu.active_window import fused_step as fs
+        from khronos_tpu.map import active_volume as av
+
+        H, W = 96, 128
+        cfg = av.VolumeConfig(grid_shape=(64, 64, 32), voxel_size=0.1)
+        cam = Camera(height=H, width=W, fx=80.0, fy=80.0, cx=64.0, cy=48.0, max_range=5.0)
+        ls = syn.default_label_space()
+        md = FreeSpaceMotionDetectorConfig(min_cluster_size=40)
+        od = ConnectedSemanticsConfig(min_cluster_size=40)
+
+        depth = np.full((H, W), 1.2, np.float32)
+        labels = np.zeros((H, W), np.int32)
+        labels[30:60, 40:80] = syn.TABLE
+        color = np.full((H, W, 3), 0.5, np.float32)
+        R = np.eye(3, dtype=np.float32)
+        t = np.zeros(3, np.float32)
+
+        outs = {}
+        for s in (1, 2):
+            step = fs.make_frame_step(cfg, cam, md, od, ls, donate=False, detection_stride=s)
+            state = av.create(cfg, origin_xyz=np.array([-3.2, -3.2, -1.6]))
+            _, _, oimg, packed = step(
+                state, jnp.asarray(depth), jnp.asarray(color), jnp.asarray(labels),
+                R, t, jnp.float32(0.5),
+            )
+            _, sem_c, _, _ = fs.unpack_stats(np.asarray(packed))
+            outs[s] = (np.asarray(oimg), sem_c)
+
+        (o1, c1), (o2, c2) = outs[1], outs[2]
+        assert o1.shape == o2.shape == (H, W)
+        assert len(c1) == len(c2) == 1
+        assert c1[0].category_id == c2[0].category_id == syn.TABLE
+        np.testing.assert_allclose(c1[0].centroid, c2[0].centroid, atol=0.05)
+        m1, m2 = o1 > 0, o2 > 0
+        iou = (m1 & m2).sum() / (m1 | m2).sum()
+        assert iou > 0.8, f"upsampled object mask IoU {iou:.2f}"
+        # detection-res pixel counts scale ~1/4
+        assert abs(c2[0].num_pixels * 4 - c1[0].num_pixels) < 0.2 * c1[0].num_pixels
