@@ -32,7 +32,11 @@ from khronos_tpu.utils.timing import Timer
 
 @dataclasses.dataclass
 class ReconcilerConfig:
-    time_estimates_conservative: bool = True
+    # Reference default AND all shipped pipeline configs are optimistic
+    # (reconciler.h:71 `= false`, uHumans2.yaml:199): without absence
+    # evidence an object is presumed present [0, inf) — this is what makes
+    # a once-seen chair still "present" when you query a later robot time.
+    time_estimates_conservative: bool = False
     merge_object_meshes: bool = False  # else: keep the larger mesh
     mesh_merger: str = "ChangeMerger"  # 'ChangeMerger' | 'OverwriteMesh' | 'none'
     object_proximity_threshold: float = 0.08  # m (vertices near objects removed)

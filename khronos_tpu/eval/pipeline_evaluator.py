@@ -29,6 +29,7 @@ from khronos_tpu.eval.evaluators import (
     evaluate_dynamic,
     evaluate_mesh,
     evaluate_objects,
+    min_distances,
 )
 from khronos_tpu.stm.spatio_temporal_map import SpatioTemporalMap
 
@@ -40,6 +41,12 @@ class PipelineEvaluatorConfig:
     dynamic: DynamicEvaluatorConfig = dataclasses.field(default_factory=DynamicEvaluatorConfig)
     changes: ChangeEvalConfig = dataclasses.field(default_factory=ChangeEvalConfig)
     only_final: bool = False  # evaluate only the last snapshot
+    # Reference GT-builder protocol (tesse_ground_truth_builder.cpp:100-127
+    # pruneUnobservedAreas, max_observation_distance 0.1 in
+    # config/ground_truth/office.yaml:11): GT background points farther than
+    # this from the system's own observed (final) mesh are pruned, so
+    # completeness measures observed areas only. <= 0 disables.
+    max_observation_distance: float = 0.1
 
 
 class SceneGroundTruth:
@@ -131,13 +138,23 @@ class PipelineEvaluator:
         gt_dyn = gt.gt_dynamic_trajectories()
         seq_end_ns = int(gt.duration_s * 1e9)
 
+        observed = None
+        if cfg.max_observation_distance > 0:
+            observed = stm.get_dsg(stamps[-1]).mesh.vertices
+
+        def prune_to_observed(gt_pts: np.ndarray) -> np.ndarray:
+            if observed is None or not len(observed) or not len(gt_pts):
+                return gt_pts
+            d = min_distances(gt_pts.astype(np.float32), observed.astype(np.float32))
+            return gt_pts[d <= cfg.max_observation_distance]
+
         for robot_ns in eval_stamps:
             dsg = stm.get_dsg(robot_ns)
             for q_s in query_times_s:
                 q_ns = int(q_s * 1e9)
                 if q_ns > robot_ns:
                     continue
-                gt_bg = gt.background_points(q_s)
+                gt_bg = prune_to_observed(gt.background_points(q_s))
                 m = evaluate_mesh(dsg.mesh.vertices, gt_bg, cfg.mesh)
                 m.update({"robot_time_ns": robot_ns, "query_time_ns": q_ns})
                 mesh_rows.append(m)

@@ -78,7 +78,10 @@ def office_run(tmp_path_factory):
         )
         gts.append((f["R_gt"], f["t_gt"]))
     mgr.run(frames, gts)
-    gt = SceneGroundTruth(scene, DURATION, n_bg_points=6000)
+    # dense GT: at 6k samples over the whole scene the mean GT spacing
+    # (~0.2 m) dominates the accuracy metric; 30k measures the mesh, not
+    # the sampling
+    gt = SceneGroundTruth(scene, DURATION, n_bg_points=30000)
     return scene, pipe, out_dir, gt
 
 
@@ -99,8 +102,21 @@ class TestOfficePipeline:
         ev = PipelineEvaluator(PipelineEvaluatorConfig(only_final=True))
         summary = ev.evaluate(pipe.map, gt, out_dir + "/results")
         mesh = summary["mesh"]
-        assert mesh["accuracy@0.2"] > 0.65, mesh
-        assert mesh["completeness@0.2"] > 0.35, mesh
+        # reference office (khronos_eval/README.md:13-16, its own protocol —
+        # GT pruned to observed areas): acc 99.3 / comp 77.0 / F1 84.1.
+        # Measured here: acc 0.98 / comp 0.999 / F1 0.989 — asserted with
+        # slack for seed drift.
+        assert mesh["accuracy@0.2"] > 0.9, mesh
+        assert mesh["completeness@0.2"] > 0.9, mesh
+        assert mesh["f1@0.2"] > 0.9, mesh
+        obj = summary["objects"]
+        # reference office object P/R: 98.6 / 43.3; measured here 1.0 / 1.0
+        assert obj["precision"] > 0.8, obj
+        assert obj["recall"] > 0.8, obj
+        ch = summary["changes"]
+        # reference office change P/R: 34.7 / 49.3; measured 0.67 / 1.0
+        assert ch["change_recall"] > 0.5, ch
+        assert ch["change_precision"] > 0.3, ch
 
     def test_loop_closure_fired(self, office_run):
         scene, pipe, out_dir, gt = office_run
