@@ -61,18 +61,37 @@ def main():
         ),
     )
 
-    aw_cfg = build(
-        ActiveWindowConfig,
-        {
-            "volumetric_map": {"grid_shape": list(args.grid), "voxel_size": 0.1},
-            "detection_stride": args.det_stride,
-            "motion_detector": {"type": "FreeSpaceMotionDetector", "min_cluster_size": 400},
-            "object_detector": {"type": "ConnectedSemantics", "min_cluster_size": 50},
-            "tracker": {"type": "MaxIouTracker"},
-            "object_extractor": {"type": "MeshObjectExtractor"},
-        },
-    )
-    aw = ActiveWindow(aw_cfg, seq.camera, syn.default_label_space())
+    aw_dict = {
+        "volumetric_map": {"grid_shape": list(args.grid), "voxel_size": 0.1},
+        "detection_stride": args.det_stride,
+        "motion_detector": {"type": "FreeSpaceMotionDetector", "min_cluster_size": 400},
+        "object_detector": {"type": "ConnectedSemantics", "min_cluster_size": 50},
+        "tracker": {"type": "MaxIouTracker"},
+        "object_extractor": {"type": "MeshObjectExtractor"},
+    }
+    pipe = None
+    if args.full_pipeline:
+        from khronos_tpu.pipeline.pipeline import KhronosPipeline, PipelineConfig
+
+        pipe_cfg = build(
+            PipelineConfig,
+            {
+                "active_window": aw_dict,
+                "backend": {"lcd": {"type": "GtLoopClosure", "min_time_gap": 8.0, "max_distance": 1.0}},
+                "label_space": {
+                    "num_classes": 7,
+                    "object_labels": [2, 3, 4, 5, 6],
+                    "dynamic_labels": [1],
+                },
+                # reference cadence: every 50 frames + on LC (uHumans2.yaml:7)
+                "run_change_detection_every_n_frames": 50,
+            },
+        )
+        pipe = KhronosPipeline(pipe_cfg, seq.camera)
+        aw = pipe.active_window
+    else:
+        aw_cfg = build(ActiveWindowConfig, aw_dict)
+        aw = ActiveWindow(aw_cfg, seq.camera, syn.default_label_space())
 
     n_total = args.frames + args.warmup
     print(f"rendering {n_total} frames (device-resident) ...", file=sys.stderr)
@@ -81,6 +100,26 @@ def main():
         f = seq.render_frame(i)
         jax.block_until_ready(f["depth"])
         device_frames.append(f)
+
+    cd_queue = None
+    cd_thread = None
+    if pipe is not None:
+        # detached change detection (the reference's detached thread,
+        # backend.cpp:189-216): CD never blocks the frame loop
+        import queue
+        import threading
+
+        cd_queue = queue.Queue()
+
+        def cd_worker():
+            while True:
+                req = cd_queue.get()
+                if req is None:
+                    return
+                pipe.run_change_detection_on(*req)
+
+        cd_thread = threading.Thread(target=cd_worker, daemon=True)
+        cd_thread.start()
 
     def run_frame(f):
         frame = FrameData(
@@ -91,7 +130,12 @@ def main():
             R_w_c=f["R_w_c"],
             t_w_c=f["t_w_c"],
         )
-        aw.spin_once(frame)
+        if pipe is not None:
+            req = pipe.process_frame(frame, gt_pose=(f["R_gt"], f["t_gt"]), defer_cd=True)
+            if req is not None:
+                cd_queue.put(req)
+        else:
+            aw.spin_once(frame)
         return frame
 
     print("warmup/compile ...", file=sys.stderr)
@@ -116,6 +160,9 @@ def main():
         run_frame(hf)
     jax.block_until_ready(aw.state.tsdf)
     dt = time.perf_counter() - t0
+    if cd_thread is not None:
+        cd_queue.put(None)
+        cd_thread.join(timeout=600)
 
     from khronos_tpu.utils.timing import TimingRecorder
 
@@ -128,10 +175,11 @@ def main():
         )
 
     fps = args.frames / dt
+    name = "full_pipeline" if args.full_pipeline else "active_window"
     print(
         json.dumps(
             {
-                "metric": "active_window_fps_1chip_office_synthetic_480x640",
+                "metric": f"{name}_fps_1chip_office_synthetic_{args.height}x{args.width}",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 25.0, 3),

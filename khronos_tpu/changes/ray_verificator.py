@@ -88,6 +88,27 @@ def _linearize(cells, dims):
     return jnp.where(inb, lin, -1)
 
 
+@functools.partial(jax.jit, static_argnames=("dims_t", "block_size", "max_steps"))
+def _build_index_device(origins, targets, stamps, origin_cell, dims_t, block_size, max_steps):
+    """March rays into the coarse cell hash and build the CSR index:
+    (sorted_cells, sorted_rays, cell_start[prod(dims)+1])."""
+    dims = jnp.asarray(dims_t, jnp.int32)
+    C = int(np.prod(dims_t))
+    cells = _ray_cells(origins, targets, origin_cell, block_size, max_steps)  # [R,S,3]
+    lin = _linearize(cells, dims)  # [R, S]
+    R, S = lin.shape
+    ray_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, S))
+    # dedup consecutive duplicates (same cell repeated along the march)
+    prev = jnp.concatenate([jnp.full((R, 1), -2, jnp.int32), lin[:, :-1]], axis=1)
+    keep = (lin != prev) & (lin >= 0)
+    flat_cells = jnp.where(keep.reshape(-1), lin.reshape(-1), C)  # C = sentinel end
+    order = jnp.argsort(flat_cells, stable=True)
+    sorted_cells = flat_cells[order]
+    sorted_rays = ray_ids.reshape(-1)[order]
+    cell_start = jnp.searchsorted(sorted_cells, jnp.arange(C + 1, dtype=jnp.int32))
+    return sorted_cells, sorted_rays, cell_start
+
+
 @functools.partial(jax.jit, static_argnames=("num_bins", "max_candidates"))
 def _query_device(
     points,  # [P, 3]
@@ -191,6 +212,18 @@ class RayVerificator:
         # drop duplicate (vertex, observer) rays
         self._build_index(origins, targets, stamps)
 
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Round n up to a coarse bucket (~12.5% overshoot max) so device
+        programs compile once per bucket, not once per exact ray count —
+        an unbucketed build recompiles EVERY change-detection pass as the
+        mesh grows (measured ~90 s/compile for 300k rays on the dev tunnel
+        vs 0.09 s cached)."""
+        if n <= 4096:
+            return 4096
+        step = 1 << max(int(np.log2(n)) - 2, 10)
+        return ((n + step - 1) // step) * step
+
     def _build_index(self, origins, targets, stamps):
         cfg = self.config
         all_pts = np.concatenate([origins, targets])
@@ -200,34 +233,41 @@ class RayVerificator:
         dims = (
             np.floor(hi / cfg.block_size).astype(np.int32) - self.origin_cell + 2
         )
+        # dims rounded up per axis: cell_start has shape prod(dims)+1, which
+        # must also re-hit the compile cache as the scene bbox creeps
+        dims = ((dims + 7) // 8) * 8
         self.dims = dims.astype(np.int32)
+
+        # pad rays to the bucket with degenerate far-outside rays: their
+        # marched cells linearize to -1 and are dropped, so they never
+        # appear in any cell's candidate list
+        R_real = len(origins)
+        pad = self._bucket(R_real) - R_real
+        if pad:
+            far = (lo - 10.0 * cfg.block_size).astype(np.float32)
+            origins = np.concatenate([origins, np.broadcast_to(far, (pad, 3))])
+            targets = np.concatenate([targets, np.broadcast_to(far, (pad, 3))])
+            stamps = np.concatenate([stamps, np.zeros(pad, np.float32)])
         C = int(np.prod(self.dims))
 
-        cells = _ray_cells(
-            jnp.asarray(origins), jnp.asarray(targets), jnp.asarray(self.origin_cell),
-            cfg.block_size, cfg.max_steps,
-        )  # [R, S, 3]
-        lin = _linearize(cells, self.dims)  # [R, S]
-        R, S = lin.shape
-        ray_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, S))
-        flat_cells = lin.reshape(-1)
-        flat_rays = ray_ids.reshape(-1)
-        # dedup consecutive duplicates (same cell repeated along the march)
-        prev = jnp.concatenate([jnp.full((R, 1), -2, jnp.int32), lin[:, :-1]], axis=1)
-        keep = (lin != prev) & (lin >= 0)
-        flat_cells = jnp.where(keep.reshape(-1), flat_cells, C)  # C = sentinel end
-        order = jnp.argsort(flat_cells, stable=True)
-        sorted_cells = flat_cells[order]
-        sorted_rays = flat_rays[order]
-        # CSR offsets
-        cell_start = jnp.searchsorted(sorted_cells, jnp.arange(C + 1, dtype=jnp.int32))
+        # ONE jitted program for the whole index build: the eager op chain
+        # otherwise pays a per-op compile round trip for every new bucket
+        sorted_cells, sorted_rays, cell_start = _build_index_device(
+            jnp.asarray(origins),
+            jnp.asarray(targets),
+            jnp.asarray(stamps),
+            jnp.asarray(self.origin_cell),
+            tuple(int(d) for d in self.dims),
+            cfg.block_size,
+            cfg.max_steps,
+        )
         self.sorted_cells = sorted_cells
         self.sorted_rays = sorted_rays
         self.cell_start = cell_start
         self.origins = jnp.asarray(origins)
         self.targets = jnp.asarray(targets)
         self.stamps_s = jnp.asarray(stamps)
-        self.num_rays = len(origins)
+        self.num_rays = R_real
         self._built = True
 
     # ------------------------------------------------------------------
