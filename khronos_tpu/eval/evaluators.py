@@ -360,3 +360,62 @@ def evaluate_dynamic(
         "dynamic_recall": recall,
         "dynamic_f1": f1,
     }
+
+
+# ----------------------------------------------------------------------------
+# trajectory metrics (ATE / RPE)
+# ----------------------------------------------------------------------------
+
+
+def evaluate_trajectory(
+    est_stamps_ns: np.ndarray,
+    est_positions: np.ndarray,  # [N, 3]
+    gt_stamps_ns: np.ndarray,
+    gt_positions: np.ndarray,  # [M, 3]
+    rpe_delta_s: float = 1.0,
+) -> Dict[str, float]:
+    """Absolute trajectory error + relative pose error of the agent path
+    (BASELINE.md north star: 'ATE within the reference bound'; the reference
+    relies on Kimera-VIO upstream for this — here the optimized backend
+    trajectory is evaluated directly).
+
+    GT is linearly interpolated to the estimate's stamps. No alignment is
+    applied (both trajectories live in the same world frame)."""
+    est_stamps_ns = np.asarray(est_stamps_ns, np.int64)
+    est_positions = np.asarray(est_positions, np.float64).reshape(-1, 3)
+    gt_stamps_ns = np.asarray(gt_stamps_ns, np.int64)
+    gt_positions = np.asarray(gt_positions, np.float64).reshape(-1, 3)
+    if len(est_stamps_ns) == 0 or len(gt_stamps_ns) < 2:
+        return {"ate_rmse": np.inf, "ate_mean": np.inf, "ate_max": np.inf,
+                "rpe_rmse": np.inf, "n_poses": 0}
+    t = est_stamps_ns.astype(np.float64)
+    tg = gt_stamps_ns.astype(np.float64)
+    keep = (t >= tg[0]) & (t <= tg[-1])
+    t, est = t[keep], est_positions[keep]
+    if len(t) == 0:
+        return {"ate_rmse": np.inf, "ate_mean": np.inf, "ate_max": np.inf,
+                "rpe_rmse": np.inf, "n_poses": 0}
+    gt_i = np.stack(
+        [np.interp(t, tg, gt_positions[:, c]) for c in range(3)], axis=1
+    )
+    err = np.linalg.norm(est - gt_i, axis=1)
+    out = {
+        "ate_rmse": float(np.sqrt((err**2).mean())),
+        "ate_mean": float(err.mean()),
+        "ate_max": float(err.max()),
+        "n_poses": int(len(t)),
+    }
+    # RPE over rpe_delta_s windows (translation drift)
+    d_ns = rpe_delta_s * 1e9
+    j = np.searchsorted(t, t + d_ns)
+    ok = j < len(t)
+    i_idx = np.nonzero(ok)[0]
+    j_idx = j[ok]
+    if len(i_idx):
+        d_est = est[j_idx] - est[i_idx]
+        d_gt = gt_i[j_idx] - gt_i[i_idx]
+        rel = np.linalg.norm(d_est - d_gt, axis=1)
+        out["rpe_rmse"] = float(np.sqrt((rel**2).mean()))
+    else:
+        out["rpe_rmse"] = 0.0
+    return out

@@ -29,6 +29,7 @@ from khronos_tpu.eval.evaluators import (
     evaluate_dynamic,
     evaluate_mesh,
     evaluate_objects,
+    evaluate_trajectory,
     min_distances,
 )
 from khronos_tpu.stm.spatio_temporal_map import SpatioTemporalMap
@@ -119,6 +120,7 @@ class PipelineEvaluator:
         gt: SceneGroundTruth,
         results_dir: str,
         query_times_s: Optional[Sequence[float]] = None,
+        gt_trajectory: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     ) -> Dict[str, Dict[str, float]]:
         """Writes the CSV suite; returns the final-map summary metrics."""
         os.makedirs(results_dir, exist_ok=True)
@@ -180,6 +182,15 @@ class PipelineEvaluator:
         summary["objects"] = obj_rows[-1] if obj_rows else {}
         summary["dynamic"] = dyn_rows[-1] if dyn_rows else {}
         summary["changes"] = ch
+        if gt_trajectory is not None and final.agents:
+            traj = evaluate_trajectory(
+                np.asarray([a.stamp_ns for a in final.agents], np.int64),
+                np.stack([a.t_w_b for a in final.agents]),
+                gt_trajectory[0],
+                gt_trajectory[1],
+            )
+            self._write_csv(os.path.join(results_dir, "trajectory.csv"), [traj])
+            summary["trajectory"] = traj
         return summary
 
     @staticmethod

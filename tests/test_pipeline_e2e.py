@@ -82,14 +82,18 @@ def office_run(tmp_path_factory):
     # (~0.2 m) dominates the accuracy metric; 30k measures the mesh, not
     # the sampling
     gt = SceneGroundTruth(scene, DURATION, n_bg_points=30000)
-    return scene, pipe, out_dir, gt
+    gt_traj = (
+        np.asarray([f.stamp_ns for f in frames], np.int64),
+        np.stack([t for _, t in gts]).astype(np.float64),
+    )
+    return scene, pipe, out_dir, gt, gt_traj
 
 
 class TestOfficePipeline:
     def test_outputs_written(self, office_run):
         import os
 
-        scene, pipe, out_dir, gt = office_run
+        scene, pipe, out_dir, gt, gt_traj = office_run
         for f in ("dsg.npz", "final.4dmap.npz", "mesh.ply", "object_changes.csv",
                   "objects.csv", "experiment_log.txt"):
             assert os.path.exists(os.path.join(out_dir, f)), f
@@ -98,9 +102,13 @@ class TestOfficePipeline:
         assert ExperimentLogger.has_flag(out_dir, "Experiment Finished Cleanly")
 
     def test_map_quality(self, office_run):
-        scene, pipe, out_dir, gt = office_run
+        scene, pipe, out_dir, gt, gt_traj = office_run
         ev = PipelineEvaluator(PipelineEvaluatorConfig(only_final=True))
-        summary = ev.evaluate(pipe.map, gt, out_dir + "/results")
+        summary = ev.evaluate(pipe.map, gt, out_dir + "/results", gt_trajectory=gt_traj)
+        traj = summary["trajectory"]
+        # GT loop closures + PGO on noisy odometry: ATE well under a voxel
+        assert traj["ate_rmse"] < 0.1, traj
+        assert traj["n_poses"] > 10
         mesh = summary["mesh"]
         # reference office (khronos_eval/README.md:13-16, its own protocol —
         # GT pruned to observed areas): acc 99.3 / comp 77.0 / F1 84.1.
@@ -119,12 +127,12 @@ class TestOfficePipeline:
         assert ch["change_precision"] > 0.3, ch
 
     def test_loop_closure_fired(self, office_run):
-        scene, pipe, out_dir, gt = office_run
+        scene, pipe, out_dir, gt, gt_traj = office_run
         assert len(pipe.backend.loop_closures) >= 1
         assert pipe.backend.num_optimizations >= 1
 
     def test_dynamic_humans_tracked(self, office_run):
-        scene, pipe, out_dir, gt = office_run
+        scene, pipe, out_dir, gt, gt_traj = office_run
         final = pipe.map.get_dsg(pipe.map.latest_ns())
         dyn = [o for o in final.objects.values() if o.is_dynamic]
         assert len(dyn) >= 1, "no dynamic objects in final map"
@@ -132,7 +140,7 @@ class TestOfficePipeline:
     def test_change_detection_disappearance(self, office_run):
         """The chair removed at t=12 s must have absence evidence and a
         reconciled presence interval ending before the sequence end."""
-        scene, pipe, out_dir, gt = office_run
+        scene, pipe, out_dir, gt, gt_traj = office_run
         final = pipe.map.get_dsg(pipe.map.latest_ns())
         t_change_ns = int(DURATION / 2 * 1e9)
         chair_pos = np.array([3.8, -2.6, 0.35])
@@ -149,7 +157,7 @@ class TestOfficePipeline:
         )
 
     def test_4dmap_time_scrubbing(self, office_run):
-        scene, pipe, out_dir, gt = office_run
+        scene, pipe, out_dir, gt, gt_traj = office_run
         stm = pipe.map
         assert stm.num_snapshots >= 2
         early = stm.get_dsg(stm.earliest_ns())
