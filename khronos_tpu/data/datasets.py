@@ -208,4 +208,8 @@ def make_dataset(kind: str, **kwargs) -> Dataset:
         return DirectoryDataset(**kwargs)
     if kind == "tum":
         return TumRGBDDataset(**kwargs)
+    if kind == "rosbag2":
+        from khronos_tpu.data.rosbag2 import Rosbag2Dataset, Rosbag2DatasetConfig
+
+        return Rosbag2Dataset(Rosbag2DatasetConfig(**kwargs))
     raise ValueError(f"unknown dataset kind '{kind}'")

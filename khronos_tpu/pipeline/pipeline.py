@@ -244,7 +244,29 @@ class ExperimentManager:
         if pipeline_config is not None:
             with open(os.path.join(self.output_dir, "config.txt"), "w") as fh:
                 fh.write(format_config(pipeline_config, "pipeline"))
+        self._log_code_version()
         self.logger.log("Experiment initialized")
+
+    def _log_code_version(self) -> None:
+        """git_hash.txt for reproducibility (reference logs the repo hash +
+        dirty status, experiment_manager.cpp:285-354)."""
+        import subprocess
+
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        try:
+            head = subprocess.run(
+                ["git", "-C", repo, "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            dirty = subprocess.run(
+                ["git", "-C", repo, "status", "--porcelain"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        except (OSError, subprocess.SubprocessError):
+            return
+        if head:
+            with open(os.path.join(self.output_dir, "git_hash.txt"), "w") as fh:
+                fh.write(head + (" (dirty)\n" if dirty else "\n"))
 
     def run(self, frames, gt_poses=None, async_stages: bool = False) -> str:
         """frames: iterable of FrameData; gt_poses: optional parallel list.
