@@ -278,24 +278,38 @@ class ExperimentManager:
         detection overlaps the per-frame hot path.
         """
         self.logger.flag("Experiment Started")
-        if async_stages:
-            self._run_async(frames, gt_poses)
-        else:
-            start = self.pipeline.frame_count  # >0 when resumed from checkpoint
-            for i, frame in enumerate(frames):
-                if i < start:
-                    continue
-                gt = gt_poses[i] if gt_poses is not None else None
-                self.pipeline.process_frame(frame, gt_pose=gt)
-                self._maybe_snapshot(i)
-                if (
-                    self.config.checkpoint_every_n_frames > 0
-                    and (i + 1) % self.config.checkpoint_every_n_frames == 0
-                ):
-                    self.pipeline.checkpoint(
-                        os.path.join(self.output_dir, "checkpoint")
-                    )
-                    self.logger.log(f"Checkpoint written at frame {i + 1}")
+        try:
+            if async_stages:
+                self._run_async(frames, gt_poses)
+            else:
+                start = self.pipeline.frame_count  # >0 when resumed from checkpoint
+                for i, frame in enumerate(frames):
+                    if i < start:
+                        continue
+                    gt = gt_poses[i] if gt_poses is not None else None
+                    self.pipeline.process_frame(frame, gt_pose=gt)
+                    self._maybe_snapshot(i)
+                    if (
+                        self.config.checkpoint_every_n_frames > 0
+                        and (i + 1) % self.config.checkpoint_every_n_frames == 0
+                    ):
+                        self.pipeline.checkpoint(
+                            os.path.join(self.output_dir, "checkpoint")
+                        )
+                        self.logger.log(f"Checkpoint written at frame {i + 1}")
+        except Exception as exc:  # noqa: BLE001 — crash recovery, re-raised
+            # beyond-reference failure handling (the reference loses all
+            # in-memory state on a crash, SURVEY.md §5): dump a resumable
+            # checkpoint + a [FLAG] before propagating
+            try:
+                path = self.pipeline.checkpoint(
+                    os.path.join(self.output_dir, "checkpoint_crash")
+                )
+                self.logger.flag(f"Experiment Crashed: {exc!r}; checkpoint at {path}")
+                self.logger.close()
+            except Exception:
+                pass
+            raise
         self.pipeline.finish()
         self.pipeline.save(self.output_dir)
         if self.config.log_timing:

@@ -129,3 +129,17 @@ class TimingRecorder:
 def Timer(name: str, stamp_ns: int = 0, block=None):
     """Scoped timer on the global recorder (mirrors the reference's `Timer`)."""
     return TimingRecorder.instance().scoped(name, stamp_ns, block=block)
+
+
+def device_trace(log_dir: str):
+    """Context manager wrapping jax.profiler.trace: captures a device-level
+    trace (XLA op timeline, HBM, fusion) viewable in TensorBoard/Perfetto —
+    the device half of the SURVEY.md §5 observability story (the host half
+    is the stats.csv stage timers above).
+
+        with device_trace("/tmp/khronos_trace"):
+            pipeline.process_frame(frame)
+    """
+    import jax
+
+    return jax.profiler.trace(log_dir)

@@ -132,3 +132,43 @@ class TestCheckpointResume:
         assert ckpt.exists(os.path.join(mgr.output_dir, "checkpoint"))
         restored = KhronosPipeline.restore(os.path.join(mgr.output_dir, "checkpoint"))
         assert restored.frame_count == 10
+
+
+class TestCrashRecovery:
+    def test_crash_writes_resumable_checkpoint(self, tmp_path):
+        """An exception mid-run must leave a [FLAG]-logged crash checkpoint
+        that resumes and finishes cleanly."""
+        import os
+
+        from khronos_tpu.pipeline.pipeline import ExperimentConfig, ExperimentManager
+        from khronos_tpu.utils.logging import ExperimentLogger
+
+        seq, frames, gts = _frames()
+        cut = len(frames) // 2
+
+        class Boom(RuntimeError):
+            pass
+
+        def poisoned():
+            for i, f in enumerate(frames):
+                if i == cut:
+                    raise Boom("sensor died")
+                yield f
+
+        pipe = KhronosPipeline(_config(), seq.camera)
+        mgr = ExperimentManager(
+            ExperimentConfig(output_dir=str(tmp_path / "crash")), pipe, _config()
+        )
+        with pytest.raises(Boom):
+            mgr.run(poisoned(), gts)
+        crash_dir = os.path.join(mgr.output_dir, "checkpoint_crash")
+        assert os.path.isdir(crash_dir)
+        assert ExperimentLogger.has_flag(mgr.output_dir, "Experiment Crashed")
+
+        pipe2 = KhronosPipeline.restore(crash_dir)
+        assert pipe2.frame_count == cut
+        for f, g in zip(frames[cut:], gts[cut:]):
+            pipe2.process_frame(f, gt_pose=g)
+        pipe2.finish()
+        assert pipe2.frame_count == len(frames)
+        assert pipe2.map.num_snapshots >= 1
