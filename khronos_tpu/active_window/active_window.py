@@ -110,6 +110,8 @@ class ActiveWindow:
         self.motion_detector = config.motion_detector.create(vol_cfg, camera)
         self.object_detector = config.object_detector.create(vol_cfg, camera, label_space)
         self.tracker = config.tracker.create()
+        if hasattr(self.tracker, "set_camera"):
+            self.tracker.set_camera(camera)
         self.object_extractor = config.object_extractor.create(camera)
         self.frame_buffer = FrameDataBuffer(config.frame_data_buffer)
         self._last_output_s: float = -np.inf

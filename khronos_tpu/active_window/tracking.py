@@ -86,7 +86,15 @@ def voxel_iou(a: Set[int], b: Set[int]) -> float:
 @register("tracker", "MaxIouTracker")
 @dataclasses.dataclass
 class MaxIouTrackerConfig:
-    track_by: str = "voxels"  # 'voxels' | 'bounding_box'
+    # 'pixels' reprojects both geometries' points into the current frame
+    # (reference max_iou_tracker.cpp:564-587); needs a camera (set by the
+    # active window) and a valid frame pose.
+    track_by: str = "voxels"  # 'voxels' | 'bounding_box' | 'pixels'
+    # greedy association order for semantic clusters (cpp:323-332):
+    #   'global'         best pair first over all (track, cluster) pairs
+    #   'assign_cluster' per track (ascending id), best remaining cluster
+    #   'assign_track'   per cluster (ascending id), best remaining track
+    assignment_strategy: str = "global"
     min_semantic_iou: float = 0.25
     min_cross_iou: float = 0.1
     voxel_size: float = 0.2  # m (tracker re-voxelization, uHumans2.yaml:75)
@@ -95,12 +103,15 @@ class MaxIouTrackerConfig:
     max_dynamic_distance: float = 1.0  # m
     min_cosine_sim: float = 0.8  # open-set gate
     max_track_points: int = 512  # subsample cap per track
+    pixel_cell: int = 4  # px quantization for the 'pixels' IoU mode
 
     def check(self):
         check_gt(self.voxel_size, 0.0, "voxel_size")
         check_ge(self.min_semantic_iou, 0.0, "min_semantic_iou")
-        if self.track_by not in ("voxels", "bounding_box"):
+        if self.track_by not in ("voxels", "bounding_box", "pixels"):
             raise ValueError(f"track_by={self.track_by} not supported")
+        if self.assignment_strategy not in ("global", "assign_cluster", "assign_track"):
+            raise ValueError(f"assignment_strategy={self.assignment_strategy}")
 
     def create(self):
         return MaxIouTracker(self)
@@ -134,6 +145,7 @@ class MaxIouTracker:
         """
         cfg = self.config
         stamp_ns = frame.stamp_ns
+        self._cur_pose = (np.asarray(frame.R_w_c), np.asarray(frame.t_w_c))
         if cluster_points is not None:
             dyn_pts, sem_pts = cluster_points
             dyn_data = self._cluster_geometry_from_points(frame.dynamic_clusters, dyn_pts)
@@ -186,7 +198,8 @@ class MaxIouTracker:
                     tr.feature = s.feature
                 free_sem.discard(s.cluster_id)
 
-        # 4) remaining semantic clusters vs static semantic tracks (max IoU)
+        # 4) remaining semantic clusters vs static semantic tracks (max IoU);
+        # greedy order per assignment_strategy (reference cpp:323-332)
         sem_pairs = []
         sem_by_id = {s.cluster_id: s for s in frame.semantic_clusters}
         for ti, tr in enumerate(self.tracks):
@@ -199,8 +212,15 @@ class MaxIouTracker:
                 iou = self._iou(sem_data[cid], self._track_geometry(tr))
                 if iou >= cfg.min_semantic_iou:
                     sem_pairs.append((iou, ti, cid))
+        if cfg.assignment_strategy == "global":
+            order = sorted(sem_pairs, reverse=True)
+        elif cfg.assignment_strategy == "assign_cluster":
+            # per track (ascending id): its best remaining cluster first
+            order = sorted(sem_pairs, key=lambda p: (p[1], -p[0]))
+        else:  # assign_track: per cluster (ascending id), best track first
+            order = sorted(sem_pairs, key=lambda p: (p[2], -p[0]))
         used_tracks = set()
-        for iou, ti, cid in sorted(sem_pairs, reverse=True):
+        for iou, ti, cid in order:
             if ti in used_tracks or cid not in free_sem:
                 continue
             used_tracks.add(ti)
@@ -278,7 +298,32 @@ class MaxIouTracker:
     def _iou(self, a, b) -> float:
         if self.config.track_by == "voxels":
             return voxel_iou(a[0], b[0])
+        if self.config.track_by == "pixels":
+            return voxel_iou(self._pixel_keys(a[1]), self._pixel_keys(b[1]))
         return _bbox_iou(a[2], a[3], b[2], b[3])
+
+    def set_camera(self, camera) -> None:
+        """Needed only by track_by='pixels' (reprojection IoU)."""
+        self._camera = camera
+
+    def _pixel_keys(self, pts_w: np.ndarray) -> Set[int]:
+        """Project world points into the CURRENT frame; quantized pixel keys
+        (reference pixel-IoU: reproject last points, cpp:564-587)."""
+        cam = getattr(self, "_camera", None)
+        pose = getattr(self, "_cur_pose", None)
+        if cam is None or pose is None or len(pts_w) == 0:
+            return set()
+        R, t = pose
+        pc = (np.asarray(pts_w) - t) @ R  # world -> camera (R column-major^T)
+        z = pc[:, 2]
+        ok = z > 1e-6
+        if not ok.any():
+            return set()
+        cell = max(1, self.config.pixel_cell)
+        u = (pc[ok, 0] / z[ok] * cam.fx + cam.cx).astype(np.int64) // cell
+        v = (pc[ok, 1] / z[ok] * cam.fy + cam.cy).astype(np.int64) // cell
+        inb = (u >= 0) & (u < cam.width // cell + 1) & (v >= 0) & (v < cam.height // cell + 1)
+        return set((v[inb] * 4096 + u[inb]).tolist())
 
     def _category_match(self, tr: Track, cluster) -> bool:
         if tr.feature is not None and cluster.feature is not None:
