@@ -136,21 +136,48 @@ class ActiveWindow:
         config, camera, label_space = self.config, self.camera, self.label_space
         vol_cfg = config.volumetric_map
         self._fused_step = None
-        # the fused program covers the closed-set detector; open-set
-        # InstanceForwarding runs on the modular path
-        fused_ok = config.object_detector.type in (None, "ConnectedSemantics")
+        self._openset_fused = False
+        fused_ok = config.object_detector.type in (
+            None, "ConnectedSemantics", "InstanceForwarding",
+        )
+        if config.object_detector.type == "InstanceForwarding":
+            from khronos_tpu.active_window import fused_step as fs
+
+            # the fused packed-stats layout caps clusters at fused_step.MC;
+            # configs asking for more instances keep the modular path
+            fused_ok = config.object_detector.config.max_instances <= fs.MC
         if config.fused and fused_ok:
             from khronos_tpu.active_window import fused_step as fs
 
+            od_cfg = (
+                config.object_detector.config if config.object_detector.enabled else None
+            )
+            self._openset_fused = config.object_detector.type == "InstanceForwarding"
+            bg_emb = getattr(self.object_detector, "background_embeddings", None)
             self._fused_step = fs.make_frame_step(
                 vol_cfg,
                 camera,
                 config.motion_detector.config if config.motion_detector.enabled else None,
-                config.object_detector.config if config.object_detector.enabled else None,
+                od_cfg,
                 label_space,
                 detection_stride=config.detection_stride,
+                background_embeddings=bg_emb if self._openset_fused else None,
+                feature_dim=getattr(od_cfg, "feature_dim", 0) if self._openset_fused else 0,
             )
             self._unpack_stats = fs.unpack_stats
+            if self._openset_fused:
+                self._feature_dim = (
+                    bg_emb.shape[1]
+                    if bg_emb is not None and len(bg_emb)
+                    else max(int(getattr(od_cfg, "feature_dim", 0)), 1)
+                )
+
+    def set_background_embeddings(self, embeddings) -> None:
+        """Set the open-set background-prompt embedding group and recompile
+        the fused step with the on-device background filter."""
+        if hasattr(self.object_detector, "set_background_embeddings"):
+            self.object_detector.set_background_embeddings(embeddings)
+        self._build_fused_step()
 
     def __getstate__(self):
         state = self.__dict__.copy()
@@ -197,15 +224,34 @@ class ActiveWindow:
                 # bookkeeping — the dynamic-integration mask is applied on
                 # device inside the fused step, so map quality is unaffected).
                 with Timer("active_window/fused_step", frame.stamp_ns):
-                    self.state, dyn_img, obj_img, packed = self._fused_step(
-                        self.state,
-                        frame.depth,
-                        frame.color,
-                        frame.labels,
-                        frame.R_w_c,
-                        frame.t_w_c,
-                        jnp.float32(t_now),
-                    )
+                    if self._openset_fused:
+                        D = self._feature_dim
+                        feats = np.zeros((32, D), np.float32)
+                        lf = frame.label_features
+                        if lf is not None and len(lf):
+                            lf = np.asarray(lf, np.float32)
+                            n = min(len(lf), 32)
+                            feats[:n, : min(lf.shape[1], D)] = lf[:n, :D]
+                        instances = (
+                            frame.instances
+                            if frame.instances is not None
+                            else jnp.zeros(frame.depth.shape, jnp.int32)
+                        )
+                        self.state, dyn_img, obj_img, packed = self._fused_step(
+                            self.state, frame.depth, frame.color, frame.labels,
+                            instances, feats, frame.R_w_c, frame.t_w_c,
+                            jnp.float32(t_now),
+                        )
+                    else:
+                        self.state, dyn_img, obj_img, packed = self._fused_step(
+                            self.state,
+                            frame.depth,
+                            frame.color,
+                            frame.labels,
+                            frame.R_w_c,
+                            frame.t_w_c,
+                            jnp.float32(t_now),
+                        )
                     frame.dynamic_image = dyn_img
                     frame.object_image = obj_img
                     try:
@@ -288,7 +334,11 @@ class ActiveWindow:
             self._run_tracker(*self._track_queue.pop(0))
 
     def _run_tracker(self, frame: FrameData, packed) -> None:
-        dyn_c, sem_c, dyn_p, sem_p = self._unpack_stats(np.asarray(packed))
+        dyn_c, sem_c, dyn_p, sem_p = self._unpack_stats(
+            np.asarray(packed),
+            features=frame.label_features if self._openset_fused else None,
+            openset=self._openset_fused,
+        )
         frame.dynamic_clusters = dyn_c
         frame.semantic_clusters = sem_c
         if self.tracker is not None:

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,10 @@ import numpy as np
 from khronos_tpu.active_window.motion_detection import (
     FreeSpaceMotionDetectorConfig,
     MeasurementCluster,
+)
+from khronos_tpu.active_window.instance_forwarding import (
+    OPENSET_CATEGORY,
+    InstanceForwardingConfig,
 )
 from khronos_tpu.active_window.object_detection import (
     ConnectedSemanticsConfig,
@@ -76,10 +80,20 @@ def make_frame_step(
     detection_stride: int = 1,
     crop: bool = True,
     jit: bool = True,
+    background_embeddings: Optional[np.ndarray] = None,
+    feature_dim: int = 0,
 ):
     """Build the fused jitted step:
     step(state, depth, color, labels, R, t, t_now)
       -> (state', dynamic_image, object_image, packed_stats).
+
+    Open-set: when od_cfg is an InstanceForwardingConfig the step instead
+    takes step(state, depth, color, labels, instances, features, R, t, t_now)
+    with externally-segmented instances [H, W] (0 = none) and per-instance
+    embeddings [MC, feature_dim]; the count/volume/background-prompt filters
+    (instance_forwarding.cpp:94-104) run on device, and the packed sem-stats
+    'category' slot carries the ORIGINAL instance index so the host can
+    attach features (unpack_stats(..., features=, openset=True)).
 
     detection_stride s > 1 runs the DETECTION machinery (pixel->voxel scatter,
     label compaction sort, segment stats — the measured hot spots, ~60 ms of a
@@ -90,7 +104,17 @@ def make_frame_step(
     is_object_lut = jnp.asarray(label_space.is_object_lut())
     shape = tuple(vol_cfg.grid_shape)
     md_enabled = md_cfg is not None
-    od_enabled = od_cfg is not None
+    openset = isinstance(od_cfg, InstanceForwardingConfig)
+    od_enabled = od_cfg is not None and not openset
+    if openset:
+        if od_cfg.max_instances > MC:
+            raise ValueError(f"max_instances {od_cfg.max_instances} > fused cap {MC}")
+        bg_emb = None
+        if background_embeddings is not None and len(background_embeddings):
+            bg = np.asarray(background_embeddings, np.float32)
+            bg_emb = jnp.asarray(bg / np.maximum(np.linalg.norm(bg, axis=-1, keepdims=True), 1e-9))
+            feature_dim = bg.shape[1]
+        feature_dim = max(int(feature_dim), 1)
     merge_dilation = max(0, (md_cfg.min_separation_distance - 1) if md_enabled else 0)
     s = int(detection_stride)
     if camera.height % s or camera.width % s:
@@ -108,7 +132,7 @@ def make_frame_step(
     )
     md_min_px = max(1, round(md_cfg.min_cluster_size / s2)) if md_enabled else 0
     md_max_px = max(1, round(md_cfg.max_cluster_size / s2)) if md_enabled else 0
-    od_min_px = max(1, round(od_cfg.min_cluster_size / s2)) if od_enabled else 0
+    od_min_px = max(1, round(od_cfg.min_cluster_size / s2)) if od_cfg is not None else 0
 
     def _upsample(img):
         return jnp.repeat(jnp.repeat(img, s, axis=0), s, axis=1) if s > 1 else img
@@ -121,7 +145,7 @@ def make_frame_step(
     crop = av.crop_shape_for_camera(vol_cfg, camera) if crop else tuple(shape)
     cropping = any(c < g for c, g in zip(crop, shape))
 
-    def step(state, depth, color, labels, R_w_c, t_w_c, t_now):
+    def _body(state, depth, color, labels, instances, features, R_w_c, t_w_c, t_now):
         depth_d = depth[::s, ::s]
         labels_d = labels[::s, ::s]
         H, W = depth_d.shape
@@ -199,6 +223,36 @@ def make_frame_step(
             s_keep = s_counts >= od_min_px
             object_image, s_ids = cl.filter_and_renumber(sem_compact, s_keep)
             s_pts, _ = cl.cluster_point_samples(sem_compact, points_w, K_SAMPLES, MC)
+        elif openset:
+            # -------- open-set instance forwarding (device-side filters) ----
+            inst_d = instances[::s, ::s]
+            os_valid = (depth_d > camera.min_range) & (
+                depth_d <= min(camera.max_range, od_cfg.max_range)
+            )
+            sem_compact = jnp.where(
+                os_valid & (inst_d >= 1) & (inst_d <= MC), inst_d - 1, -1
+            )
+            s_counts, s_sums, s_bmin, s_bmax = cl.cluster_stats(
+                sem_compact, points_w, max_clusters=MC
+            )
+            ext = jnp.clip(s_bmax - s_bmin, 0.0, None)
+            vol = jnp.where(s_counts > 0, jnp.prod(ext, axis=-1), 0.0)
+            s_keep = (
+                (s_counts >= od_min_px)
+                & (vol >= od_cfg.min_bbox_volume)
+                & (vol <= od_cfg.max_bbox_volume)
+            )
+            if bg_emb is not None:
+                fn = features / jnp.maximum(
+                    jnp.linalg.norm(features, axis=-1, keepdims=True), 1e-9
+                )
+                bg_score = jnp.max(fn @ bg_emb.T, axis=-1)  # [MC]
+                s_keep = s_keep & (bg_score <= od_cfg.max_background_score)
+            object_image, s_ids = cl.filter_and_renumber(sem_compact, s_keep)
+            # 'category' slot carries the ORIGINAL instance index (host maps
+            # it to the per-frame feature row + OPENSET_CATEGORY)
+            s_cat = jnp.arange(MC, dtype=jnp.int32)
+            s_pts, _ = cl.cluster_point_samples(sem_compact, points_w, K_SAMPLES, MC)
         else:
             object_image = jnp.zeros((H, W), jnp.int32)
             s_counts = jnp.zeros((MC,), jnp.int32)
@@ -254,16 +308,25 @@ def make_frame_step(
         )
         return state, dynamic_image, object_image, packed
 
+    if openset:
+        def step(state, depth, color, labels, instances, features, R_w_c, t_w_c, t_now):
+            return _body(state, depth, color, labels, instances, features, R_w_c, t_w_c, t_now)
+    else:
+        def step(state, depth, color, labels, R_w_c, t_w_c, t_now):
+            return _body(state, depth, color, labels, None, None, R_w_c, t_w_c, t_now)
+
     if not jit:
         return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def unpack_stats(packed: np.ndarray):
+def unpack_stats(packed: np.ndarray, features: np.ndarray = None, openset: bool = False):
     """Host-side unpack -> (dyn_clusters, sem_clusters, dyn_points, sem_points).
 
     Cluster lists contain MeasurementCluster for valid (renumbered id > 0)
-    entries; points dict maps output id -> [K, 3] subsample."""
+    entries; points dict maps output id -> [K, 3] subsample. With
+    openset=True the sem 'category' slot is the original instance index:
+    clusters get OPENSET_CATEGORY and feature = features[index]."""
     off = 0
     d_stats = packed[off : off + MC * DYN_F].reshape(MC, DYN_F)
     off += MC * DYN_F
@@ -294,6 +357,12 @@ def unpack_stats(packed: np.ndarray):
         out_id = int(s_stats[k, 11])
         if out_id > 0:
             n = max(int(s_stats[k, 9]), 1)
+            cat = int(s_stats[k, 10])
+            feat = None
+            if openset:
+                if features is not None and 0 <= cat < len(features):
+                    feat = np.asarray(features[cat], np.float32)
+                cat = OPENSET_CATEGORY
             sem_clusters.append(
                 MeasurementCluster(
                     cluster_id=out_id,
@@ -302,7 +371,8 @@ def unpack_stats(packed: np.ndarray):
                     centroid=s_stats[k, 0:3] / n,
                     bbox_min=s_stats[k, 3:6],
                     bbox_max=s_stats[k, 6:9],
-                    category_id=int(s_stats[k, 10]),
+                    category_id=cat,
+                    feature=feat,
                 )
             )
             npts = min(int(s_stats[k, 9]), K_SAMPLES)

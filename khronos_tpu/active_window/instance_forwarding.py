@@ -42,6 +42,9 @@ class InstanceForwardingConfig:
     max_bbox_volume: float = 10.0  # m^3
     max_background_score: float = 0.6  # cosine vs background prompts
     max_instances: int = MAX_CLUSTERS
+    # embedding dimensionality for the FUSED device path (0 = taken from the
+    # background embeddings when set, or features disabled)
+    feature_dim: int = 0
 
     def check(self):
         check_gt(self.min_cluster_size, 0, "min_cluster_size")

@@ -91,3 +91,63 @@ class TestInstanceForwarding:
         n_after = len(det.process(state, frame2))
         assert n_after == 0
         assert int(np.asarray(frame2.object_image).max()) == 0
+
+
+class TestFusedOpenset:
+    def _cfg(self):
+        return build(ActiveWindowConfig, {
+            "volumetric_map": {"grid_shape": [128, 128, 32], "voxel_size": 0.1},
+            "motion_detector": None,
+            "object_detector": {
+                "type": "InstanceForwarding",
+                "min_cluster_size": 40,
+                "max_instances": 32,  # <= fused cap -> fused device path
+            },
+            "tracker": {"type": "MaxIouTracker", "min_num_observations": 3},
+            "object_extractor": {"type": "MeshObjectExtractor",
+                                 "min_num_observations": 3, "max_frames": 8},
+        })
+
+    def test_fused_path_used_and_matches_modular(self):
+        seq = make_seq()
+        aw = ActiveWindow(self._cfg(), seq.camera, syn.default_label_space())
+        assert aw._fused_step is not None and aw._openset_fused
+
+        cfg_mod = self._cfg()
+        cfg_mod.fused = False
+        aw_mod = ActiveWindow(cfg_mod, seq.camera, syn.default_label_space())
+        assert aw_mod._fused_step is None
+
+        fused_frames, mod_frames = [], []
+        for i in range(6):
+            f = seq.render_frame(i)
+            fr_f, fr_m = to_frame(f), to_frame(f)
+            aw.spin_once(fr_f)
+            aw_mod.spin_once(fr_m)
+            fused_frames.append(fr_f)
+            mod_frames.append(fr_m)
+        aw._flush_tracker_queue()
+
+        compared = 0
+        for fr_f, fr_m in zip(fused_frames, mod_frames):
+            assert len(fr_f.semantic_clusters) == len(fr_m.semantic_clusters)
+            for c in fr_f.semantic_clusters:
+                assert c.category_id == OPENSET_CATEGORY
+                assert c.feature is not None and c.feature.shape == (32,)
+            cf = sorted(round(float(c.centroid[0]), 1) for c in fr_f.semantic_clusters)
+            cm = sorted(round(float(c.centroid[0]), 1) for c in fr_m.semantic_clusters)
+            assert cf == cm, (cf, cm)
+            compared += len(fr_f.semantic_clusters)
+        assert compared >= 3, "too few clusters to be a meaningful comparison"
+
+    def test_fused_background_filter(self):
+        seq = make_seq()
+        aw = ActiveWindow(self._cfg(), seq.camera, syn.default_label_space())
+        aw.set_background_embeddings(seq.instance_features())
+        assert aw._fused_step is not None and aw._openset_fused
+        for i in range(3):
+            frame = to_frame(seq.render_frame(i))
+            aw.spin_once(frame)
+        aw._flush_tracker_queue()
+        assert not frame.semantic_clusters, "background prompts must filter all"
+        assert int(np.asarray(frame.object_image).max()) == 0
