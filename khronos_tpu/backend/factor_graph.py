@@ -219,10 +219,15 @@ class OptimizerConfig:
     error_tol: float = 1e-7
     # GNC (Geman-McClure): anneal mu from mu_init toward 1
     gnc_enabled: bool = True
-    gnc_barc2: float = 1.0  # inlier threshold on weighted sq residual
+    # inlier gate on the weighted squared residual: chi-square(6 dof) upper
+    # quantile at RPGO's `inlier_probability: 0.9` (uHumans2.yaml:217) = 10.64
+    # — a correctly-noisy loop closure must not be rejected
+    gnc_barc2: float = 10.64
     gnc_mu_init: float = 64.0
     gnc_mu_step: float = 1.4
-    gnc_outer_iterations: int = 8
+    # enough outer iterations to anneal mu from ~2*r2_max/barc2 down to 1
+    # (RPGO caps at 100); the loop breaks early once mu reaches 1
+    gnc_outer_iterations: int = 40
     inner_iterations: int = 5
 
 
@@ -235,8 +240,17 @@ class OptimizeResult:
     iterations: int = 0
 
 
-def optimize(graph: FactorGraphData, config: OptimizerConfig = None) -> OptimizeResult:
-    """Run robust pose-graph optimization; returns optimized poses."""
+def optimize(
+    graph: FactorGraphData,
+    config: OptimizerConfig = None,
+    step_fn=None,
+) -> OptimizeResult:
+    """Run robust pose-graph optimization; returns optimized poses.
+
+    step_fn(node_R, node_t, weights, damping) -> (delta [N,6], err) overrides
+    the dense single-device linear step — the distributed solver
+    (backend.distributed) plugs in SPMD assembly + Schur elimination here and
+    inherits this exact GNC/LM loop."""
     config = config or OptimizerConfig()
     N = graph.num_nodes
     if N == 0:
@@ -274,25 +288,26 @@ def optimize(graph: FactorGraphData, config: OptimizerConfig = None) -> Optimize
     weights = jnp.ones((F,), jnp.float32)
     robust_j = jnp.asarray(robust)
 
+    if step_fn is None:
+        def step_fn(node_R, node_t, weights, damping):
+            return _linearize_and_solve(
+                node_R, node_t, b_i, b_j, b_R, b_t, b_info, weights,
+                p_i, p_R, p_t, p_info, jnp.float32(damping), N,
+            )
+
     def run_gn(node_R, node_t, weights, iters):
         damping = config.init_damping
         prev_err = np.inf
         it = 0
         for it in range(iters):
-            delta, err = _linearize_and_solve(
-                node_R, node_t, b_i, b_j, b_R, b_t, b_info, weights,
-                p_i, p_R, p_t, p_info, jnp.float32(damping), N,
-            )
+            delta, err = step_fn(node_R, node_t, weights, damping)
             err = float(err)
             if not np.isfinite(err):
                 damping *= 10
                 continue
             node_R2, node_t2 = _apply_delta(node_R, node_t, delta)
             # simple LM accept/reject
-            _, err2 = _linearize_and_solve(
-                node_R2, node_t2, b_i, b_j, b_R, b_t, b_info, weights,
-                p_i, p_R, p_t, p_info, jnp.float32(damping), N,
-            )
+            _, err2 = step_fn(node_R2, node_t2, weights, damping)
             if float(err2) <= err:
                 node_R, node_t = node_R2, node_t2
                 damping = max(damping * 0.5, 1e-7)

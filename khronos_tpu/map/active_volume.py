@@ -253,9 +253,15 @@ def integrate_frame(
     # within temporal_buffer.
     occ = (w_new > 0.0) & (tsdf_new < config.occupancy_threshold)
     last_occupied = jnp.where(occ, t_now, state.last_occupied)
-    # ever-free: voxel + full 26-neighborhood observed-free for temporal_buffer
+    # ever-free: voxel + full 26-neighborhood observed-free for temporal_buffer.
+    # NOT cleared by occupancy: the reference only ever SETS the flag while a
+    # block lives (tracking_integrator.cpp:218 is the single write; removal
+    # happens when resetInactive archives the block) — that persistence is
+    # what keeps a moving person's WHOLE body seeded, not just its leading
+    # edge, and it is cleared here on archival / lazy reset instead
+    # (update_archival, _reset_values).
     cand = (w_new > 0.0) & (last_occupied + config.temporal_buffer < t_now)
-    ever_free = (state.ever_free | all_pool3(cand)) & ~occ
+    ever_free = state.ever_free | all_pool3(cand)
 
     # integration dirties the meshed flag of touched cells
     cell_dirty = any_pool3(upd)
