@@ -220,3 +220,43 @@ def _graph_with_nodes(graph: fg.FactorGraphData, node_R, node_t) -> fg.FactorGra
               "p_i", "p_R", "p_t", "p_sqrt_info"):
         setattr(g2, f, getattr(graph, f))
     return g2
+
+
+def optimize_backend_graph(
+    graph: fg.FactorGraphData,
+    pose_node_ids,
+    mesh: Optional[Mesh] = None,
+    config: fg.OptimizerConfig = None,
+) -> fg.OptimizeResult:
+    """optimize_distributed for a backend graph whose pose (agent keyframe)
+    and deformation-control nodes are interleaved in insertion order: permute
+    nodes to [poses | controls], Schur-eliminate the control block, unpermute.
+
+    Returns the result in the ORIGINAL node order."""
+    N = graph.num_nodes
+    pose_ids = list(pose_node_ids)
+    pose_set = set(pose_ids)
+    perm = pose_ids + [i for i in range(N) if i not in pose_set]
+    inv = np.empty(N, np.int32)
+    inv[np.asarray(perm, np.int32)] = np.arange(N, dtype=np.int32)
+
+    g2 = fg.FactorGraphData()
+    g2.node_R = [graph.node_R[i] for i in perm]
+    g2.node_t = [graph.node_t[i] for i in perm]
+    g2.b_i = [int(inv[i]) for i in graph.b_i]
+    g2.b_j = [int(inv[j]) for j in graph.b_j]
+    g2.p_i = [int(inv[i]) for i in graph.p_i]
+    for f in ("b_R", "b_t", "b_sqrt_info", "b_robust", "p_R", "p_t", "p_sqrt_info"):
+        setattr(g2, f, getattr(graph, f))
+
+    res = optimize_distributed(g2, mesh=mesh, n_pose_nodes=len(pose_ids), config=config)
+    back = np.asarray(perm, np.int32)
+    node_R = np.empty_like(res.node_R)
+    node_t = np.empty_like(res.node_t)
+    node_R[back] = res.node_R
+    node_t[back] = res.node_t
+    return fg.OptimizeResult(
+        node_R=node_R, node_t=node_t,
+        final_error=res.final_error, outlier_mask=res.outlier_mask,
+        iterations=res.iterations,
+    )

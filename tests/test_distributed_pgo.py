@@ -114,3 +114,36 @@ class TestOptimizeDistributed:
         # consistency: relative step lengths ~1
         steps = np.linalg.norm(np.diff(got.node_t, axis=0), axis=1)
         assert np.abs(steps - 1.0).mean() < 0.1
+
+
+class TestBackendGraphSchur:
+    def test_interleaved_backend_graph(self):
+        """A backend-shaped graph (poses interleaved with mesh-control nodes,
+        pgmo MESH_ONLY style) solved via permuted Schur must match the plain
+        dense optimizer in the original node order."""
+        rng = np.random.default_rng(5)
+        g = fg.FactorGraphData()
+        pose_ids = []
+        prev = None
+        for k in range(6):
+            t_k = np.array([0.6 * k, 0.0, 0.0], np.float32)
+            i = g.add_node(np.eye(3, dtype=np.float32), t_k + rng.normal(0, 0.02, 3).astype(np.float32))
+            pose_ids.append(i)
+            if prev is None:
+                g.add_prior(i, np.eye(3, dtype=np.float32), t_k)
+            else:
+                g.add_between(prev, i, np.eye(3, dtype=np.float32),
+                              np.array([0.6, 0, 0], np.float32), sigma_trans=0.05)
+            prev = i
+            # two mesh-control nodes hanging off each keyframe
+            for m in range(2):
+                c = t_k + np.array([0.1, 0.5 + 0.3 * m, 0.2], np.float32)
+                ci = g.add_node(np.eye(3, dtype=np.float32), c + rng.normal(0, 0.02, 3).astype(np.float32))
+                g.add_between(i, ci, np.eye(3, dtype=np.float32), c - t_k,
+                              sigma_rot=0.05, sigma_trans=0.3)
+        ref = fg.optimize(g, fg.OptimizerConfig(gnc_enabled=False))
+        got = dist.optimize_backend_graph(
+            g, pose_ids, mesh=make_mesh(8), config=fg.OptimizerConfig(gnc_enabled=False)
+        )
+        np.testing.assert_allclose(got.node_t, ref.node_t, atol=2e-2)
+        np.testing.assert_allclose(got.node_R, ref.node_R, atol=2e-2)
