@@ -63,6 +63,11 @@ class BackendConfig:
     sigma_lc_trans: float = 0.02
     sigma_lc_rot: float = 0.005
     sigma_control_trans: float = 0.3  # mesh control rigidity
+    # 'dense': single-device dense GN (graphs of 10^2-10^3 nodes).
+    # 'schur': Schur-eliminate the mesh-control block and (on a multi-device
+    # mesh) shard factor linearization — the production solve when control
+    # nodes dominate (backend/distributed.py).
+    solver: str = "dense"
     optimizer: fg.OptimizerConfig = dataclasses.field(default_factory=fg.OptimizerConfig)
     deformation: DeformationConfig = dataclasses.field(default_factory=DeformationConfig)
     lcd: Plugin = plugin_field("lcd", "GtLoopClosure")
@@ -195,7 +200,14 @@ class Backend:
     # ------------------------------------------------------------------
     def optimize(self) -> fg.OptimizeResult:
         with Timer("backend/optimize"):
-            self._opt_result = fg.optimize(self.graph, self.config.optimizer)
+            if self.config.solver == "schur":
+                from khronos_tpu.backend.distributed import optimize_backend_graph
+
+                self._opt_result = optimize_backend_graph(
+                    self.graph, self.agent_keys, config=self.config.optimizer
+                )
+            else:
+                self._opt_result = fg.optimize(self.graph, self.config.optimizer)
             self.num_optimizations += 1
             # re-linearize future odometry around the optimized estimates
             self.graph.node_R = [r for r in self._opt_result.node_R]

@@ -200,3 +200,31 @@ class TestDescriptorLCD:
         for lc in fired:
             # measured relative translation should be small (same viewpoint)
             assert np.linalg.norm(lc.t) < 1.0
+
+
+class TestSchurSolverOption:
+    def test_backend_schur_matches_dense(self):
+        """BackendConfig.solver='schur' must produce the same optimized
+        agent trajectory as the dense solver."""
+
+        def run(solver):
+            cfg = build(BackendConfig, {
+                "solver": solver,
+                "lcd": {"type": "GtLoopClosure", "min_time_gap": 5.0, "max_distance": 1.0},
+                "sigma_odom_trans": 0.02,
+            })
+            be = Backend(cfg)
+            n = 24
+            gt, odom = make_orbit(n)
+            for k in range(n):
+                out = make_output(int(k * 4e8), odom[k], gt[k])
+                be.add_output(out, gt_pose=gt[k])
+            be.finish_processing()
+            return be
+
+        a = run("dense")
+        b = run("schur")
+        assert a.num_optimizations >= 1 and b.num_optimizations >= 1
+        ta = np.stack([np.asarray(a.graph.node_t[i]) for i in a.agent_keys])
+        tb = np.stack([np.asarray(b.graph.node_t[i]) for i in b.agent_keys])
+        np.testing.assert_allclose(ta, tb, atol=5e-2)
