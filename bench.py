@@ -44,6 +44,7 @@ def main():
     import jax.numpy as jnp
 
     from khronos_tpu.active_window.active_window import ActiveWindow, ActiveWindowConfig
+    from khronos_tpu.utils.timing import TimingRecorder
     from khronos_tpu.active_window.frame_data import FrameData
     from khronos_tpu.config import build
     from khronos_tpu.data import synthetic as syn
@@ -158,6 +159,7 @@ def main():
         jax.block_until_ready(aw.state.tsdf)
 
         print("timed run ...", file=sys.stderr)
+        TimingRecorder.instance().reset()  # steady-state stats only
         t0 = time.perf_counter()
         for hf in device_frames[args.warmup:]:
             run_frame(hf)

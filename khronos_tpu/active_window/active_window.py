@@ -60,6 +60,13 @@ class ActiveWindowConfig:
     # overlap with. Track bookkeeping lags by lag frames; the device-side
     # dynamic-integration mask is unaffected.
     tracker_lag: int = 2
+    # scroll emission: fraction of the scroll-out slab assumed to hold
+    # UNMESHED surface cells when sizing the sync-free unconditional emission
+    # rounds (see _emit_mesh rounds=...). Most slab surface was already
+    # emitted by the periodic archived-cell output path, so the unmeshed
+    # residue is small; the audit log on the final round's meta reports
+    # drops. 0 falls back to the blocking drain (one host sync per scroll).
+    scroll_surface_fraction: float = 0.02
     volumetric_map: av.VolumeConfig = dataclasses.field(default_factory=av.VolumeConfig)
     frame_data_buffer: FrameDataBufferConfig = dataclasses.field(
         default_factory=FrameDataBufferConfig
@@ -211,9 +218,19 @@ class ActiveWindow:
             elif av.needs_recenter(vol_cfg, self.state, cam_pos, self._origin_np):
                 with Timer("active_window/scroll", frame.stamp_ns):
                     shift = av.recenter_shift(vol_cfg, self.state, cam_pos, self._origin_np)
-                    out_mask = av.scroll_out_mask(self.state, shift)
-                    self._emit_mesh(meshing.forced_emission_mask(self.state, out_mask))
-                    self.state = av.scroll(vol_cfg, self.state, shift)
+                    with Timer("scroll/out_mask"):
+                        out_mask = av.scroll_out_mask(self.state, shift)
+                    # sync-free drain: the slab geometry is host-known, so the
+                    # round count is sized from it instead of a blocking meta
+                    # pull (emission rounds + scroll all execute in device
+                    # program order; the frame loop never stalls)
+                    rounds = self._scroll_rounds(shift)
+                    with Timer("scroll/mask"):
+                        fmask = meshing.forced_emission_mask(self.state, out_mask)
+                    with Timer("scroll/emit"):
+                        self._emit_mesh(fmask, rounds=rounds)
+                    with Timer("scroll/roll"):
+                        self.state = av.scroll(vol_cfg, self.state, shift)
                     self._origin_np = self._origin_np + np.asarray(shift, np.int32)
 
             if self._fused_step is not None:
@@ -301,6 +318,11 @@ class ActiveWindow:
                     )
                     self.state = av.update_archival(vol_cfg, self.state, t_now)
 
+            # 4.5) advance the two-stage mesh pulls (meta ready -> start the
+            # used-rows body transfer); pure host checks, no device sync
+            with Timer("active_window/advance_pulls", frame.stamp_ns):
+                self._advance_mesh_pulls()
+
             # 5) frame buffer. Frames not yet seen by the (one-frame-lagged)
             # tracker must survive the trim.
             self.frame_buffer.store(frame)
@@ -374,35 +396,85 @@ class ActiveWindow:
             frame.stamp_ns, np.asarray(frame.R_w_c), np.asarray(frame.t_w_c)
         )
 
-    def _emit_mesh(self, emit_mask, drain: bool = True) -> None:
+    def _scroll_rounds(self, shift) -> int:
+        """Host-side estimate of the emission rounds needed to cover a
+        scroll-out slab: slab voxel count x scroll_surface_fraction surface
+        cells, each round consuming up to mesh_max_cells of them. 0 means
+        'use the blocking drain' (scroll_surface_fraction <= 0)."""
+        frac = self.config.scroll_surface_fraction
+        if frac <= 0:
+            return 0
+        X, Y, Z = self.config.volumetric_map.grid_shape
+        sx, sy, sz = (abs(int(s)) for s in np.asarray(shift))
+        slab = min(sx, X) * Y * Z + sy * X * Z + sz * X * Y
+        est_cells = max(1.0, slab * frac)
+        return int(np.clip(-(-est_cells // self.config.mesh_max_cells), 1, 6))
+
+    def _emit_mesh(self, emit_mask, drain: bool = True, rounds: int = 0) -> None:
         """Emit surface cells into the pending device-buffer list.
 
         drain=False dispatches ONE device round; leftover cells re-emit at the
-        next output. drain=True guarantees EVERY cell in the mask is emitted
-        before returning (scroll-out / finish, where the voxel data is about
-        to be dropped) — with ONE host sync: round 1's tiny meta reports how
-        many cells are wanted, and each round is guaranteed to consume at
-        least min_cells_per_round cells, so the remaining rounds are
-        dispatched back-to-back without further syncs (device programs
+        next output. rounds=n > 0 dispatches n rounds back-to-back with NO
+        host sync (each round recomputes mask & ~cell_meshed on device, so
+        rounds are incremental); used by scroll, where the round count is
+        estimated from the slab geometry — the last round's meta is checked
+        lazily at the next output and logs if cells were dropped.
+        drain=True (finish / restore paths) guarantees EVERY cell in the mask
+        is emitted before returning, with ONE host sync: round 1's tiny meta
+        reports how many cells are wanted, and each round is guaranteed to
+        consume at least min_cells_per_round cells, so the remaining rounds
+        are dispatched back-to-back without further syncs (device programs
         execute in order). Body pulls stay deferred to _build_output."""
         vol_cfg = self.config.volumetric_map
         max_cells = self.config.mesh_max_cells
         self.state, packed_dev, meta_dev = meshing.extract_mesh_async(
             self.state, emit_mask, vol_cfg, max_cells=max_cells
         )
-        self._pending_mesh_dev.append((packed_dev, meta_dev))
+        self._pending_mesh_dev.append([packed_dev, meta_dev, None, False])
+        if rounds > 0:
+            # rounds are incremental re-dispatches of the SAME program with
+            # the same mask: extract excludes cell_meshed internally, so no
+            # eager ops run between rounds (those block against a deep
+            # device queue on the dev tunnel)
+            for _ in range(rounds - 1):
+                self.state, packed_dev, meta_dev = meshing.extract_mesh_async(
+                    self.state, emit_mask, vol_cfg, max_cells=max_cells
+                )
+                self._pending_mesh_dev.append([packed_dev, meta_dev, None, False])
+            # flag the final round: its meta is audited on consume
+            self._pending_mesh_dev[-1][2] = "scroll_final"
+            return
         if not drain:
             return
         meta = np.asarray(meta_dev)
         n_remaining = max(0, int(meta[1]) - int(meta[2]))
         per_round = meshing.min_cells_per_round(max_cells)
-        rounds = -(-n_remaining // per_round)
-        for _ in range(rounds):
-            meshed = self.state.cell_meshed[:-1, :-1, :-1]
+        drain_rounds = -(-n_remaining // per_round)
+        for _ in range(drain_rounds):
             self.state, packed_dev, meta_dev = meshing.extract_mesh_async(
-                self.state, emit_mask & ~meshed, vol_cfg, max_cells=max_cells
+                self.state, emit_mask, vol_cfg, max_cells=max_cells
             )
-            self._pending_mesh_dev.append((packed_dev, meta_dev))
+            self._pending_mesh_dev.append([packed_dev, meta_dev, None, False])
+
+    def _advance_mesh_pulls(self) -> None:
+        """Second stage of the zero-sync emission pipeline: once a pending
+        round's tiny meta has reached the host (is_ready), start the async
+        transfer of ONLY its used body rows (start_body_pull) — the full
+        fixed-capacity buffer is mostly padding, and bulk in-flight transfers
+        interleave pathologically with queued programs on the dev tunnel.
+        Entry layout: [body_or_packed, meta, tag, advanced]."""
+        for ent in self._pending_mesh_dev:
+            if ent[3]:
+                continue
+            meta_dev = ent[1]
+            try:
+                if not meta_dev.is_ready():
+                    continue
+            except AttributeError:
+                pass
+            n = int(np.asarray(meta_dev)[0])
+            ent[0] = meshing.start_body_pull(ent[0], n)
+            ent[3] = True
 
     def _append_mesh_delta(self, tris) -> None:
         if len(tris["vertices"]):
@@ -423,8 +495,27 @@ class ActiveWindow:
         keep = [] if flush_async else self._pending_mesh_dev[-1:]
         consume = self._pending_mesh_dev if flush_async else self._pending_mesh_dev[:-1]
         with Timer("extract/consume_pulls", stamp_ns):
-            for packed_dev, meta_dev in consume:
-                tris, _ = meshing.unpack_mesh(np.asarray(packed_dev), np.asarray(meta_dev))
+            for ent in consume:
+                body_dev, meta_dev, tag, advanced = ent
+                if not advanced:  # flush path: start the used-rows pull now
+                    body_dev = meshing.start_body_pull(
+                        body_dev, int(np.asarray(meta_dev)[0])
+                    )
+                meta = np.asarray(meta_dev)
+                body = (
+                    np.asarray(body_dev)
+                    if body_dev is not None
+                    else np.zeros((0, 12), np.uint32)
+                )
+                tris, n_remaining = meshing.unpack_mesh(body, meta)
+                if tag == "scroll_final" and n_remaining > 0:
+                    from khronos_tpu.utils.logging import clog
+
+                    clog(
+                        2,
+                        f"scroll emission under-provisioned: {n_remaining} "
+                        "surface cells dropped (raise scroll_surface_fraction)",
+                    )
                 self._append_mesh_delta(tris)
         self._pending_mesh_dev = keep
         # merge pending mesh deltas

@@ -142,7 +142,12 @@ def _extract_device(
 ):
     X, Y, Z = state.tsdf.shape
     CX, CY, CZ = X - 1, Y - 1, Z - 1
-    flat = emit_mask.reshape(-1)
+    # Exclude already-meshed cells HERE (not only in the mask builders): a
+    # multi-round drain can then re-dispatch this same program with the same
+    # mask and each round is incremental — no eager slice/and/not ops between
+    # rounds (eager dispatches against a deep device queue measured ~900 ms
+    # on the dev tunnel vs 0.2 ms for a cached jit dispatch).
+    flat = (emit_mask & ~state.cell_meshed[:-1, :-1, :-1]).reshape(-1)
     n_want = jnp.sum(flat.astype(jnp.int32))
     cell_ids = compact_indices(flat, max_cells)
     taken = cell_ids >= 0
@@ -313,7 +318,7 @@ def extract_mesh(
     state, packed_dev, meta_dev = extract_mesh_async(
         state, emit_mask, config, max_cells, tri_capacity
     )
-    out, n_remaining = unpack_mesh(np.asarray(packed_dev), np.asarray(meta_dev))
+    out, n_remaining = pull_mesh(packed_dev, meta_dev)
     return state, out, n_remaining
 
 
@@ -328,20 +333,61 @@ def min_cells_per_round(max_cells: int, tri_capacity: int = None) -> int:
 
 def extract_mesh_async(state, emit_mask, config, max_cells: int = 16384, tri_capacity: int = None):
     """Device-side emission only: returns (state', packed u32 buffer, meta).
-    Start the host transfer with copy_to_host_async and unpack later with
-    `unpack_mesh` — lets the mesh pull overlap subsequent frame compute.
-    `meta` is tiny; pull it alone to learn counts without the body."""
+
+    Only the tiny `meta` vector starts a background host transfer here. The
+    BODY stays on device: the fixed [tri_capacity, 12] buffer is ~768 KB of
+    mostly padding, and in-flight device->host bulk transfers interleave
+    pathologically with queued programs on the dev tunnel (measured: big
+    copies concurrent with queued work degrade device throughput ~100x).
+    Callers start a used-rows-only body pull later via `start_body_pull`
+    once meta is host-ready (ActiveWindow._advance_mesh_pulls), or pull
+    synchronously with `pull_mesh`."""
     if tri_capacity is None:
         tri_capacity = max(min(6 * max_cells, 16384), 1024)
     cell_meshed, packed, meta = _extract_device(
         state, emit_mask, config.voxel_size, max_cells, tri_capacity
     )
-    for buf in (packed, meta):
-        try:
-            buf.copy_to_host_async()
-        except AttributeError:
-            pass
+    try:
+        meta.copy_to_host_async()
+    except AttributeError:
+        pass
     return state._replace(cell_meshed=cell_meshed), packed, meta
+
+
+def start_body_pull(packed_dev, n_tris: int):
+    """Begin the async host transfer of the used rows of an emission buffer.
+
+    Returns the sliced device array whose transfer is in flight (consume with
+    np.asarray), or None when the round emitted nothing. Slice shapes are
+    bucketed to _PULL_BUCKET multiples so only a handful of slice programs
+    ever compile."""
+    if n_tris <= 0:
+        return None
+    cap = packed_dev.shape[0]
+    k = min(cap, -(-n_tris // _PULL_BUCKET) * _PULL_BUCKET)
+    body = packed_dev[:k]
+    try:
+        body.copy_to_host_async()
+    except AttributeError:
+        pass
+    return body
+
+
+_PULL_BUCKET = 2048  # row-count granularity of body pulls (few static shapes)
+
+
+def pull_mesh(packed_dev, meta_dev):
+    """Transfer an emission round to host: meta first (usually already in
+    flight), then only the used body rows, rounded up to _PULL_BUCKET so the
+    slice compiles to a handful of cached static shapes. Returns
+    (mesh dict, n_remaining) like unpack_mesh."""
+    meta = np.asarray(meta_dev)
+    n = int(meta[0])
+    if n <= 0:
+        return unpack_mesh(np.zeros((0, 12), np.uint32), meta)
+    cap = packed_dev.shape[0]
+    k = min(cap, -(-n // _PULL_BUCKET) * _PULL_BUCKET)
+    return unpack_mesh(np.asarray(packed_dev[:k]), meta)
 
 
 def unpack_mesh(packed: np.ndarray, meta: np.ndarray):

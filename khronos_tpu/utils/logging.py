@@ -15,6 +15,32 @@ from typing import List, Optional
 
 FINISHED_CLEANLY = "Experiment Finished Cleanly"
 
+# ---------------------------------------------------------------------------
+# CLOG-equivalent verbosity logging (reference common_types.h:133-142):
+# level 1 = once-per-run notices, 2 = infrequent, 3 = per-frame, 4+ = debug.
+# Set via set_verbosity() or the KHRONOS_VERBOSITY env var.
+_verbosity: Optional[int] = None
+
+
+def get_verbosity() -> int:
+    global _verbosity
+    if _verbosity is None:
+        _verbosity = int(os.environ.get("KHRONOS_VERBOSITY", "1"))
+    return _verbosity
+
+
+def set_verbosity(level: int) -> None:
+    global _verbosity
+    _verbosity = int(level)
+
+
+def clog(level: int, message: str) -> None:
+    """Print `message` iff the configured verbosity >= level (CLOG parity)."""
+    if get_verbosity() >= level:
+        import sys
+
+        print(f"[khronos:{level}] {message}", file=sys.stderr)
+
 
 class ExperimentLogger:
     def __init__(self, directory: str, filename: str = "experiment_log.txt"):
