@@ -27,6 +27,7 @@ from khronos_tpu.geometry.camera import Camera
 from khronos_tpu.map import active_volume as av
 from khronos_tpu.map import meshing
 from khronos_tpu.stm.scene_graph import KhronosObject
+from khronos_tpu.utils.logging import clog
 from khronos_tpu.utils.timing import Timer
 from khronos_tpu.active_window.frame_data import (
     FrameData,
@@ -457,24 +458,57 @@ class ActiveWindow:
             self._pending_mesh_dev.append([packed_dev, meta_dev, None, False])
 
     def _advance_mesh_pulls(self) -> None:
-        """Second stage of the zero-sync emission pipeline: once a pending
-        round's tiny meta has reached the host (is_ready), start the async
-        transfer of ONLY its used body rows (start_body_pull) — the full
-        fixed-capacity buffer is mostly padding, and bulk in-flight transfers
-        interleave pathologically with queued programs on the dev tunnel.
+        """Middle stages of the zero-sync emission pipeline. Per pending
+        round, in FIFO order: (a) once its tiny meta has reached the host
+        (is_ready), start the async transfer of ONLY its used body rows
+        (start_body_pull) — the full fixed-capacity buffer is mostly padding,
+        and bulk in-flight transfers interleave pathologically with queued
+        programs on the dev tunnel; (b) once the body rows have landed,
+        unpack into the pending mesh-delta list right away, so the periodic
+        output path almost never blocks on a transfer. Stops at the first
+        round that is not ready (keeps delta order deterministic).
         Entry layout: [body_or_packed, meta, tag, advanced]."""
+        done = 0
         for ent in self._pending_mesh_dev:
-            if ent[3]:
-                continue
-            meta_dev = ent[1]
+            if not ent[3]:
+                meta_dev = ent[1]
+                try:
+                    if not meta_dev.is_ready():
+                        break
+                except AttributeError:
+                    pass
+                ent[0] = meshing.start_body_pull(ent[0], int(np.asarray(meta_dev)[0]))
+                ent[3] = True
+            body_dev = ent[0]
             try:
-                if not meta_dev.is_ready():
-                    continue
+                if body_dev is not None and not body_dev.is_ready():
+                    break
             except AttributeError:
                 pass
-            n = int(np.asarray(meta_dev)[0])
-            ent[0] = meshing.start_body_pull(ent[0], n)
-            ent[3] = True
+            self._finalize_pull(ent)
+            done += 1
+        if done:
+            self._pending_mesh_dev = self._pending_mesh_dev[done:]
+
+    def _finalize_pull(self, ent) -> None:
+        """Last stage: transfer-to-host is complete (or forced) — unpack the
+        round and append its triangles to the pending mesh deltas. Audits the
+        scroll-final round's meta for dropped cells."""
+        body_dev, meta_dev, tag, advanced = ent
+        if not advanced:  # flush path: start the used-rows pull now
+            body_dev = meshing.start_body_pull(body_dev, int(np.asarray(meta_dev)[0]))
+        meta = np.asarray(meta_dev)
+        body = (
+            np.asarray(body_dev) if body_dev is not None else np.zeros((0, 12), np.uint32)
+        )
+        tris, n_remaining = meshing.unpack_mesh(body, meta)
+        if tag == "scroll_final" and n_remaining > 0:
+            clog(
+                2,
+                f"scroll emission under-provisioned: {n_remaining} "
+                "surface cells dropped (raise scroll_surface_fraction)",
+            )
+        self._append_mesh_delta(tris)
 
     def _append_mesh_delta(self, tris) -> None:
         if len(tris["vertices"]):
@@ -489,35 +523,18 @@ class ActiveWindow:
             )
 
     def _build_output(self, stamp_ns, R, t, flush_async: bool = False) -> ActiveWindowOutput:
-        # Collect deferred async emission buffers. Buffers dispatched in THIS
-        # output are left in flight (their transfer overlaps the next frames)
-        # unless flush_async (finish) — so each pull is a cheap cache hit.
-        keep = [] if flush_async else self._pending_mesh_dev[-1:]
-        consume = self._pending_mesh_dev if flush_async else self._pending_mesh_dev[:-1]
+        # Collect deferred async emission rounds. The steady-state path is
+        # NON-blocking: rounds whose transfers have landed were already
+        # unpacked by _advance_mesh_pulls; anything still in flight simply
+        # joins the NEXT output's delta (same contract as drain=False cell
+        # re-emission). flush_async (finish/restore) force-consumes
+        # everything, blocking on in-flight transfers.
         with Timer("extract/consume_pulls", stamp_ns):
-            for ent in consume:
-                body_dev, meta_dev, tag, advanced = ent
-                if not advanced:  # flush path: start the used-rows pull now
-                    body_dev = meshing.start_body_pull(
-                        body_dev, int(np.asarray(meta_dev)[0])
-                    )
-                meta = np.asarray(meta_dev)
-                body = (
-                    np.asarray(body_dev)
-                    if body_dev is not None
-                    else np.zeros((0, 12), np.uint32)
-                )
-                tris, n_remaining = meshing.unpack_mesh(body, meta)
-                if tag == "scroll_final" and n_remaining > 0:
-                    from khronos_tpu.utils.logging import clog
-
-                    clog(
-                        2,
-                        f"scroll emission under-provisioned: {n_remaining} "
-                        "surface cells dropped (raise scroll_surface_fraction)",
-                    )
-                self._append_mesh_delta(tris)
-        self._pending_mesh_dev = keep
+            self._advance_mesh_pulls()
+            if flush_async:
+                for ent in self._pending_mesh_dev:
+                    self._finalize_pull(ent)
+                self._pending_mesh_dev = []
         # merge pending mesh deltas
         if self._pending_mesh:
             delta = {

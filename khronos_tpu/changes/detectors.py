@@ -140,7 +140,8 @@ class SequentialChangeDetector:
         if V == 0:
             self.changes.background_states = np.zeros((0,), np.int8)
             return
-        ev = self.verificator.query(mesh.vertices)  # [V, B, 2]
+        with Timer("change_detection/background_query"):
+            ev = self.verificator.query(mesh.vertices)  # [V, B, 2]
         B = ev.shape[1]
         bin_s = self.detector.bin_size_s
         last_seen_s = mesh.last_seen_ns.astype(np.float64) * 1e-9
@@ -148,7 +149,8 @@ class SequentialChangeDetector:
         bin_t = (np.arange(B) + 0.5) * bin_s
         after = bin_t[None, :] > (last_seen_s[:, None] + cfg.time_filtering_threshold)
         ev_after = ev * after[..., None]
-        res = self.detector.scan(ev_after)
+        with Timer("change_detection/background_scan"):
+            res = self.detector.scan(ev_after)
         states = np.full(V, UNOBSERVED, np.int8)
         has_absent = res["first_absent_bin"] >= 0
         has_persist = res["first_persistent_bin"] >= 0

@@ -101,3 +101,27 @@ def test_to_dict_roundtrip():
     assert d["detector"]["type"] == "Beta"
     cfg2 = build(OuterConfig, d)
     assert cfg2.detector.type == "Beta"
+
+
+def test_shipped_configs_build():
+    """Every yaml under configs/ must produce a valid PipelineConfig and
+    instantiable plugins (reference: config_utilities validates all configs
+    at startup; here the shipped files are the contract)."""
+    import glob
+    import os
+
+    import yaml
+
+    from khronos_tpu.pipeline.pipeline import PipelineConfig
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    paths = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert paths, "no shipped configs found"
+    for path in paths:
+        with open(path) as fh:
+            data = yaml.safe_load(fh)
+        cfg = build(PipelineConfig, data["pipeline"])
+        for plug in (cfg.active_window.tracker, cfg.backend.lcd):
+            if plug is not None:
+                plug.create()
+        assert "dataset" in data and "kind" in data["dataset"], path
