@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,12 +56,15 @@ class ActiveWindowConfig:
     # integration stays full-res. 2 ~halves the per-frame device time at
     # 480x640 (see fused_step.make_frame_step). Must divide height and width.
     detection_stride: int = 1
-    # fused mode: number of frames the host tracker runs behind the device.
-    # The per-frame packed-stats pull costs one tunnel round trip (~28 ms on
-    # the axon dev setup); at lag n the pull has n frames of device compute to
-    # overlap with. Track bookkeeping lags by lag frames; the device-side
-    # dynamic-integration mask is unaffected.
-    tracker_lag: int = 2
+    # Host-pull batching (fused mode): every device->host copy costs ~30 ms
+    # of tunnel service time AND degrades concurrent device programs
+    # (measured: 8 outstanding copies slow every queued program ~40 ms), so
+    # all small pulls — per-frame packed tracker stats and emission metas —
+    # ride ONE shared buffer ("bus") flushed every `stats_batch_frames`
+    # frames. Tracker bookkeeping (host) lags by up to that many frames; the
+    # device-side dynamic-integration mask is unaffected. 1 = flush every
+    # frame (minimum lag, maximum copies).
+    stats_batch_frames: int = 4
     # scroll emission: fraction of the scroll-out slab assumed to hold
     # UNMESHED surface cells when sizing the sync-free unconditional emission
     # rounds (see _emit_mesh rounds=...). Most slab surface was already
@@ -96,6 +100,18 @@ class ActiveWindowOutput:
     objects: List[KhronosObject] = dataclasses.field(default_factory=list)
 
 
+@jax.jit
+def _bus_concat(*xs):
+    """One flat f32 buffer from 1-D device vectors (the host-pull bus
+    payload). Callers pad to a CANONICAL arity/shape set so this compiles
+    exactly once — a new-combination compile landing mid-run costs seconds
+    on the dev tunnel."""
+    return jnp.concatenate([x.reshape(-1).astype(jnp.float32) for x in xs])
+
+
+BUS_META_CAPACITY = 8  # emission metas per bus flush (overflow rides the next)
+
+
 def _empty_mesh_delta():
     return dict(
         mesh_vertices=np.zeros((0, 3, 3), np.float32),
@@ -127,7 +143,13 @@ class ActiveWindow:
         self._pending_mesh_dev: List = []  # in-flight device emission buffers
         self._pending_tracks = []
         self.frame_count = 0
-        self._track_queue: List = []  # [(frame, packed_stats), ...] oldest first
+        # --- host-pull bus state (see ActiveWindowConfig.stats_batch_frames)
+        self._track_queue: List = []  # [(frame, packed_dev), ...] oldest first
+        self._bus_unflushed: List = []  # packed stats not yet on a bus
+        self._bus_metas: List = []  # emission entries whose meta rides next bus
+        self._bus_pending: List = []  # [(n_stats, n_slots, entries, buf_dev), ...]
+        self._zero_meta = None  # cached padding vector for canonical flushes
+        self._stats_len = 0  # packed-stats vector length (set on first frame)
         self._sinks: List = []  # per-frame debug sinks (addKhronosSink parity)
         self._build_fused_step()
 
@@ -272,10 +294,6 @@ class ActiveWindow:
                         )
                     frame.dynamic_image = dyn_img
                     frame.object_image = obj_img
-                    try:
-                        packed.copy_to_host_async()
-                    except AttributeError:
-                        pass
                 self._track_frame(frame, packed)
             else:
                 # 1) motion detection (uses pre-integration tracking state)
@@ -319,9 +337,16 @@ class ActiveWindow:
                     )
                     self.state = av.update_archival(vol_cfg, self.state, t_now)
 
-            # 4.5) advance the two-stage mesh pulls (meta ready -> start the
-            # used-rows body transfer); pure host checks, no device sync
+            # 4.5) pump the host-pull pipeline: flush the bus on cadence,
+            # deliver any landed bus (tracker stats + emission metas), and
+            # advance emission body pulls; pure host checks, no device sync
             with Timer("active_window/advance_pulls", frame.stamp_ns):
+                if (
+                    len(self._bus_unflushed) >= max(1, cfg.stats_batch_frames)
+                    or (self._bus_metas and not self._bus_unflushed)
+                ):
+                    self._flush_bus()
+                self._poll_bus()
                 self._advance_mesh_pulls()
 
             # 5) frame buffer. Frames not yet seen by the (one-frame-lagged)
@@ -348,13 +373,69 @@ class ActiveWindow:
 
     # ------------------------------------------------------------------
     def _track_frame(self, frame: FrameData, packed) -> None:
-        """Queue (frame, packed stats); run the tracker `tracker_lag` frames
-        behind so the device->host stats transfer fully overlaps device
-        compute (one frame of lag still leaves the pull on the critical
-        path when frame compute < tunnel round trip)."""
+        """Queue (frame, packed stats) for the bus; the tracker runs when the
+        batch containing this frame's stats lands on the host (up to
+        stats_batch_frames behind the device)."""
         self._track_queue.append((frame, packed))
-        while len(self._track_queue) > max(1, self.config.tracker_lag):
-            self._run_tracker(*self._track_queue.pop(0))
+        self._bus_unflushed.append(packed)
+        self._stats_len = packed.shape[0]
+
+    def _flush_bus(self) -> None:
+        """Dispatch ONE concatenated device buffer + host copy carrying all
+        accumulated per-frame packed stats and pending emission metas. The
+        payload is padded to a canonical arity (stats_batch_frames stats +
+        BUS_META_CAPACITY metas) so _bus_concat compiles exactly once."""
+        if not self._bus_unflushed and not self._bus_metas:
+            return
+        K = max(1, self.config.stats_batch_frames)
+        n_stats = len(self._bus_unflushed)
+        stats = list(self._bus_unflushed)
+        if stats:  # pad to exactly K slots (repeat last; ignored on unpack)
+            stats = stats + [stats[-1]] * (K - len(stats))
+        metas = self._bus_metas[:BUS_META_CAPACITY]
+        overflow = self._bus_metas[BUS_META_CAPACITY:]
+        if self._zero_meta is None:
+            self._zero_meta = jnp.zeros((9,), jnp.float32)
+        meta_items = [e[1] for e in metas]
+        meta_items += [self._zero_meta] * (BUS_META_CAPACITY - len(meta_items))
+        buf = _bus_concat(*stats, *meta_items)
+        try:
+            buf.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._bus_pending.append((n_stats, len(stats), metas, buf))
+        self._bus_unflushed = []
+        self._bus_metas = overflow
+
+    def _poll_bus(self, block: bool = False) -> None:
+        """Deliver landed buses in FIFO order: run the tracker over each
+        carried frame's stats and hand each carried emission meta to its
+        entry (starting the used-rows body pull)."""
+        while self._bus_pending:
+            n_stats, n_slots, entries, buf = self._bus_pending[0]
+            if not block:
+                try:
+                    if not buf.is_ready():
+                        return
+                except AttributeError:
+                    pass
+            arr = np.asarray(buf)
+            off = 0
+            for i in range(n_slots):
+                if i < n_stats:
+                    frame, packed = self._track_queue.pop(0)
+                    n = packed.shape[0]
+                    self._run_tracker(frame, arr[off : off + n])
+                    off += n
+                else:  # padding slot (repeat of the last stats vector)
+                    off += self._stats_len
+            for ent in entries:
+                meta = arr[off : off + 9]
+                off += 9
+                ent[1] = meta
+                ent[0] = meshing.start_body_pull(ent[0], int(meta[0]))
+                ent[3] = "body"
+            self._bus_pending.pop(0)
 
     def _run_tracker(self, frame: FrameData, packed) -> None:
         dyn_c, sem_c, dyn_p, sem_p = self._unpack_stats(
@@ -370,9 +451,10 @@ class ActiveWindow:
             self._pending_tracks.extend(finished)
 
     def _flush_tracker_queue(self) -> None:
-        pending, self._track_queue = self._track_queue, []
-        for item in pending:
-            self._run_tracker(*item)
+        """Force every queued frame through the tracker (finish/test path):
+        flush the bus and consume it blocking (safe — its copy is started)."""
+        self._flush_bus()
+        self._poll_bus(block=True)
 
     # ------------------------------------------------------------------
     def finish_mapping(self, frame: Optional[FrameData] = None) -> ActiveWindowOutput:
@@ -428,57 +510,67 @@ class ActiveWindow:
         execute in order). Body pulls stay deferred to _build_output."""
         vol_cfg = self.config.volumetric_map
         max_cells = self.config.mesh_max_cells
-        self.state, packed_dev, meta_dev = meshing.extract_mesh_async(
-            self.state, emit_mask, vol_cfg, max_cells=max_cells
-        )
-        self._pending_mesh_dev.append([packed_dev, meta_dev, None, False])
+
+        def one_round(blocking_meta: bool):
+            # non-drain rounds send their meta over the shared bus (no own
+            # host copy); drain rounds own an async meta copy since the
+            # caller needs the count synchronously
+            self.state, packed_dev, meta_dev = meshing.extract_mesh_async(
+                self.state, emit_mask, vol_cfg, max_cells=max_cells,
+                copy_meta=blocking_meta,
+            )
+            stage = "meta_copy" if blocking_meta else "meta_bus"
+            ent = [packed_dev, meta_dev, None, stage]
+            self._pending_mesh_dev.append(ent)
+            if not blocking_meta:
+                self._bus_metas.append(ent)
+            return ent
+
+        ent = one_round(drain and rounds == 0)
         if rounds > 0:
             # rounds are incremental re-dispatches of the SAME program with
             # the same mask: extract excludes cell_meshed internally, so no
             # eager ops run between rounds (those block against a deep
             # device queue on the dev tunnel)
             for _ in range(rounds - 1):
-                self.state, packed_dev, meta_dev = meshing.extract_mesh_async(
-                    self.state, emit_mask, vol_cfg, max_cells=max_cells
-                )
-                self._pending_mesh_dev.append([packed_dev, meta_dev, None, False])
+                ent = one_round(False)
             # flag the final round: its meta is audited on consume
-            self._pending_mesh_dev[-1][2] = "scroll_final"
+            ent[2] = "scroll_final"
             return
         if not drain:
             return
-        meta = np.asarray(meta_dev)
+        meta = np.asarray(ent[1])
         n_remaining = max(0, int(meta[1]) - int(meta[2]))
         per_round = meshing.min_cells_per_round(max_cells)
         drain_rounds = -(-n_remaining // per_round)
         for _ in range(drain_rounds):
-            self.state, packed_dev, meta_dev = meshing.extract_mesh_async(
-                self.state, emit_mask, vol_cfg, max_cells=max_cells
-            )
-            self._pending_mesh_dev.append([packed_dev, meta_dev, None, False])
+            one_round(True)
 
     def _advance_mesh_pulls(self) -> None:
         """Middle stages of the zero-sync emission pipeline. Per pending
-        round, in FIFO order: (a) once its tiny meta has reached the host
-        (is_ready), start the async transfer of ONLY its used body rows
-        (start_body_pull) — the full fixed-capacity buffer is mostly padding,
-        and bulk in-flight transfers interleave pathologically with queued
-        programs on the dev tunnel; (b) once the body rows have landed,
-        unpack into the pending mesh-delta list right away, so the periodic
-        output path almost never blocks on a transfer. Stops at the first
-        round that is not ready (keeps delta order deterministic).
-        Entry layout: [body_or_packed, meta, tag, advanced]."""
+        round, in FIFO order: (a) once its meta is host-known — delivered by
+        the bus ("meta_bus" entries, handled in _poll_bus) or via its own
+        async copy ("meta_copy") — start the async transfer of ONLY its used
+        body rows (start_body_pull): the full fixed-capacity buffer is mostly
+        padding; (b) once the body rows have landed, unpack into the pending
+        mesh-delta list right away, so the periodic output path almost never
+        blocks on a transfer. Stops at the first round that is not ready
+        (keeps delta order deterministic).
+        Entry layout: [body_or_packed, meta(dev|np), tag, stage]."""
         done = 0
         for ent in self._pending_mesh_dev:
-            if not ent[3]:
+            if ent[3] == "meta_bus":
+                break  # its meta rides a bus that has not landed yet
+            if ent[3] == "meta_copy":
                 meta_dev = ent[1]
                 try:
                     if not meta_dev.is_ready():
                         break
                 except AttributeError:
                     pass
-                ent[0] = meshing.start_body_pull(ent[0], int(np.asarray(meta_dev)[0]))
-                ent[3] = True
+                ent[1] = np.asarray(meta_dev)
+                ent[0] = meshing.start_body_pull(ent[0], int(ent[1][0]))
+                ent[3] = "body"
             body_dev = ent[0]
             try:
                 if body_dev is not None and not body_dev.is_ready():
@@ -493,11 +585,12 @@ class ActiveWindow:
     def _finalize_pull(self, ent) -> None:
         """Last stage: transfer-to-host is complete (or forced) — unpack the
         round and append its triangles to the pending mesh deltas. Audits the
-        scroll-final round's meta for dropped cells."""
-        body_dev, meta_dev, tag, advanced = ent
-        if not advanced:  # flush path: start the used-rows pull now
-            body_dev = meshing.start_body_pull(body_dev, int(np.asarray(meta_dev)[0]))
-        meta = np.asarray(meta_dev)
+        scroll-final round's meta for dropped cells. Callers must have
+        resolved "meta_bus" entries (bus drained) before forcing this."""
+        body_dev, meta_any, tag, stage = ent
+        meta = np.asarray(meta_any)
+        if stage != "body":  # flush path: start the used-rows pull now
+            body_dev = meshing.start_body_pull(body_dev, int(meta[0]))
         body = (
             np.asarray(body_dev) if body_dev is not None else np.zeros((0, 12), np.uint32)
         )
@@ -530,8 +623,13 @@ class ActiveWindow:
         # re-emission). flush_async (finish/restore) force-consumes
         # everything, blocking on in-flight transfers.
         with Timer("extract/consume_pulls", stamp_ns):
+            self._poll_bus()
             self._advance_mesh_pulls()
             if flush_async:
+                # drain the bus so every "meta_bus" entry has its meta, then
+                # force-consume all rounds (blocking)
+                self._flush_bus()
+                self._poll_bus(block=True)
                 for ent in self._pending_mesh_dev:
                     self._finalize_pull(ent)
                 self._pending_mesh_dev = []

@@ -144,6 +144,7 @@ def make_frame_step(
     # would force cross-device gathers; sharded grids want full-width SPMD).
     crop = av.crop_shape_for_camera(vol_cfg, camera) if crop else tuple(shape)
     cropping = any(c < g for c, g in zip(crop, shape))
+    n_crop = crop[0] * crop[1] * crop[2]
 
     def _body(state, depth, color, labels, instances, features, R_w_c, t_w_c, t_now):
         depth_d = depth[::s, ::s]
@@ -177,13 +178,14 @@ def make_frame_step(
             pix_dyn_raw = jnp.where(in_grid, mlab[ci, cj, ck], -1)
             zko = points_w[..., 2] >= md_cfg.min_z
             pix_dyn_raw = jnp.where(zko, pix_dyn_raw, -1)
-            dyn_compact = cl.compact_labels(pix_dyn_raw, MC)
+            # labels are crop linear indices -> dense-table compaction, no sort
+            dyn_compact = cl.compact_labels(pix_dyn_raw, MC, num_values=n_crop)
             d_counts, d_sums, d_bmin, d_bmax = cl.cluster_stats(
                 dyn_compact, points_w, max_clusters=MC
             )
             # voxel counts from pixel (cluster, voxel) keys — avoids a 1M sort
             vox_lin = (ci * crop[1] + cj) * crop[2] + ck
-            d_vox = cl.cluster_voxel_counts(dyn_compact, vox_lin, MC)
+            d_vox = cl.cluster_voxel_counts(dyn_compact, vox_lin, MC, num_voxels=n_crop)
             d_keep = (d_counts >= md_min_px) & (d_counts <= md_max_px)
             dynamic_image, d_ids = cl.filter_and_renumber(dyn_compact, d_keep)
             d_pts, _ = cl.cluster_point_samples(dyn_compact, points_w, K_SAMPLES, MC)
@@ -216,7 +218,7 @@ def make_frame_step(
             pix_sem_raw = jnp.where(
                 ok & (vclass[oci, ocj, ock] == pix_class), olab[oci, ocj, ock], -1
             )
-            sem_compact = cl.compact_labels(pix_sem_raw, MC)
+            sem_compact = cl.compact_labels(pix_sem_raw, MC, num_values=n_crop)
             s_counts, s_sums, s_bmin, s_bmax, s_cat = cl.cluster_stats(
                 sem_compact, points_w, extra=pix_class, max_clusters=MC
             )

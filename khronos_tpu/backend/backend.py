@@ -239,6 +239,11 @@ class Backend:
         with Timer("backend/get_dsg"):
             mesh = self.mesh_acc.build()
             dsg = SceneGraph(mesh=mesh)
+            # deformation epoch: vertex positions only move when an
+            # optimization re-solves the graph; the incremental background
+            # change detector keys its per-vertex state cache on this
+            # (detectors.py, stricter than the reference's LC-only wipe)
+            dsg.opt_epoch = self.num_optimizations
             optimized = self._opt_result is not None
             node_R_cur = np.stack([np.asarray(r) for r in self.graph.node_R]) if self.graph.num_nodes else np.zeros((0, 3, 3), np.float32)
             node_t_cur = np.stack([np.asarray(t) for t in self.graph.node_t]) if self.graph.num_nodes else np.zeros((0, 3), np.float32)

@@ -49,6 +49,12 @@ class SequentialChangeDetectorConfig:
     background: BackgroundChangeDetectionConfig = dataclasses.field(default_factory=BackgroundChangeDetectionConfig)
     detect_object_changes: bool = True
     detect_background_changes: bool = True
+    # Incremental background pass (reference ray_background_change_detector
+    # cpp:59-103: recompute only new + re-observed vertices; full recompute on
+    # loop closure). Valid because the backend mesh is append-only with frozen
+    # per-vertex stamps between optimizations; any optimization (dsg.opt_epoch
+    # change) or loop closure forces the full pass.
+    incremental_background: bool = True
 
 
 class SequentialChangeDetector:
@@ -61,12 +67,19 @@ class SequentialChangeDetector:
             config.detector, config.verificator.temporal_resolution
         )
         self.changes = Changes()
+        # incremental-background cache: states of the previous pass, the
+        # vertex count they cover, and the optimization epoch they were
+        # computed under (epoch change => vertex positions moved => full pass)
+        self._bg_states: Optional[np.ndarray] = None
+        self._bg_epoch = None
 
     # ------------------------------------------------------------------
     def detect_changes(self, dsg, had_loop_closure: bool = True) -> Changes:
-        """Full pass over the snapshot (the reference recomputes the hash and
-        all states on loop closure, cpp:76-102; we always rebuild — the build
-        is one sort, cheap on device)."""
+        """Pass over the snapshot: hash rebuild + object pass are always full
+        (the build is one device sort; objects are few); the background pass
+        is incremental between loop closures / optimizations, matching the
+        reference (sequential_change_detector.cpp:76-102: full recompute on
+        LC, incremental otherwise)."""
         with Timer("change_detection/all"):
             with Timer("change_detection/update_verificator"):
                 self.verificator.build(dsg)
@@ -75,7 +88,7 @@ class SequentialChangeDetector:
                     self._detect_object_changes(dsg)
             if self.config.detect_background_changes:
                 with Timer("change_detection/background"):
-                    self._detect_background_changes(dsg)
+                    self._detect_background_changes(dsg, had_loop_closure)
         return self.changes
 
     # ------------------------------------------------------------------
@@ -133,27 +146,59 @@ class SequentialChangeDetector:
             self.changes.object_changes[o.node_id] = oc
 
     # ------------------------------------------------------------------
-    def _detect_background_changes(self, dsg) -> None:
+    def _detect_background_changes(self, dsg, had_loop_closure: bool = True) -> None:
         cfg = self.config.background
         mesh = dsg.mesh
         V = mesh.num_vertices
         if V == 0:
             self.changes.background_states = np.zeros((0,), np.int8)
             return
+        epoch = getattr(dsg, "opt_epoch", None)
+        prev = self._bg_states
+        full = (
+            not self.config.incremental_background
+            or had_loop_closure
+            or prev is None
+            or epoch is None
+            or epoch != self._bg_epoch
+            or V < len(prev)
+        )
+        if full:
+            sel = np.arange(V)
+            states = np.full(V, UNOBSERVED, np.int8)
+        else:
+            # incremental: previous states stay valid except for (a) new
+            # vertices and (b) old vertices in hash cells traversed by rays
+            # targeting new vertices (the only new rays between passes)
+            Vp = len(prev)
+            touched = self.verificator.touched_cells_for_new_targets(Vp)
+            cells = self.verificator.point_cells(mesh.vertices[:Vp])
+            re_obs = np.zeros(Vp, bool)
+            ok = cells >= 0
+            re_obs[ok] = touched[cells[ok]]
+            sel = np.concatenate([np.nonzero(re_obs)[0], np.arange(Vp, V)])
+            states = np.concatenate([prev, np.full(V - Vp, UNOBSERVED, np.int8)])
+            if len(sel) == 0:
+                self.changes.background_states = states
+                self._bg_states = states
+                return
         with Timer("change_detection/background_query"):
-            ev = self.verificator.query(mesh.vertices)  # [V, B, 2]
+            ev = self.verificator.query(mesh.vertices[sel])  # [S, B, 2]
         B = ev.shape[1]
         bin_s = self.detector.bin_size_s
-        last_seen_s = mesh.last_seen_ns.astype(np.float64) * 1e-9
+        last_seen_s = mesh.last_seen_ns[sel].astype(np.float64) * 1e-9
         # consider only bins after each vertex's last_seen (+ slack):
         bin_t = (np.arange(B) + 0.5) * bin_s
         after = bin_t[None, :] > (last_seen_s[:, None] + cfg.time_filtering_threshold)
         ev_after = ev * after[..., None]
         with Timer("change_detection/background_scan"):
             res = self.detector.scan(ev_after)
-        states = np.full(V, UNOBSERVED, np.int8)
+        sel_states = np.full(len(sel), UNOBSERVED, np.int8)
         has_absent = res["first_absent_bin"] >= 0
         has_persist = res["first_persistent_bin"] >= 0
-        states[has_persist] = PERSISTENT
-        states[has_absent] = ABSENT  # absence evidence wins (vertex is gone)
+        sel_states[has_persist] = PERSISTENT
+        sel_states[has_absent] = ABSENT  # absence evidence wins (vertex is gone)
+        states[sel] = sel_states
         self.changes.background_states = states
+        self._bg_states = states
+        self._bg_epoch = epoch

@@ -109,6 +109,17 @@ def _build_index_device(origins, targets, stamps, origin_cell, dims_t, block_siz
     return sorted_cells, sorted_rays, cell_start
 
 
+@functools.partial(jax.jit, static_argnames=("num_cells",))
+def _touched_cells_device(sorted_cells, sorted_rays, target_idx, min_target, num_cells: int):
+    """Bool [num_cells]: cells traversed by rays whose target vertex index is
+    >= min_target (sentinel entries carry cell id == num_cells)."""
+    new = target_idx[sorted_rays] >= min_target
+    cell = jnp.clip(sorted_cells, 0, num_cells)
+    return (
+        jnp.zeros((num_cells + 1,), jnp.bool_).at[cell].max(new)[:num_cells]
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("num_bins", "max_candidates"))
 def _query_device(
     points,  # [P, 3]
@@ -209,8 +220,13 @@ class RayVerificator:
         origins = np.concatenate(ray_src).astype(np.float32)
         targets = np.concatenate(ray_tgt).astype(np.float32)
         stamps = np.concatenate(ray_stamp).astype(np.float32)
-        # drop duplicate (vertex, observer) rays
-        self._build_index(origins, targets, stamps)
+        # target VERTEX index per ray: old vertices keep exactly their old
+        # rays across passes (append-only mesh + frozen per-vertex stamps),
+        # so "rays new since vertex count Vp" === "rays with target >= Vp" —
+        # the basis for incremental re-detection (reference
+        # ray_verificator.cpp:163-182 updateDsg re-observed reporting)
+        target_idx = np.concatenate([np.arange(V, dtype=np.int32)] * len(obs))
+        self._build_index(origins, targets, stamps, target_idx)
 
     @staticmethod
     def _bucket(n: int) -> int:
@@ -224,8 +240,10 @@ class RayVerificator:
         step = 1 << max(int(np.log2(n)) - 2, 10)
         return ((n + step - 1) // step) * step
 
-    def _build_index(self, origins, targets, stamps):
+    def _build_index(self, origins, targets, stamps, target_idx=None):
         cfg = self.config
+        if target_idx is None:
+            target_idx = np.arange(len(origins), dtype=np.int32)
         all_pts = np.concatenate([origins, targets])
         lo = all_pts.min(axis=0) - cfg.block_size
         hi = all_pts.max(axis=0) + cfg.block_size
@@ -248,6 +266,7 @@ class RayVerificator:
             origins = np.concatenate([origins, np.broadcast_to(far, (pad, 3))])
             targets = np.concatenate([targets, np.broadcast_to(far, (pad, 3))])
             stamps = np.concatenate([stamps, np.zeros(pad, np.float32)])
+            target_idx = np.concatenate([target_idx, np.full(pad, -1, np.int32)])
         C = int(np.prod(self.dims))
 
         # ONE jitted program for the whole index build: the eager op chain
@@ -267,8 +286,37 @@ class RayVerificator:
         self.origins = jnp.asarray(origins)
         self.targets = jnp.asarray(targets)
         self.stamps_s = jnp.asarray(stamps)
+        self.target_idx = jnp.asarray(target_idx)
         self.num_rays = R_real
         self._built = True
+
+    # ------------------------------------------------------------------
+    def touched_cells_for_new_targets(self, min_target_idx: int) -> np.ndarray:
+        """Bool [C]: hash cells traversed by rays targeting vertex indices
+        >= min_target_idx. Basis for incremental change detection: only
+        query points in touched cells can have gained evidence."""
+        if not self._built:
+            return np.zeros((0,), bool)
+        C = int(np.prod(self.dims))
+        mask = np.asarray(
+            _touched_cells_device(
+                self.sorted_cells, self.sorted_rays, self.target_idx,
+                jnp.int32(min_target_idx), C,
+            )
+        )
+        return mask
+
+    def point_cells(self, points: np.ndarray) -> np.ndarray:
+        """Linear hash-cell index per point (host math), -1 if outside."""
+        if not self._built:
+            return np.full((len(points),), -1, np.int64)
+        pc = np.floor(np.asarray(points) / self.config.block_size).astype(
+            np.int64
+        ) - self.origin_cell.astype(np.int64)
+        dims = self.dims.astype(np.int64)
+        ok = np.all((pc >= 0) & (pc < dims[None, :]), axis=1)
+        lin = (pc[:, 0] * dims[1] + pc[:, 1]) * dims[2] + pc[:, 2]
+        return np.where(ok, lin, -1)
 
     # ------------------------------------------------------------------
     # fixed device chunk: bounds the [chunk, max_candidates, 3] geometry

@@ -331,26 +331,34 @@ def min_cells_per_round(max_cells: int, tri_capacity: int = None) -> int:
     return max(1, min(max_cells, tri_capacity // 12))
 
 
-def extract_mesh_async(state, emit_mask, config, max_cells: int = 16384, tri_capacity: int = None):
+def extract_mesh_async(
+    state,
+    emit_mask,
+    config,
+    max_cells: int = 16384,
+    tri_capacity: int = None,
+    copy_meta: bool = True,
+):
     """Device-side emission only: returns (state', packed u32 buffer, meta).
 
-    Only the tiny `meta` vector starts a background host transfer here. The
-    BODY stays on device: the fixed [tri_capacity, 12] buffer is ~768 KB of
-    mostly padding, and in-flight device->host bulk transfers interleave
-    pathologically with queued programs on the dev tunnel (measured: big
-    copies concurrent with queued work degrade device throughput ~100x).
-    Callers start a used-rows-only body pull later via `start_body_pull`
-    once meta is host-ready (ActiveWindow._advance_mesh_pulls), or pull
-    synchronously with `pull_mesh`."""
+    With copy_meta, the tiny `meta` vector starts a background host transfer
+    here; pass copy_meta=False when the caller batches metas onto a shared
+    pull (ActiveWindow's bus) — EVERY host copy costs ~30 ms of tunnel
+    service time and degrades concurrent device programs, so copies are a
+    budgeted resource. The BODY always stays on device: the fixed
+    [tri_capacity, 12] buffer is ~768 KB of mostly padding. Callers start a
+    used-rows-only body pull later via `start_body_pull` once the meta is
+    host-known, or pull synchronously with `pull_mesh`."""
     if tri_capacity is None:
         tri_capacity = max(min(6 * max_cells, 16384), 1024)
     cell_meshed, packed, meta = _extract_device(
         state, emit_mask, config.voxel_size, max_cells, tri_capacity
     )
-    try:
-        meta.copy_to_host_async()
-    except AttributeError:
-        pass
+    if copy_meta:
+        try:
+            meta.copy_to_host_async()
+        except AttributeError:
+            pass
     return state._replace(cell_meshed=cell_meshed), packed, meta
 
 

@@ -15,9 +15,30 @@ import jax
 import jax.numpy as jnp
 
 
-def compact_labels(raw: jnp.ndarray, max_clusters: int) -> jnp.ndarray:
-    """Raw int labels (-1 = none) -> compact ids in [0, max_clusters), -1 none."""
+def compact_labels(raw: jnp.ndarray, max_clusters: int, num_values: int = None) -> jnp.ndarray:
+    """Raw int labels (-1 = none) -> compact ids in [0, max_clusters), -1 none.
+
+    Ids are assigned in ascending raw-value order; when more than max_clusters
+    distinct values exist, the smallest max_clusters are kept.
+
+    With `num_values` (labels known to lie in [0, num_values), e.g. voxel or
+    pixel linear indices), compaction is a dense presence table + blockwise
+    cumsum + gather instead of the sort-based `jnp.unique` — the sorts were
+    the measured hot spot of the fused detection step (~77k-element sorts on
+    TPU cost ~2-3 ms each; the table path is well under 1 ms)."""
     flat = raw.reshape(-1)
+    if num_values is not None:
+        safe = jnp.where(flat >= 0, flat, 0)
+        mark = (
+            jnp.zeros((num_values,), jnp.int32)
+            .at[safe]
+            .max(jnp.where(flat >= 0, 1, 0))
+        )
+        pos = exclusive_cumsum_1d(mark)  # rank among present values
+        raw_safe = jnp.where(raw >= 0, raw, 0)
+        rpos = pos[raw_safe]
+        hit = (raw >= 0) & (mark[raw_safe] == 1) & (rpos < max_clusters)
+        return jnp.where(hit, rpos, -1)
     uniq = jnp.unique(flat, size=max_clusters + 1, fill_value=-1)
     sentinel = jnp.iinfo(jnp.int32).max
     reals = jnp.sort(jnp.where(uniq >= 0, uniq, sentinel))
@@ -93,20 +114,34 @@ def cluster_point_samples(
     return jnp.where(valid[..., None], samples, 0.0), valid
 
 
-@functools.partial(jax.jit, static_argnames=("max_clusters",))
+@functools.partial(jax.jit, static_argnames=("max_clusters", "num_voxels"))
 def cluster_voxel_counts(
     compact: jnp.ndarray,  # [H, W] compact cluster ids (-1 none)
     vox_lin: jnp.ndarray,  # [H, W] int32 linear voxel index per pixel
     max_clusters: int = 32,
+    num_voxels: int = None,
 ):
     """Number of distinct voxels per cluster, computed from PIXELS.
 
-    Sorts (cluster, voxel) keys over the image (~300k) instead of compacting
-    the full voxel grid (~1M sort — measured 80+ ms on TPU); counts
-    first-occurrences per cluster segment."""
+    With `num_voxels` (the linear-index bound): scatter-max a presence byte
+    into a dense [MC+1, num_voxels] table and row-reduce — no sort at all
+    (a few MB of HBM traffic, well under 1 ms). Otherwise: sort (cluster,
+    voxel) keys over the image (~300k) instead of compacting the full voxel
+    grid (~1M sort — measured 80+ ms on TPU) and count first-occurrences per
+    cluster segment."""
     MC = max_clusters
     flat_c = compact.reshape(-1).astype(jnp.int32)
     flat_v = vox_lin.reshape(-1).astype(jnp.int32)
+    if num_voxels is not None:
+        on = flat_c >= 0
+        row = jnp.where(on, flat_c, MC)
+        col = jnp.clip(flat_v, 0, num_voxels - 1)
+        table = (
+            jnp.zeros((MC + 1, num_voxels), jnp.uint8)
+            .at[row, col]
+            .max(on.astype(jnp.uint8))
+        )
+        return table.sum(axis=1, dtype=jnp.int32)[:-1]
     # int32 keys (x64 is disabled): cluster id (<64) in the high bits, voxel
     # linear index (< 2^21 voxels, i.e. grids up to ~2M cells) in the low bits
     SHIFT = 21

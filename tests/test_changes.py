@@ -284,3 +284,68 @@ class TestNativeMeshAccumulator:
         np.testing.assert_allclose(
             np.sort(mp.first_seen_ns), np.sort(mn.first_seen_ns)
         )
+
+
+class TestIncrementalBackground:
+    def test_incremental_matches_full(self):
+        """Second pass with appended vertices (same opt epoch, no LC) must
+        produce the same states as a fresh full recompute, while querying
+        only the new + re-observed subset."""
+        from khronos_tpu.changes.detectors import (
+            SequentialChangeDetector,
+            SequentialChangeDetectorConfig,
+        )
+
+        def build_dsg(n_extra):
+            dsg = SceneGraph()
+            dsg.agents = make_agents([0, 0, 1], np.arange(0, 101, 2.0))
+            verts = [[4.0, 0, 1], [4.0, 0.1, 1], [5.0, 0, 1], [0.0, 3.0, 1]]
+            first = [0.0, 0.0, 45.0, 0.0]
+            last = [40.0, 40.0, 100.0, 100.0]
+            for k in range(n_extra):  # appended later-mapped wall vertices
+                verts.append([5.0, 0.2 + 0.1 * k, 1.0])
+                first.append(50.0)
+                last.append(100.0)
+            dsg.mesh = make_mesh(verts, first, last)
+            dsg.opt_epoch = 0
+            return dsg
+
+        cfg = SequentialChangeDetectorConfig()
+        cfg.verificator.ray_policy = "All"
+        cfg.verificator.temporal_resolution = 2.0
+        cfg.detect_object_changes = False
+
+        inc = SequentialChangeDetector(cfg)
+        inc.detect_changes(build_dsg(0), had_loop_closure=False)
+        states_inc = inc.detect_changes(
+            build_dsg(3), had_loop_closure=False
+        ).background_states.copy()
+
+        full = SequentialChangeDetector(cfg)
+        states_full = full.detect_changes(
+            build_dsg(3), had_loop_closure=False
+        ).background_states.copy()
+        np.testing.assert_array_equal(states_inc, states_full)
+
+    def test_epoch_change_forces_full(self):
+        from khronos_tpu.changes.detectors import (
+            SequentialChangeDetector,
+            SequentialChangeDetectorConfig,
+        )
+
+        cfg = SequentialChangeDetectorConfig()
+        cfg.verificator.ray_policy = "All"
+        cfg.verificator.temporal_resolution = 2.0
+        cfg.detect_object_changes = False
+        scd = SequentialChangeDetector(cfg)
+        dsg = SceneGraph()
+        dsg.agents = make_agents([0, 0, 1], np.arange(0, 101, 2.0))
+        dsg.mesh = make_mesh([[4.0, 0, 1], [0, 3, 1]], [0.0, 0.0], [40.0, 100.0])
+        dsg.opt_epoch = 0
+        scd.detect_changes(dsg, had_loop_closure=False)
+        # vertex moved by an optimization: epoch changes, cache must not
+        # survive even though the vertex count is unchanged
+        dsg.mesh.vertices = dsg.mesh.vertices + np.float32([0.5, 0, 0])
+        dsg.opt_epoch = 1
+        st = scd.detect_changes(dsg, had_loop_closure=False).background_states
+        assert len(st) == 2
