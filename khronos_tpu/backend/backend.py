@@ -294,32 +294,45 @@ class Backend:
         intersection with IoU >= merge_min_iou (functor cpp:61-107)."""
         cfg = self.config
         objs = [o for o in self.objects.values() if not o.is_dynamic]
+        n = len(objs)
+        if n < 2:
+            return
         proposed = {(p.from_id, p.into_id) for p in self.proposed_merges}
-        for i in range(len(objs)):
-            for j in range(i + 1, len(objs)):
-                a, b = objs[i], objs[j]
-                if a.semantic_category != b.semantic_category:
-                    continue
-                if (a.node_id, b.node_id) in proposed or (b.node_id, a.node_id) in proposed:
-                    continue
-                # temporal co-visibility: intervals overlap -> distinct objects
-                covis = any(
-                    is_present(b.first_observed_ns, b.last_observed_ns, s)
-                    for s in list(a.first_observed_ns) + list(a.last_observed_ns)
-                ) or any(
-                    is_present(a.first_observed_ns, a.last_observed_ns, s)
-                    for s in list(b.first_observed_ns) + list(b.last_observed_ns)
-                )
-                if covis:
-                    continue
-                iou = float(
-                    bbox_util.iou(a.bbox_min, a.bbox_max, b.bbox_min, b.bbox_max)
-                )
-                if iou >= cfg.merge_min_iou:
-                    newer, older = (a, b) if a.first_observed_ns[0] > b.first_observed_ns[0] else (b, a)
-                    self.proposed_merges.append(
-                        MergeProposal(from_id=newer.node_id, into_id=older.node_id, iou=iou)
-                    )
+        # vectorized pairwise gates: same label + bbox IoU >= threshold.
+        # The exact interval co-visibility check runs only on survivors.
+        mn = np.stack([o.bbox_min for o in objs]).astype(np.float32)  # [n,3]
+        mx = np.stack([o.bbox_max for o in objs]).astype(np.float32)
+        labels = np.asarray([o.semantic_category for o in objs])
+        inter_lo = np.maximum(mn[:, None, :], mn[None, :, :])
+        inter_hi = np.minimum(mx[:, None, :], mx[None, :, :])
+        inter = np.prod(np.maximum(inter_hi - inter_lo, 0.0), axis=-1)  # [n,n]
+        vol = np.prod(np.maximum(mx - mn, 0.0), axis=-1)
+        union = vol[:, None] + vol[None, :] - inter
+        iou_mat = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+        cand = (
+            (iou_mat >= cfg.merge_min_iou)
+            & (labels[:, None] == labels[None, :])
+            & np.triu(np.ones((n, n), bool), k=1)
+        )
+        for i, j in zip(*np.nonzero(cand)):
+            a, b = objs[i], objs[j]
+            if (a.node_id, b.node_id) in proposed or (b.node_id, a.node_id) in proposed:
+                continue
+            # temporal co-visibility: intervals overlap -> distinct objects
+            covis = any(
+                is_present(b.first_observed_ns, b.last_observed_ns, s)
+                for s in list(a.first_observed_ns) + list(a.last_observed_ns)
+            ) or any(
+                is_present(a.first_observed_ns, a.last_observed_ns, s)
+                for s in list(b.first_observed_ns) + list(b.last_observed_ns)
+            )
+            if covis:
+                continue
+            iou = float(iou_mat[i, j])
+            newer, older = (a, b) if a.first_observed_ns[0] > b.first_observed_ns[0] else (b, a)
+            self.proposed_merges.append(
+                MergeProposal(from_id=newer.node_id, into_id=older.node_id, iou=iou)
+            )
 
     # ------------------------------------------------------------------
     def save(self, directory: str):

@@ -43,7 +43,9 @@ class RayVerificatorConfig:
     depth_tolerance: float = 0.15  # m (along-ray)
     ray_policy: str = "Middle"  # First | Last | FirstAndLast | Middle | All
     active_window_duration: float = 3.0  # s excluded from the recent end
-    max_steps: int = 24  # marching steps per ray (cells)
+    # MINIMUM marching steps per ray; the actual count is sized from the
+    # longest real ray at build time so step length stays block_size/4
+    max_steps: int = 24
     max_candidates: int = 256  # rays considered per query point
     temporal_resolution: float = 5.0  # s per evidence bin (change detector)
     num_bins: int = 64
@@ -59,18 +61,22 @@ class RayVerificatorConfig:
 
 @functools.partial(jax.jit, static_argnames=("max_steps",))
 def _ray_cells(origins, targets, origin_cell, block_size, max_steps: int):
-    """March each ray origin->target; returns int32 cell ids [R, S] (-1 pad).
+    """March each ray origin->target; returns int32 cell ids [R, S, 3].
+
+    Fixed step = block_size/4 (reference ray_verificator.cpp:327-349), so
+    sample spacing never exceeds a quarter hash cell REGARDLESS of ray
+    length — the caller sizes `max_steps` from the longest real ray at
+    build time. Samples past the target clamp onto the target and collapse
+    into consecutive duplicates that the index builder drops.
 
     Cells are linearized relative to `origin_cell` (int32[3]) over a virtual
     grid — the caller guarantees queries use the same linearization."""
     delta = targets - origins
-    # step along the ray at block_size/4 up to the target
-    length = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+    length = jnp.linalg.norm(delta, axis=-1, keepdims=True)  # [R, 1]
     step_len = block_size * 0.25
-    n_steps = jnp.minimum(length / step_len, float(max_steps - 1))
-    ts = jnp.linspace(0.0, 1.0, max_steps)[None, :, None]  # fractions
-    # sample uniformly along each ray (dense enough given max_steps cap)
-    pts = origins[:, None, :] + delta[:, None, :] * ts
+    dist = jnp.arange(max_steps, dtype=jnp.float32)[None, :] * step_len  # [1,S]
+    frac = jnp.minimum(dist, length) / jnp.maximum(length, 1e-6)  # [R, S]
+    pts = origins[:, None, :] + delta[:, None, :] * frac[:, :, None]
     cell = jnp.floor(pts / block_size).astype(jnp.int32) - origin_cell
     return cell  # [R, S, 3]
 
@@ -269,6 +275,14 @@ class RayVerificator:
             target_idx = np.concatenate([target_idx, np.full(pad, -1, np.int32)])
         C = int(np.prod(self.dims))
 
+        # size the march so fixed step = block/4 covers the LONGEST ray
+        # (reference ray_verificator.cpp:327-349 computes n_steps per ray;
+        # here one static count covers all, rounded up for compile caching)
+        lengths = np.linalg.norm(targets[:R_real] - origins[:R_real], axis=1)
+        max_len = float(lengths.max()) if R_real else 0.0
+        needed = int(np.ceil(max_len / (cfg.block_size * 0.25))) + 2
+        steps = ((max(needed, cfg.max_steps) + 15) // 16) * 16
+
         # ONE jitted program for the whole index build: the eager op chain
         # otherwise pays a per-op compile round trip for every new bucket
         sorted_cells, sorted_rays, cell_start = _build_index_device(
@@ -278,7 +292,7 @@ class RayVerificator:
             jnp.asarray(self.origin_cell),
             tuple(int(d) for d in self.dims),
             cfg.block_size,
-            cfg.max_steps,
+            steps,
         )
         self.sorted_cells = sorted_cells
         self.sorted_rays = sorted_rays

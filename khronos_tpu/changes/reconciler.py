@@ -101,6 +101,11 @@ class Reconciler:
                     end = t_l if conservative else (1 << 62)
             start = min(start, t_f)
             end = max(end, t_l)
+            # preserve knowledge time before rewriting presence: get_dsg's
+            # robot-time gate must use when the robot FIRST SAW the object,
+            # not the estimated presence start (which can be 0)
+            if obj.first_detected_ns < 0:
+                obj.first_detected_ns = int(t_f)
             obj.first_observed_ns = [int(start)]
             obj.last_observed_ns = [int(end)]
 
@@ -120,6 +125,10 @@ class Reconciler:
                 src.first_observed_ns, src.last_observed_ns,
             )
             dst.first_observed_ns, dst.last_observed_ns = f, l
+            # knowledge time: earliest actual detection across both
+            dets = [d for d in (dst.first_detected_ns, src.first_detected_ns) if d >= 0]
+            if dets:
+                dst.first_detected_ns = min(dets)
             # mesh: keep larger (or merge in common bbox frame)
             if self.config.merge_object_meshes and len(src.mesh_vertices):
                 new_min = np.minimum(dst.bbox_min, src.bbox_min)
@@ -181,20 +190,12 @@ class Reconciler:
             o.world_mesh_vertices() for o in dsg.objects.values() if len(o.mesh_vertices)
         ]
         if obj_pts and prox > 0:
-            pts = np.concatenate(obj_pts)
-            # coarse-grid proximity: hash object points into cells of size
-            # prox; a mesh vertex is near iff its (or a neighboring) cell hit
-            cell = np.floor(pts / prox).astype(np.int64)
-            cells = set(map(tuple, cell))
-            vc = np.floor(mesh.vertices / prox).astype(np.int64)
-            near = np.zeros(V, bool)
-            for dx in (-1, 0, 1):
-                for dy in (-1, 0, 1):
-                    for dz in (-1, 0, 1):
-                        shifted = vc + np.array([dx, dy, dz])
-                        near |= np.fromiter(
-                            (tuple(c) in cells for c in shifted), bool, count=V
-                        )
+            # exact device kNN (change_merger.cpp:54-99 uses a kNN search):
+            # one batched distance program instead of 27xV host hash probes
+            from khronos_tpu.eval.evaluators import min_distances
+
+            pts = np.concatenate(obj_pts).astype(np.float32)
+            near = min_distances(mesh.vertices.astype(np.float32), pts) <= prox
             keep &= ~near
         self._filter_mesh(mesh, keep, changes)
 
@@ -206,16 +207,13 @@ class Reconciler:
         vs = self.config.overwrite_voxel_size
         centers = mesh.vertices[mesh.faces].mean(axis=1)
         cell = np.floor(centers / vs).astype(np.int64)
-        keys = [tuple(c) for c in cell]
+        # vectorized group-by: unique cell -> newest face stamp in that cell
+        _, inverse = np.unique(cell, axis=0, return_inverse=True)
         face_t = mesh.last_seen_ns[mesh.faces].max(axis=1)
-        newest: Dict[tuple, int] = {}
-        for k, t in zip(keys, face_t):
-            if k not in newest or t > newest[k]:
-                newest[k] = t
+        newest = np.full(inverse.max() + 1, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(newest, inverse, face_t)
         thr = int(self.config.overwrite_time_threshold_s * 1e9)
-        face_keep = np.asarray(
-            [t >= newest[k] - thr for k, t in zip(keys, face_t)], bool
-        )
+        face_keep = face_t >= newest[inverse] - thr
         mesh.faces = mesh.faces[face_keep]
         used = np.zeros(mesh.num_vertices, bool)
         used[mesh.faces.reshape(-1)] = True

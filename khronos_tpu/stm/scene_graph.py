@@ -129,7 +129,8 @@ class KhronosObject:
     semantic_category: int
     bbox_min: np.ndarray  # [3] world frame
     bbox_max: np.ndarray
-    # presence intervals (sorted, ns)
+    # presence intervals (sorted, ns). After reconciliation these hold the
+    # ESTIMATED presence (may start before the robot ever saw the object).
     first_observed_ns: List[int]
     last_observed_ns: List[int]
     # object mesh in bbox frame (vertices relative to bbox_min)
@@ -143,10 +144,22 @@ class KhronosObject:
     )
     feature: Optional[np.ndarray] = None  # open-set embedding
     confidence: float = 1.0
+    # when the robot FIRST detected the object (knowledge time) — stays fixed
+    # when reconciliation rewrites first_observed_ns to an estimated presence
+    # start (reference keys robot-time visibility on explicit first-observed,
+    # spatio_temporal_map.cpp:244-293); -1 = not yet reconciled, use
+    # first_observed_ns[0]
+    first_detected_ns: int = -1
 
     @property
     def is_dynamic(self) -> bool:
         return len(self.trajectory_stamps_ns) > 0
+
+    def detected_ns(self) -> int:
+        """Robot knowledge time: when the object was first actually seen."""
+        if self.first_detected_ns >= 0:
+            return self.first_detected_ns
+        return self.first_observed_ns[0] if self.first_observed_ns else 0
 
     def position(self) -> np.ndarray:
         return 0.5 * (self.bbox_min + self.bbox_max)

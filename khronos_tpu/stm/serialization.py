@@ -82,6 +82,7 @@ def scene_graph_arrays(dsg: SceneGraph, prefix: str = "") -> Dict[str, np.ndarra
                 "node_id": o.node_id,
                 "semantic_category": int(o.semantic_category),
                 "confidence": float(o.confidence),
+                "first_detected_ns": int(o.first_detected_ns),
             }
         )
     arrays[f"{prefix}objects_meta"] = np.frombuffer(
@@ -127,6 +128,7 @@ def scene_graph_from_arrays(data, prefix: str = "") -> SceneGraph:
             trajectory_positions=data[p + "trajectory_positions"],
             feature=feature,
             confidence=m["confidence"],
+            first_detected_ns=int(m.get("first_detected_ns", -1)),
         )
     if f"{prefix}places/positions" in data:
         from khronos_tpu.stm.places import PlaceNode, PlacesLayer

@@ -109,10 +109,12 @@ class SpatioTemporalMap:
         # agents: trajectory up to robot_time
         out.agents = [a for a in snap.agents if a.stamp_ns <= robot_time_ns]
 
-        # objects: known by robot_time; present at query time (if filtering)
+        # objects: known by robot_time (gate on DETECTION time, not the
+        # reconciled presence start which can be 0 for never-absent objects —
+        # reference keys on explicit first-observed, cpp:244-293); presence
+        # filtering at query time stays on the intervals
         for oid, o in snap.objects.items():
-            known = o.first_observed_ns and o.first_observed_ns[0] <= robot_time_ns
-            if not known:
+            if not o.first_observed_ns or o.detected_ns() > robot_time_ns:
                 continue
             oc = o.clone()
             if oc.is_dynamic:

@@ -57,6 +57,28 @@ class TestRayVerificator:
         ver.build(dsg)
         return ver
 
+    def test_long_ray_full_cell_coverage(self):
+        """A 20 m ray must index EVERY hash cell it traverses (fixed step =
+        block/4, reference ray_verificator.cpp:327-349) — regression for the
+        round-1 bug where 24 uniform samples skipped cells past ~11.5 m."""
+        dsg = SceneGraph()
+        dsg.agents = make_agents([0.05, 0.05, 0.05], np.arange(0, 101, 2.0))
+        dsg.mesh = make_mesh([[20.0, 0.05, 0.05]], [0.0], [100.0])
+        ver = RayVerificator(
+            RayVerificatorConfig(ray_policy="Middle", num_bins=32, temporal_resolution=4.0)
+        )
+        ver.build(dsg)
+        # every point along the ray axis must see the ray as a candidate:
+        # in front of the wall -> absent evidence; at the wall -> match
+        xs = np.arange(0.25, 19.8, 0.25, dtype=np.float32)
+        pts = np.stack([xs, np.full_like(xs, 0.05), np.full_like(xs, 0.05)], axis=1)
+        ev = ver.query(pts)
+        assert (ev.sum(axis=(1, 2)) > 0).all(), (
+            f"points with no evidence at x={xs[ev.sum(axis=(1, 2)) == 0]}"
+        )
+        ev_wall = ver.query(np.asarray([[20.0, 0.05, 0.05]], np.float32))
+        assert ev_wall[0, :, 0].sum() > 0
+
     def test_absent_match_occluded(self):
         ver = self.build_simple()
         ev = ver.query(np.asarray([[3.0, 0, 1], [5.0, 0, 1], [6.5, 0, 1], [3.0, 2.0, 1]], np.float32))
@@ -223,6 +245,32 @@ class TestSpatioTemporalMap:
         assert 1 in dsg3.objects  # known at t=20 (first_observed 12 <= 20)
         present = stm.objects_present_at(int(20e9), int(5e9))
         assert 1 not in present  # but not present at query time 5
+
+    def test_knowledge_gate_uses_detection_time(self):
+        """An object presumed present since 0 after optimistic reconciliation
+        must NOT appear at robot times before the robot first saw it
+        (reference spatio_temporal_map.cpp:244-293 keys on first-observed)."""
+        from khronos_tpu.stm.spatio_temporal_map import SpatioTemporalMap
+        from khronos_tpu.utils.intervals import is_present
+
+        stm = SpatioTemporalMap()
+        dsg = SceneGraph()
+        dsg.mesh = make_mesh([[0, 0, 0]], [0.0], [20.0])
+        dsg.agents = make_agents([0, 0, 0], np.arange(0, 20, 1.0))
+        obj = make_object(1, [1, 1, 0], 12.0, 18.0)
+        # optimistic reconciliation: presumed present since 0, seen at 12
+        obj.first_detected_ns = int(12e9)
+        obj.first_observed_ns = [0]
+        obj.last_observed_ns = [1 << 62]
+        dsg.objects[1] = obj
+        stm.update(dsg, int(20e9))
+        # robot at t=5 had never seen the object -> not in the known DSG
+        assert 1 not in stm.get_dsg(int(5e9)).objects
+        # robot at t=15 knows it; querying the past shows it present (interval)
+        dsg15 = stm.get_dsg(int(15e9))
+        assert 1 in dsg15.objects
+        o = dsg15.objects[1]
+        assert is_present(o.first_observed_ns, o.last_observed_ns, int(5e9))
 
     def test_prefix_ordering_within_snapshot(self):
         stm = self.make_map()
