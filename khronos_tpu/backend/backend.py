@@ -48,6 +48,11 @@ class MergeProposal:
     into_id: int
     iou: float
     is_valid: bool = True
+    # add_merge_factor plumbing (reference backend.h:149-155): the proposal's
+    # identity between-factor index in the graph, and whether a GNC pass has
+    # judged it yet. Only validated+valid proposals reach the reconciler.
+    factor_idx: int = -1
+    validated: bool = False
 
 
 @dataclasses.dataclass
@@ -63,6 +68,17 @@ class BackendConfig:
     sigma_lc_trans: float = 0.02
     sigma_lc_rot: float = 0.005
     sigma_control_trans: float = 0.3  # mesh control rigidity
+    # object-node covariances (reference backend.h:63-88 pose_object /
+    # object_merge): anchor factor keyframe->object, and the identity merge
+    # factor GNC judges for proposal validation. Anchors must be STIFF
+    # relative to the merge factor — the object's pose relative to its
+    # keyframe is a direct observation; if anchors were soft the optimizer
+    # could satisfy a wrong merge by bending both anchors to the midpoint,
+    # keeping the merge residual (the thing GNC judges) deceptively small.
+    sigma_pose_object_trans: float = 0.01
+    sigma_pose_object_rot: float = 0.01
+    sigma_object_merge_trans: float = 0.1
+    sigma_object_merge_rot: float = 0.1
     # 'dense': single-device dense GN (graphs of 10^2-10^3 nodes).
     # 'schur': Schur-eliminate the mesh-control block and (on a multi-device
     # mesh) shard factor linearization — the production solve when control
@@ -87,6 +103,7 @@ class Backend:
         self.lcd = config.lcd.create()
         self.loop_closures: List[LoopClosure] = []
         self.proposed_merges: List[MergeProposal] = []
+        self._object_keys: Dict[int, int] = {}  # object node_id -> graph key
         self._opt_result: Optional[fg.OptimizeResult] = None
         self._orig_R: List[np.ndarray] = []  # graph-node initial poses
         self._orig_t: List[np.ndarray] = []
@@ -212,9 +229,25 @@ class Backend:
             # re-linearize future odometry around the optimized estimates
             self.graph.node_R = [r for r in self._opt_result.node_R]
             self.graph.node_t = [t for t in self._opt_result.node_t]
+            # judge pending merge proposals whose factors were in this solve:
+            # GNC downweights an identity merge factor to an outlier when the
+            # optimized geometry says the two objects cannot coincide
+            # (reference: RPGO validates proposed merges, backend.h:149-155)
+            mask = self._opt_result.outlier_mask
+            for p in self.proposed_merges:
+                if 0 <= p.factor_idx < len(mask):
+                    p.validated = True
+                    p.is_valid = not bool(mask[p.factor_idx])
             if self.config.enable_node_merging:
                 self._propose_merges()
         return self._opt_result
+
+    def validated_merges(self) -> List[MergeProposal]:
+        """Proposals cleared for reconciliation. With add_merge_factor, only
+        GNC-validated inliers qualify; otherwise every valid proposal does."""
+        if self.config.add_merge_factor:
+            return [p for p in self.proposed_merges if p.validated and p.is_valid]
+        return [p for p in self.proposed_merges if p.is_valid]
 
     def finish_processing(self):
         """Final optimization (backend.cpp:218-226)."""
@@ -289,6 +322,39 @@ class Backend:
         return dsg
 
     # ------------------------------------------------------------------
+    def _object_graph_key(self, obj: KhronosObject) -> int:
+        """Graph node for an object (lazily created when a merge proposal
+        needs it): pose (I, centroid), anchored by a between-factor to the
+        agent keyframe nearest its first observation — the optimizer then
+        carries the object along the corrected trajectory, and merge factors
+        between object nodes become judgeable."""
+        key = self._object_keys.get(obj.node_id)
+        if key is not None:
+            return key
+        stamps = np.asarray([a.stamp_ns for a in self.agents], np.int64)
+        anchor_ns = obj.first_observed_ns[0] if obj.first_observed_ns else 0
+        i = int(np.argmin(np.abs(stamps - anchor_ns)))
+        akey = self.agent_keys[i]
+        c = obj.position().astype(np.float32)
+        Ra, ta = self._orig_R[akey], self._orig_t[akey]
+        trel = Ra.T @ (c - ta)
+        # initial estimate: anchor measurement applied to the CURRENT agent
+        # estimate (already optimized if a solve has run)
+        R_a_est = np.asarray(self.graph.node_R[akey])
+        t_a_est = np.asarray(self.graph.node_t[akey])
+        okey = self._add_node(
+            R_a_est @ Ra.T, R_a_est @ trel + t_a_est,
+            orig=(np.eye(3, dtype=np.float32), c),
+        )
+        self.graph.add_between(
+            akey, okey, Ra.T, trel,
+            sigma_rot=self.config.sigma_pose_object_rot,
+            sigma_trans=self.config.sigma_pose_object_trans,
+        )
+        self._object_keys[obj.node_id] = okey
+        return okey
+
+    # ------------------------------------------------------------------
     def _propose_merges(self):
         """Merge proposals: same label, no temporal co-visibility, bbox
         intersection with IoU >= merge_min_iou (functor cpp:61-107)."""
@@ -298,10 +364,25 @@ class Backend:
         if n < 2:
             return
         proposed = {(p.from_id, p.into_id) for p in self.proposed_merges}
+        # propose on OPTIMIZED geometry: move each bbox by the trajectory
+        # correction at its first observation (the reference proposes after
+        # the update functor moved objects, functor cpp:41-59) — under drift
+        # the raw odometry-frame bboxes are the wrong thing to intersect
+        delta = np.zeros((n, 3), np.float32)
+        if self._opt_result is not None and self.agents:
+            stamps, t_old, t_new, R_old, R_new = self._trajectory_correction()
+            q = np.asarray(
+                [o.first_observed_ns[0] if o.first_observed_ns else 0 for o in objs],
+                np.int64,
+            )
+            _, t_o, t_n = interpolate_stamped_corrections(
+                q, stamps, t_old, t_new, R_old, R_new
+            )
+            delta = (t_n - t_o).astype(np.float32)
         # vectorized pairwise gates: same label + bbox IoU >= threshold.
         # The exact interval co-visibility check runs only on survivors.
-        mn = np.stack([o.bbox_min for o in objs]).astype(np.float32)  # [n,3]
-        mx = np.stack([o.bbox_max for o in objs]).astype(np.float32)
+        mn = np.stack([o.bbox_min for o in objs]).astype(np.float32) + delta
+        mx = np.stack([o.bbox_max for o in objs]).astype(np.float32) + delta
         labels = np.asarray([o.semantic_category for o in objs])
         inter_lo = np.maximum(mn[:, None, :], mn[None, :, :])
         inter_hi = np.minimum(mx[:, None, :], mx[None, :, :])
@@ -330,9 +411,23 @@ class Backend:
                 continue
             iou = float(iou_mat[i, j])
             newer, older = (a, b) if a.first_observed_ns[0] > b.first_observed_ns[0] else (b, a)
-            self.proposed_merges.append(
-                MergeProposal(from_id=newer.node_id, into_id=older.node_id, iou=iou)
-            )
+            prop = MergeProposal(from_id=newer.node_id, into_id=older.node_id, iou=iou)
+            if cfg.add_merge_factor:
+                # identity between-factor between the object nodes; the NEXT
+                # GNC pass judges it (robust => it cannot corrupt the graph)
+                ka = self._object_graph_key(newer)
+                kb = self._object_graph_key(older)
+                self.graph.add_between(
+                    ka, kb, np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                    sigma_rot=cfg.sigma_object_merge_rot,
+                    sigma_trans=cfg.sigma_object_merge_trans,
+                    robust=True,
+                )
+                prop.factor_idx = self.graph.num_between - 1
+                prop.is_valid = False  # until judged
+            else:
+                prop.validated = True
+            self.proposed_merges.append(prop)
 
     # ------------------------------------------------------------------
     def save(self, directory: str):
@@ -347,6 +442,6 @@ class Backend:
         serialization.save_scene_graph(dsg, os.path.join(directory, "dsg.npz"))
         with open(os.path.join(directory, "proposed_merges.csv"), "w", newline="") as fh:
             w = csv.writer(fh)
-            w.writerow(["from_id", "into_id", "iou", "is_valid"])
+            w.writerow(["from_id", "into_id", "iou", "is_valid", "validated"])
             for p in self.proposed_merges:
-                w.writerow([p.from_id, p.into_id, p.iou, int(p.is_valid)])
+                w.writerow([p.from_id, p.into_id, p.iou, int(p.is_valid), int(p.validated)])

@@ -74,17 +74,19 @@ class SequentialChangeDetector:
         self._bg_epoch = None
 
     # ------------------------------------------------------------------
-    def detect_changes(self, dsg, had_loop_closure: bool = True) -> Changes:
+    def detect_changes(self, dsg, had_loop_closure: bool = True, merges=None) -> Changes:
         """Pass over the snapshot: hash rebuild + object pass are always full
         (the build is one device sort; objects are few); the background pass
         is incremental between loop closures / optimizations, matching the
         reference (sequential_change_detector.cpp:76-102: full recompute on
-        LC, incremental otherwise)."""
+        LC, incremental otherwise). `merges` are GNC-validated proposals the
+        object pass adopts (ray_object_change_detector.cpp:104-115)."""
         with Timer("change_detection/all"):
             with Timer("change_detection/update_verificator"):
                 self.verificator.build(dsg)
             if self.config.detect_object_changes:
                 with Timer("change_detection/objects"):
+                    self._adopt_merges(merges)
                     self._detect_object_changes(dsg)
             if self.config.detect_background_changes:
                 with Timer("change_detection/background"):
@@ -92,9 +94,26 @@ class SequentialChangeDetector:
         return self.changes
 
     # ------------------------------------------------------------------
+    def _adopt_merges(self, merges) -> None:
+        """Adopt validated merges: record merged_id on the absorbed object's
+        change record; detection then skips it (the surviving object carries
+        the evidence) — reference ray_object_change_detector.cpp:104-115."""
+        self._merged_away = set()
+        for m in merges or ():
+            if not getattr(m, "is_valid", True):
+                continue
+            oc = self.changes.object_changes.get(m.from_id) or ObjectChange(m.from_id)
+            oc.merged_id = m.into_id
+            self.changes.object_changes[m.from_id] = oc
+            self._merged_away.add(m.from_id)
+
     def _detect_object_changes(self, dsg) -> None:
         cfg = self.config.objects
-        objs = [o for o in dsg.objects.values() if not o.is_dynamic]
+        merged_away = getattr(self, "_merged_away", set())
+        objs = [
+            o for o in dsg.objects.values()
+            if not o.is_dynamic and o.node_id not in merged_away
+        ]
         if not objs:
             return
         pts_all: List[np.ndarray] = []

@@ -133,7 +133,7 @@ class KhronosPipeline:
         self._frames_since_cd = 0
         with Timer("pipeline/cd_snapshot", self._last_stamp_ns):
             dsg = self.backend.get_dsg()
-            merges = list(self.backend.proposed_merges)
+            merges = self.backend.validated_merges()
         return (dsg, self._last_stamp_ns, had_loop_closure, merges)
 
     def run_change_detection_on(self, dsg, stamp_ns, had_loop_closure, merges) -> None:
@@ -141,7 +141,7 @@ class KhronosPipeline:
         DSG copy. Touches only CD-owned state (change_detector, map), so it
         may run concurrently with per-frame processing."""
         with Timer("pipeline/change_detection", stamp_ns):
-            changes = self.change_detector.detect_changes(dsg, had_loop_closure)
+            changes = self.change_detector.detect_changes(dsg, had_loop_closure, merges)
             dsg = self.reconciler.reconcile(dsg, changes, merges)
             if self.places_extractor is not None and (
                 self.config.extract_places_every_snapshot or self._finishing

@@ -165,6 +165,111 @@ class TestBackend:
         assert (2, 1) in pairs
         assert not any(3 in p for p in pairs if isinstance(p, tuple) and (3 in p and 2 in p))
 
+    def test_merge_validation_via_gnc(self, tmp_path):
+        """add_merge_factor end-to-end: a re-seen object's merge proposal is
+        validated by GNC (inlier identity factor); two DISTINCT same-label
+        objects whose drift-corrupted odometry bboxes coincide are proposed
+        pre-loop-closure but INVALIDATED once the optimized graph pulls their
+        anchors apart (reference backend.h:149-155 proposed-merge factors;
+        ray_object_change_detector.cpp:104-115 adopt-validated-merge)."""
+        import csv
+
+        cfg = build(BackendConfig, {
+            "lcd": None, "merge_min_iou": 0.3, "add_merge_factor": True,
+            "sigma_odom_trans": 0.05,
+        })
+        be = Backend(cfg)
+        eye = np.eye(3, dtype=np.float32)
+
+        def kf(k):
+            truth = np.asarray([0.5 * k, 0.0, 0.0], np.float32)
+            odo = truth + np.asarray([0.0, 0.1 * k, 0.0], np.float32)  # y drift
+            return (eye, truth), (eye, odo)
+
+        def obj(nid_unused, k, true_pos, t0_s, t1_s):
+            # recorded in the DRIFTED odometry frame (R = I everywhere)
+            c = np.asarray(true_pos, np.float32) + np.asarray([0, 0.1 * k, 0], np.float32)
+            return KhronosObject(
+                node_id=0, semantic_category=3,
+                bbox_min=c - 0.3, bbox_max=c + 0.3,
+                first_observed_ns=[int(t0_s * 1e9)], last_observed_ns=[int(t1_s * 1e9)],
+                mesh_vertices=np.zeros((0, 3), np.float32),
+                mesh_faces=np.zeros((0, 3), np.int64),
+                mesh_colors=np.zeros((0, 3), np.float32),
+            )
+
+        # visit 1: chair-1 at (2,1), chair-2 at (6,1); later a DISTINCT
+        # chair-3 at (6,0) lands exactly on chair-2's odometry position
+        for k in range(16):
+            gt_p, odo_p = kf(k)
+            objects = []
+            if k == 2:
+                objects = [obj(0, k, [2, 1, 0.3], 2, 3)]      # -> id 1 (chair-1)
+            elif k == 5:
+                objects = [obj(0, k, [6, 1, 0.3], 5, 6)]      # -> id 2 (chair-2)
+            elif k == 15:
+                objects = [obj(0, k, [6, 0, 0.3], 15, 16)]    # -> id 3 (chair-3)
+            be.add_output(make_output(int(k * 1e9), odo_p, gt_p, with_mesh=False,
+                                      objects=objects))
+        # periodic merge-proposal pass BEFORE any loop closure: drifted
+        # geometry makes chair-2/chair-3 coincide -> proposal + merge factor
+        be.optimize()
+        pairs = {(p.from_id, p.into_id): p for p in be.proposed_merges}
+        assert (3, 2) in pairs and not pairs[(3, 2)].validated
+
+        # loop closure with the TRUE relative pose corrects the drift
+        from khronos_tpu.backend.loop_closure import LoopClosure
+        be.add_loop_closure(LoopClosure(
+            from_key=be.agent_keys[15], to_key=be.agent_keys[0],
+            R=eye, t=np.asarray([-7.5, 0, 0], np.float32),
+        ))
+        pairs = {(p.from_id, p.into_id): p for p in be.proposed_merges}
+        assert pairs[(3, 2)].validated and not pairs[(3, 2)].is_valid, (
+            "distinct objects' merge must be invalidated by the graph"
+        )
+
+        # visit 2: chair-1 re-seen (new track id); a second loop closure near
+        # the re-observation corrects the tail of the trajectory
+        for k in range(16, 21):
+            gt_p, odo_p = kf(k)
+            objects = [obj(0, k, [2, 1, 0.3], 18, 19)] if k == 18 else []
+            be.add_output(make_output(int(k * 1e9), odo_p, gt_p, with_mesh=False,
+                                      objects=objects))
+        be.add_loop_closure(LoopClosure(
+            from_key=be.agent_keys[20], to_key=be.agent_keys[0],
+            R=eye, t=np.asarray([-10.0, 0, 0], np.float32),
+        ))  # optimize inside proposes chair-1 pair on corrected geometry
+        pairs = {(p.from_id, p.into_id): p for p in be.proposed_merges}
+        assert (4, 1) in pairs
+        be.optimize()  # judges the new factor
+        pairs = {(p.from_id, p.into_id): p for p in be.proposed_merges}
+        assert pairs[(4, 1)].validated and pairs[(4, 1)].is_valid
+        assert pairs[(3, 2)].validated and not pairs[(3, 2)].is_valid
+        valid = {(p.from_id, p.into_id) for p in be.validated_merges()}
+        assert valid == {(4, 1)}
+
+        # CSV records both outcomes
+        be.save(str(tmp_path))
+        with open(tmp_path / "proposed_merges.csv") as fh:
+            rows = {(int(r["from_id"]), int(r["into_id"])): r for r in csv.DictReader(fh)}
+        assert rows[(3, 2)]["is_valid"] == "0" and rows[(3, 2)]["validated"] == "1"
+        assert rows[(4, 1)]["is_valid"] == "1" and rows[(4, 1)]["validated"] == "1"
+
+        # reconciler executes ONLY the validated merge; detector adopts it
+        from khronos_tpu.changes.change_state import Changes
+        from khronos_tpu.changes.detectors import (
+            SequentialChangeDetector, SequentialChangeDetectorConfig,
+        )
+        from khronos_tpu.changes.reconciler import Reconciler, ReconcilerConfig
+
+        dsg = be.get_dsg()
+        det = SequentialChangeDetector(SequentialChangeDetectorConfig())
+        changes = det.detect_changes(dsg, True, be.validated_merges())
+        assert changes.object_changes[4].merged_id == 1
+        rec = Reconciler(ReconcilerConfig(mesh_merger="none"))
+        rec.reconcile(dsg, changes, be.validated_merges())
+        assert set(dsg.objects) == {1, 2, 3}, "4 merged into 1; 2,3 distinct"
+
     def test_save_roundtrip(self, tmp_path):
         gt, odom = make_orbit(10)
         cfg = build(BackendConfig, {"lcd": None})
