@@ -115,9 +115,11 @@ class Backend:
         self,
         out: ActiveWindowOutput,
         gt_pose: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+        lcd_frame: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     ) -> bool:
         """Consume one active-window output. Returns True if an optimization
-        ran (loop closure)."""
+        ran (loop closure). `lcd_frame` = (points_c, valid) camera-frame
+        vertex image for descriptor LCD (detectors with needs_frame=True)."""
         cfg = self.config
         with Timer("backend/add_output", out.stamp_ns):
             # 1) agent node + odometry factor. The graph node's initial
@@ -174,13 +176,18 @@ class Backend:
                 self._next_object_id += 1
                 self.objects[obj.node_id] = obj
 
-            # 4) loop closures
+            # 4) loop closures: GT oracle consumes GT poses; descriptor LCD
+            # consumes the sensor frame (real-data path, no oracle)
             lcs: List[LoopClosure] = []
             if self.lcd is not None and hasattr(self.lcd, "add_keyframe"):
-                if gt_pose is not None:
+                if getattr(self.lcd, "needs_frame", False):
+                    if lcd_frame is not None:
+                        lcs = self.lcd.add_keyframe(
+                            key, out.stamp_ns, lcd_frame[0], lcd_frame[1],
+                            out.R_w_b, out.t_w_b,
+                        )
+                elif gt_pose is not None:
                     lcs = self.lcd.add_keyframe(key, out.stamp_ns, gt_pose[0], gt_pose[1])
-                else:
-                    lcs = []
             for lc in lcs:
                 self.loop_closures.append(lc)
                 self.graph.add_between(

@@ -53,6 +53,8 @@ class GtLoopClosureConfig:
 
 
 class GtLoopClosureDetector:
+    needs_frame = False  # keyframes are GT poses, no sensor data required
+
     def __init__(self, config: GtLoopClosureConfig):
         self.config = config
         self._keyframes: List[Tuple[int, int, np.ndarray, np.ndarray]] = []
@@ -148,7 +150,10 @@ class DescriptorLoopClosureConfig:
     min_detection_separation: float = 5.0
     max_registration_rms: float = 0.15  # m
     n_icp_points: int = 256
-    max_candidate_distance: float = 3.0  # m (odom estimate gate)
+    # odometry-estimate gate on candidates; generous because accumulated
+    # drift is exactly what a revisit looks like (a tight gate rejects the
+    # true loop). <= 0 disables the gate entirely.
+    max_candidate_distance: float = 10.0
     # registration slot (reference: TEASER++, uHumans2.yaml:298-307):
     # "gnc" = robust_icp with a GNC-TLS core (registration.py), "icp" = plain
     # point-to-point ICP. GNC additionally gates on inlier fraction.
@@ -165,6 +170,8 @@ class DescriptorLoopClosureConfig:
 
 class DescriptorLoopClosureDetector:
     """Keyframe database of (descriptor, subsampled cloud); query + ICP verify."""
+
+    needs_frame = True  # consumes the camera-frame vertex image per keyframe
 
     def __init__(self, config: DescriptorLoopClosureConfig):
         self.config = config
@@ -205,7 +212,10 @@ class DescriptorLoopClosureDetector:
                 if stamp_ns - self._stamps[idx] < int(cfg.min_time_gap * 1e9):
                     continue
                 R2, t2 = self._poses[idx]
-                if np.linalg.norm(t_odom - t2) > cfg.max_candidate_distance:
+                if (
+                    cfg.max_candidate_distance > 0
+                    and np.linalg.norm(t_odom - t2) > cfg.max_candidate_distance
+                ):
                     continue
                 # register candidate cloud (earlier keyframe) into current
                 R0 = jnp.asarray((R_odom.T @ R2).astype(np.float32))

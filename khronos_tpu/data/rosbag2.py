@@ -162,6 +162,42 @@ def decode_image(buf: bytes) -> ImageMsg:
     return ImageMsg(stamp, frame_id, height, width, encoding, img)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_compressed_image(buf: bytes) -> ImageMsg:
+    """sensor_msgs/msg/CompressedImage: header + format string + bytes.
+
+    Handles PNG/JPEG color images and 16-bit PNG depth, including the
+    `compressed_depth_image_transport` framing (12-byte config header —
+    format enum + two floats — before the PNG stream). The reference's real
+    bags (mezzanine, README.md:101-142) ship these encodings."""
+    import io
+
+    from PIL import Image as PILImage
+
+    r = CdrReader(buf)
+    stamp, frame_id = r.header()
+    fmt = r.string()  # e.g. "rgb8; jpeg compressed bgr8", "16UC1; compressedDepth png"
+    raw = r.bytes_seq()
+    payload = raw
+    if not raw.startswith(_PNG_MAGIC) and raw[:2] != b"\xff\xd8":  # not PNG/JPEG
+        if raw[12 : 12 + len(_PNG_MAGIC)].startswith(_PNG_MAGIC):
+            payload = raw[12:]  # compressedDepth config header
+        else:
+            raise ValueError(f"unrecognized compressed payload (format '{fmt}')")
+    img = np.asarray(PILImage.open(io.BytesIO(payload)))
+    source_enc = fmt.split(";")[0].strip() or "rgb8"
+    if img.ndim == 3 and "bgr" in fmt.split(";")[-1]:
+        img = img[..., :3][..., ::-1]
+    encoding = source_enc if source_enc in _ENCODINGS else (
+        "16UC1" if img.dtype == np.uint16 and img.ndim == 2
+        else "mono8" if img.ndim == 2
+        else "rgb8"
+    )
+    return ImageMsg(stamp, frame_id, img.shape[0], img.shape[1], encoding, img)
+
+
 @dataclasses.dataclass
 class CameraInfoMsg:
     stamp_ns: int
@@ -276,6 +312,12 @@ class Rosbag2DatasetConfig:
     sync_tolerance_s: float = 0.05
     max_range: float = 5.0
     max_frames: int = 0  # 0 = all
+    # color-coded label images (the reference's simulators publish semantic
+    # labels as RGB): palette row i maps to label_palette_ids[i]; empty = the
+    # label topic already carries integer ids
+    label_palette: tuple = ()  # ((r,g,b), ...) uint8
+    label_palette_ids: tuple = ()
+    label_palette_nearest: bool = True  # tolerate compression artifacts
 
 
 class Rosbag2Dataset(Dataset):
@@ -289,6 +331,25 @@ class Rosbag2Dataset(Dataset):
             decode_odometry if "Odometry" in types.get(config.pose_topic, "Odometry")
             else decode_pose_stamped
         )
+
+        # per-topic image decoder: raw Image vs CompressedImage by type
+        def image_decoder(topic: str):
+            if "CompressedImage" in types.get(topic, ""):
+                return decode_compressed_image
+            return decode_image
+
+        self._decode_depth = image_decoder(config.depth_topic)
+        self._decode_color = image_decoder(config.color_topic)
+        self._decode_label = image_decoder(config.label_topic) if config.label_topic else decode_image
+        self._label_map = None
+        if len(config.label_palette):
+            from khronos_tpu.eval.ground_truth import ColorLabelMap
+
+            self._label_map = ColorLabelMap(
+                np.asarray(config.label_palette, np.uint8),
+                list(config.label_palette_ids),
+                nearest=config.label_palette_nearest,
+            )
         # poses, sorted
         self.poses: List[PoseMsg] = [
             self._pose_decoder(raw) for _, raw in self.reader.messages(config.pose_topic)
@@ -355,22 +416,31 @@ class Rosbag2Dataset(Dataset):
         tol_ns = int(cfg.sync_tolerance_s * 1e9)
         n = 0
         for _, raw in self.reader.messages(cfg.depth_topic):
-            depth_msg = decode_image(raw)
+            depth_msg = self._decode_depth(raw)
             stamp = depth_msg.stamp_ns
             depth = depth_msg.data.astype(np.float32)
             if depth_msg.encoding in ("16UC1", "mono16"):
                 depth = depth * cfg.depth_scale
             craw = self._nearest(stamp, self._color, tol_ns)
             if craw is not None:
-                color = decode_image(craw).data.astype(np.float32)[..., :3] / 255.0
+                color = self._decode_color(craw).data.astype(np.float32)[..., :3] / 255.0
             else:
                 color = np.zeros(depth.shape + (3,), np.float32)
             lraw = self._nearest(stamp, self._labels, tol_ns)
-            labels = (
-                decode_image(lraw).data.astype(np.int32)
-                if lraw is not None
-                else np.full(depth.shape, -1, np.int32)
-            )
+            if lraw is not None:
+                lab_img = self._decode_label(lraw).data
+                if lab_img.ndim == 3 and self._label_map is not None:
+                    labels = self._label_map(lab_img[..., :3]).reshape(
+                        lab_img.shape[:2]
+                    ).astype(np.int32)
+                elif lab_img.ndim == 3:
+                    raise ValueError(
+                        "color-coded label image needs label_palette(+ids) in config"
+                    )
+                else:
+                    labels = lab_img.astype(np.int32)
+            else:
+                labels = np.full(depth.shape, -1, np.int32)
             R, t = self._pose_at(stamp)
             yield (
                 FrameData(

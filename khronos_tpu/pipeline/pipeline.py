@@ -112,7 +112,16 @@ class KhronosPipeline:
             out = self.active_window.spin_once(frame)
             had_lc = False
             if out is not None:
-                had_lc = self.backend.add_output(out, gt_pose=gt_pose)
+                lcd_frame = None
+                if getattr(self.backend.lcd, "needs_frame", False):
+                    # descriptor LCD (real-data path): camera-frame vertex
+                    # image at stride 4 — enough structure for the place
+                    # descriptor at 1/16 the pixels
+                    depth = np.asarray(frame.depth)[::4, ::4]
+                    pts = np.asarray(self.camera.back_project(frame.depth))[::4, ::4]
+                    valid = (depth > 0.1) & (depth < self.camera.max_range)
+                    lcd_frame = (pts.astype(np.float32), valid)
+                had_lc = self.backend.add_output(out, gt_pose=gt_pose, lcd_frame=lcd_frame)
             self.frame_count += 1
             self._frames_since_cd += 1
             self._last_stamp_ns = frame.stamp_ns
