@@ -156,7 +156,11 @@ def associate_objects(
             if config.match_labels and e.semantic_category != g.label:
                 continue
             if config.association == "surface" and g.surface_points is not None and len(e.mesh_vertices):
-                d = float(min_distances(e.world_mesh_vertices()[: config.surface_subsample], g.surface_points).min())
+                ev = e.world_mesh_vertices()
+                if len(ev) > config.surface_subsample:
+                    sel = np.linspace(0, len(ev) - 1, config.surface_subsample).astype(int)
+                    ev = ev[sel]
+                d = float(min_distances(ev, g.surface_points).min())
             else:
                 d = float(np.linalg.norm(ec - g.center))
             if d <= config.max_match_distance:
@@ -170,6 +174,36 @@ def associate_objects(
         est_matched[ei] = gi
         gt_matched.setdefault(gi, []).append(ei)
     return est, gt, est_matched, gt_matched
+
+
+def segmentation_cardinalities(
+    est: Sequence[KhronosObject],
+    gt: Sequence[GtObject],
+    config: ObjectEvaluatorConfig,
+):
+    """Over/under-segmentation counts (object_evaluator.cpp:287+): each side
+    assigns to its NEAREST counterpart within range without a 1-1 constraint.
+    A GT object claimed by k>1 estimates is oversegmented by k-1; an estimate
+    that is the nearest match of k>1 GT objects undersegments by k-1."""
+    if not est or not gt:
+        return 0, 0
+    ec = np.stack([e.position() for e in est])  # [E,3]
+    gc = np.stack([g.center for g in gt])  # [G,3]
+    d = np.linalg.norm(ec[:, None, :] - gc[None, :, :], axis=-1)  # [E,G]
+    if config.match_labels:
+        el = np.asarray([e.semantic_category for e in est])
+        gl = np.asarray([g.label for g in gt])
+        d = np.where(el[:, None] == gl[None, :], d, np.inf)
+    est_to_gt = np.argmin(d, axis=1)  # each estimate's nearest GT
+    est_ok = d[np.arange(len(est)), est_to_gt] <= config.max_match_distance
+    gt_to_est = np.argmin(d, axis=0)  # each GT's nearest estimate
+    gt_ok = d[gt_to_est, np.arange(len(gt))] <= config.max_match_distance
+    over = under = 0
+    counts = np.bincount(est_to_gt[est_ok], minlength=len(gt))
+    over = int(np.maximum(counts - 1, 0).sum())
+    counts_e = np.bincount(gt_to_est[gt_ok], minlength=len(est))
+    under = int(np.maximum(counts_e - 1, 0).sum())
+    return over, under
 
 
 def evaluate_objects(
@@ -189,7 +223,7 @@ def evaluate_objects(
     precision = len(est_matched) / len(est) if est else 0.0
     recall = detected / len(gt) if gt else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall > 0 else 0.0
-    overseg = sum(max(0, len(v) - 1) for v in gt_matched.values())
+    overseg, underseg = segmentation_cardinalities(est, gt, config)
     return {
         "num_est": len(est),
         "num_gt": len(gt),
@@ -200,6 +234,7 @@ def evaluate_objects(
         "recall": recall,
         "f1": f1,
         "oversegmented": overseg,
+        "undersegmented": underseg,
     }
 
 

@@ -110,6 +110,79 @@ class SceneGroundTruth:
                 w.writerow([g.gt_id, g.label, g.t_appear_ns, g.t_disappear_ns])
 
 
+def save_ground_truth(gt, path: str, query_times_s: Sequence[float]) -> None:
+    """Persist the GT oracle to one `gt.npz` so a saved run can be
+    re-evaluated standalone (reference exp_pipeline consumes persisted GT
+    DSG + background PLY, khronos_eval/app/exp_pipeline.cpp:44-59)."""
+    arrays: Dict[str, np.ndarray] = {
+        "duration_s": np.asarray([gt.duration_s], np.float64),
+        "bg_times_s": np.asarray(sorted(set(query_times_s)), np.float64),
+    }
+    for i, t in enumerate(arrays["bg_times_s"]):
+        arrays[f"bg/{i}"] = gt.background_points(float(t)).astype(np.float32)
+    objs = gt.gt_objects()
+    arrays["obj/gt_id"] = np.asarray([g.gt_id for g in objs], np.int64)
+    arrays["obj/label"] = np.asarray([g.label for g in objs], np.int64)
+    arrays["obj/center"] = (
+        np.stack([g.center for g in objs]).astype(np.float32)
+        if objs else np.zeros((0, 3), np.float32)
+    )
+    arrays["obj/bbox_min"] = (
+        np.stack([g.bbox_min for g in objs]).astype(np.float32)
+        if objs else np.zeros((0, 3), np.float32)
+    )
+    arrays["obj/bbox_max"] = (
+        np.stack([g.bbox_max for g in objs]).astype(np.float32)
+        if objs else np.zeros((0, 3), np.float32)
+    )
+    arrays["obj/t_appear_ns"] = np.asarray([g.t_appear_ns for g in objs], np.int64)
+    arrays["obj/t_disappear_ns"] = np.asarray([g.t_disappear_ns for g in objs], np.int64)
+    for gid, (stamps, pos) in gt.gt_dynamic_trajectories().items():
+        arrays[f"dyn/{gid}/stamps_ns"] = np.asarray(stamps, np.int64)
+        arrays[f"dyn/{gid}/pos"] = np.asarray(pos, np.float32)
+    np.savez_compressed(path, **arrays)
+
+
+class FileGroundTruth:
+    """GT oracle backed by a persisted `gt.npz` (save_ground_truth). Same
+    duck interface as SceneGroundTruth; background_points(t) returns the
+    nearest saved query-time cloud."""
+
+    def __init__(self, path: str):
+        self._data = dict(np.load(path, allow_pickle=False))
+        self.duration_s = float(self._data["duration_s"][0])
+        self._bg_times = self._data["bg_times_s"]
+
+    def background_points(self, t_s: float) -> np.ndarray:
+        if not len(self._bg_times):
+            return np.zeros((0, 3), np.float32)
+        i = int(np.argmin(np.abs(self._bg_times - t_s)))
+        return self._data[f"bg/{i}"]
+
+    def gt_objects(self) -> List[GtObject]:
+        d = self._data
+        return [
+            GtObject(
+                gt_id=int(d["obj/gt_id"][i]),
+                label=int(d["obj/label"][i]),
+                center=d["obj/center"][i],
+                bbox_min=d["obj/bbox_min"][i],
+                bbox_max=d["obj/bbox_max"][i],
+                t_appear_ns=int(d["obj/t_appear_ns"][i]),
+                t_disappear_ns=int(d["obj/t_disappear_ns"][i]),
+            )
+            for i in range(len(d["obj/gt_id"]))
+        ]
+
+    def gt_dynamic_trajectories(self):
+        out = {}
+        for k in self._data:
+            if k.startswith("dyn/") and k.endswith("/stamps_ns"):
+                gid = int(k.split("/")[1])
+                out[gid] = (self._data[k], self._data[f"dyn/{gid}/pos"])
+        return out
+
+
 class PipelineEvaluator:
     def __init__(self, config: PipelineEvaluatorConfig = None):
         self.config = config or PipelineEvaluatorConfig()

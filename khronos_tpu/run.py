@@ -95,10 +95,18 @@ def main(argv=None):
             PipelineEvaluator,
             PipelineEvaluatorConfig,
             SceneGroundTruth,
+            save_ground_truth,
         )
         from khronos_tpu.eval.plotting import results_table, timing_table
 
         gt_oracle = SceneGroundTruth(dataset.scene, dataset.duration)
+        # persist GT so `python -m khronos_tpu.eval --map ...` can re-evaluate
+        # the saved run standalone (exp_pipeline.cpp analog)
+        save_ground_truth(
+            gt_oracle,
+            os.path.join(out_dir, "gt.npz"),
+            [s * 1e-9 for s in pipeline.map.stamps()],
+        )
         ev = PipelineEvaluator(PipelineEvaluatorConfig(only_final=True))
         ev.evaluate(pipeline.map, gt_oracle, os.path.join(out_dir, "results"))
         print(results_table(os.path.join(out_dir, "results")))
