@@ -83,7 +83,10 @@ class SequentialChangeDetector:
         object pass adopts (ray_object_change_detector.cpp:104-115)."""
         with Timer("change_detection/all"):
             with Timer("change_detection/update_verificator"):
-                self.verificator.build(dsg)
+                # incremental updateDsg between loop closures (delta index
+                # over new-vertex rays); full recomputeHash on LC/epoch
+                # change (ray_verificator.cpp:163-182, 316-325)
+                self.verificator.update(dsg, had_loop_closure)
             if self.config.detect_object_changes:
                 with Timer("change_detection/objects"):
                     self._adopt_merges(merges)

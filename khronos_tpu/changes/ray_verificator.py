@@ -41,7 +41,10 @@ class RayVerificatorConfig:
     block_size: float = 0.5  # m coarse hash cell
     radial_tolerance: float = 0.1  # m (point-to-ray distance)
     depth_tolerance: float = 0.15  # m (along-ray)
-    ray_policy: str = "Middle"  # First | Last | FirstAndLast | Middle | All
+    # First | Last | FirstAndLast | Middle | All | Random | Random3
+    # (reference ray_verificator.h ray_policy enum; cpp:211-314)
+    ray_policy: str = "Middle"
+    random_seed: int = 0  # Random/Random3 observer draws (deterministic)
     active_window_duration: float = 3.0  # s excluded from the recent end
     # MINIMUM marching steps per ray; the actual count is sized from the
     # longest real ray at build time so step length stays block_size/4
@@ -54,7 +57,7 @@ class RayVerificatorConfig:
         check_gt(self.block_size, 0.0, "block_size")
         check_in(
             self.ray_policy,
-            ("First", "Last", "FirstAndLast", "Middle", "All"),
+            ("First", "Last", "FirstAndLast", "Middle", "All", "Random", "Random3"),
             "ray_policy",
         )
 
@@ -185,21 +188,27 @@ class RayVerificator:
     def __init__(self, config: RayVerificatorConfig):
         self.config = config
         self._built = False
+        self._delta = None  # incremental index over new-vertex rays
+        self._epoch = None
+        self._V_covered = 0
 
     # ------------------------------------------------------------------
-    def build(self, dsg) -> None:
-        """(Re)build the full ray library from scratch (recomputeHash path —
-        after loop closures the geometry moved, cpp:316-325)."""
+    def _generate_rays(self, dsg, v_lo: int = 0):
+        """Rays for vertices [v_lo, V) per the configured policy. Returns
+        (origins, targets, stamps, target_idx) or None if nothing to do."""
         cfg = self.config
         agents_t = dsg.agent_positions()  # [A, 3]
         agent_stamps = dsg.agent_stamps().astype(np.float64) * 1e-9  # s
         mesh = dsg.mesh
         V = mesh.num_vertices
-        if V == 0 or len(agents_t) == 0:
-            self._built = False
-            return
-        first = mesh.first_seen_ns.astype(np.float64) * 1e-9
-        last = mesh.last_seen_ns.astype(np.float64) * 1e-9 - cfg.active_window_duration
+        if V <= v_lo or len(agents_t) == 0:
+            return None
+        sl = slice(v_lo, V)
+        first = mesh.first_seen_ns[sl].astype(np.float64) * 1e-9
+        last = (
+            mesh.last_seen_ns[sl].astype(np.float64) * 1e-9
+            - cfg.active_window_duration
+        )
         last = np.maximum(last, first)
 
         # observer selection per policy: indices into agents by stamp
@@ -215,13 +224,23 @@ class RayVerificator:
             obs = [lo, hi]
         elif cfg.ray_policy == "Middle":
             obs = [(lo + hi) // 2]
+        elif cfg.ray_policy in ("Random", "Random3"):
+            # uniform draws in [lo, hi] per vertex (cpp:211-314); seeded so
+            # rebuilds are reproducible
+            rng = np.random.default_rng(cfg.random_seed)
+            k = 1 if cfg.ray_policy == "Random" else 3
+            span = (hi - lo + 1).astype(np.int64)
+            obs = [
+                lo + (rng.random(len(lo)) * span).astype(np.int64).clip(0, span - 1)
+                for _ in range(k)
+            ]
         else:  # All: cap at 4 evenly spaced
             obs = [lo, (2 * lo + hi) // 3, (lo + 2 * hi) // 3, hi]
 
         ray_src, ray_tgt, ray_stamp = [], [], []
         for ob in obs:
             ray_src.append(agents_t[ob])
-            ray_tgt.append(mesh.vertices)
+            ray_tgt.append(mesh.vertices[sl])
             ray_stamp.append(agent_stamps[ob])
         origins = np.concatenate(ray_src).astype(np.float32)
         targets = np.concatenate(ray_tgt).astype(np.float32)
@@ -231,8 +250,66 @@ class RayVerificator:
         # so "rays new since vertex count Vp" === "rays with target >= Vp" —
         # the basis for incremental re-detection (reference
         # ray_verificator.cpp:163-182 updateDsg re-observed reporting)
-        target_idx = np.concatenate([np.arange(V, dtype=np.int32)] * len(obs))
-        self._build_index(origins, targets, stamps, target_idx)
+        target_idx = np.concatenate(
+            [np.arange(v_lo, V, dtype=np.int32)] * len(obs)
+        )
+        return origins, targets, stamps, target_idx
+
+    def build(self, dsg) -> None:
+        """(Re)build the full ray library from scratch (recomputeHash path —
+        after loop closures the geometry moved, cpp:316-325)."""
+        rays = self._generate_rays(dsg, 0)
+        self._delta = None
+        self._epoch = getattr(dsg, "opt_epoch", None)
+        if rays is None:
+            self._built = False
+            self._V_covered = 0
+            return
+        self._build_index(*rays)
+        self._V_covered = dsg.mesh.num_vertices
+
+    def update(self, dsg, had_loop_closure: bool = True) -> None:
+        """Incremental library update (reference updateDsg,
+        ray_verificator.cpp:163-182): between loop closures / optimizations
+        the backend mesh is append-only, so only rays targeting NEW vertices
+        are added — into a small DELTA index sharing the main index's grid.
+        A loop closure, optimization epoch change, out-of-grid growth, or a
+        delta outgrowing ~25% of the main index triggers the full rebuild
+        (recomputeHash semantics)."""
+        epoch = getattr(dsg, "opt_epoch", None)
+        V = dsg.mesh.num_vertices
+        if (
+            not self._built
+            or had_loop_closure
+            or epoch != self._epoch
+            or V < self._V_covered
+        ):
+            self.build(dsg)
+            return
+        rays = self._generate_rays(dsg, self._V_covered)
+        if rays is None:
+            return
+        origins, targets, stamps, target_idx = rays
+        if self._delta is not None:  # extend the existing delta's raw rays
+            origins = np.concatenate([self._delta["raw"][0], origins])
+            targets = np.concatenate([self._delta["raw"][1], targets])
+            stamps = np.concatenate([self._delta["raw"][2], stamps])
+            target_idx = np.concatenate([self._delta["raw"][3], target_idx])
+        in_grid = self._points_in_grid(origins) and self._points_in_grid(targets)
+        if not in_grid or len(origins) > 0.25 * max(self.num_rays, 1):
+            self.build(dsg)
+            return
+        self._delta = self._make_index(
+            origins, targets, stamps, target_idx,
+            grid=(self.origin_cell, self.dims),
+        )
+        self._delta["raw"] = (origins, targets, stamps, target_idx)
+        self._V_covered = V
+
+    def _points_in_grid(self, pts: np.ndarray) -> bool:
+        cfg = self.config
+        pc = np.floor(pts / cfg.block_size).astype(np.int64) - self.origin_cell
+        return bool(np.all((pc >= 0) & (pc < self.dims[None, :])))
 
     @staticmethod
     def _bucket(n: int) -> int:
@@ -246,21 +323,23 @@ class RayVerificator:
         step = 1 << max(int(np.log2(n)) - 2, 10)
         return ((n + step - 1) // step) * step
 
-    def _build_index(self, origins, targets, stamps, target_idx=None):
+    def _make_index(self, origins, targets, stamps, target_idx, grid=None):
+        """Build one CSR index dict. `grid=(origin_cell, dims)` reuses an
+        existing linearization (delta indexes share the main grid so cell
+        masks compose); None derives the grid from the ray bbox."""
         cfg = self.config
-        if target_idx is None:
-            target_idx = np.arange(len(origins), dtype=np.int32)
-        all_pts = np.concatenate([origins, targets])
-        lo = all_pts.min(axis=0) - cfg.block_size
-        hi = all_pts.max(axis=0) + cfg.block_size
-        self.origin_cell = np.floor(lo / cfg.block_size).astype(np.int32)
-        dims = (
-            np.floor(hi / cfg.block_size).astype(np.int32) - self.origin_cell + 2
-        )
-        # dims rounded up per axis: cell_start has shape prod(dims)+1, which
-        # must also re-hit the compile cache as the scene bbox creeps
-        dims = ((dims + 7) // 8) * 8
-        self.dims = dims.astype(np.int32)
+        if grid is None:
+            all_pts = np.concatenate([origins, targets])
+            lo = all_pts.min(axis=0) - cfg.block_size
+            hi = all_pts.max(axis=0) + cfg.block_size
+            origin_cell = np.floor(lo / cfg.block_size).astype(np.int32)
+            dims = np.floor(hi / cfg.block_size).astype(np.int32) - origin_cell + 2
+            # dims rounded up per axis: cell_start has shape prod(dims)+1,
+            # which must re-hit the compile cache as the scene bbox creeps
+            dims = (((dims + 7) // 8) * 8).astype(np.int32)
+        else:
+            origin_cell, dims = grid
+            lo = origin_cell.astype(np.float32) * cfg.block_size
 
         # pad rays to the bucket with degenerate far-outside rays: their
         # marched cells linearize to -1 and are dropped, so they never
@@ -273,7 +352,6 @@ class RayVerificator:
             targets = np.concatenate([targets, np.broadcast_to(far, (pad, 3))])
             stamps = np.concatenate([stamps, np.zeros(pad, np.float32)])
             target_idx = np.concatenate([target_idx, np.full(pad, -1, np.int32)])
-        C = int(np.prod(self.dims))
 
         # size the march so fixed step = block/4 covers the LONGEST ray
         # (reference ray_verificator.cpp:327-349 computes n_steps per ray;
@@ -289,35 +367,67 @@ class RayVerificator:
             jnp.asarray(origins),
             jnp.asarray(targets),
             jnp.asarray(stamps),
-            jnp.asarray(self.origin_cell),
-            tuple(int(d) for d in self.dims),
+            jnp.asarray(origin_cell),
+            tuple(int(d) for d in dims),
             cfg.block_size,
             steps,
         )
-        self.sorted_cells = sorted_cells
-        self.sorted_rays = sorted_rays
-        self.cell_start = cell_start
-        self.origins = jnp.asarray(origins)
-        self.targets = jnp.asarray(targets)
-        self.stamps_s = jnp.asarray(stamps)
-        self.target_idx = jnp.asarray(target_idx)
-        self.num_rays = R_real
+        return dict(
+            sorted_cells=sorted_cells,
+            sorted_rays=sorted_rays,
+            cell_start=cell_start,
+            origins=jnp.asarray(origins),
+            targets=jnp.asarray(targets),
+            stamps_s=jnp.asarray(stamps),
+            target_idx=jnp.asarray(target_idx),
+            num_rays=R_real,
+            origin_cell=origin_cell,
+            dims=dims,
+        )
+
+    def _build_index(self, origins, targets, stamps, target_idx=None):
+        """Full (main) index build; mirrors the index fields as attributes
+        for existing consumers (sharded query, tests)."""
+        if target_idx is None:
+            target_idx = np.arange(len(origins), dtype=np.int32)
+        idx = self._make_index(origins, targets, stamps, target_idx)
+        self.sorted_cells = idx["sorted_cells"]
+        self.sorted_rays = idx["sorted_rays"]
+        self.cell_start = idx["cell_start"]
+        self.origins = idx["origins"]
+        self.targets = idx["targets"]
+        self.stamps_s = idx["stamps_s"]
+        self.target_idx = idx["target_idx"]
+        self.num_rays = idx["num_rays"]
+        self.origin_cell = idx["origin_cell"]
+        self.dims = idx["dims"]
+        self._main = idx
+        self._delta = None
         self._built = True
 
     # ------------------------------------------------------------------
+    def _indexes(self):
+        out = [self._main]
+        if self._delta is not None:
+            out.append(self._delta)
+        return out
+
     def touched_cells_for_new_targets(self, min_target_idx: int) -> np.ndarray:
         """Bool [C]: hash cells traversed by rays targeting vertex indices
-        >= min_target_idx. Basis for incremental change detection: only
-        query points in touched cells can have gained evidence."""
+        >= min_target_idx (across main + delta indexes — both share the main
+        linearization). Basis for incremental change detection: only query
+        points in touched cells can have gained evidence."""
         if not self._built:
             return np.zeros((0,), bool)
         C = int(np.prod(self.dims))
-        mask = np.asarray(
-            _touched_cells_device(
-                self.sorted_cells, self.sorted_rays, self.target_idx,
-                jnp.int32(min_target_idx), C,
+        mask = np.zeros((C,), bool)
+        for idx in self._indexes():
+            mask |= np.asarray(
+                _touched_cells_device(
+                    idx["sorted_cells"], idx["sorted_rays"], idx["target_idx"],
+                    jnp.int32(min_target_idx), C,
+                )
             )
-        )
         return mask
 
     def point_cells(self, points: np.ndarray) -> np.ndarray:
@@ -351,22 +461,26 @@ class RayVerificator:
             points = np.concatenate([points, np.zeros((pad, 3), np.float32)])
         outs = []
         for s in range(0, len(points), chunk):
-            ev = _query_device(
-                jnp.asarray(points[s : s + chunk]),
-                self.sorted_cells,
-                self.sorted_rays,
-                self.cell_start,
-                self.origins,
-                self.targets,
-                self.stamps_s,
-                jnp.asarray(self.origin_cell),
-                jnp.asarray(self.dims),
-                cfg.block_size,
-                cfg.radial_tolerance,
-                cfg.depth_tolerance,
-                cfg.temporal_resolution,
-                cfg.num_bins,
-                cfg.max_candidates,
-            )
+            pts_dev = jnp.asarray(points[s : s + chunk])
+            ev = None
+            for idx in self._indexes():  # main + (incremental) delta
+                e = _query_device(
+                    pts_dev,
+                    idx["sorted_cells"],
+                    idx["sorted_rays"],
+                    idx["cell_start"],
+                    idx["origins"],
+                    idx["targets"],
+                    idx["stamps_s"],
+                    jnp.asarray(idx["origin_cell"]),
+                    jnp.asarray(idx["dims"]),
+                    cfg.block_size,
+                    cfg.radial_tolerance,
+                    cfg.depth_tolerance,
+                    cfg.temporal_resolution,
+                    cfg.num_bins,
+                    cfg.max_candidates,
+                )
+                ev = e if ev is None else ev + e
             outs.append(ev)
         return np.concatenate([np.asarray(o) for o in outs])[:P]

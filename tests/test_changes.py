@@ -79,6 +79,54 @@ class TestRayVerificator:
         ev_wall = ver.query(np.asarray([[20.0, 0.05, 0.05]], np.float32))
         assert ev_wall[0, :, 0].sum() > 0
 
+    def test_incremental_update_matches_full_build(self):
+        """updateDsg analog: growing the mesh between passes must give the
+        same evidence through the delta index as a from-scratch build
+        (reference ray_verificator.cpp:163-182)."""
+        ys_master = np.linspace(-2, 2, 236)  # append-only: prefix stays put
+
+        def make_dsg(n_verts):
+            dsg = SceneGraph()
+            dsg.agents = make_agents([0, 0, 1], np.arange(0, 101, 2.0))
+            ys = ys_master[:n_verts]
+            verts = np.stack([np.full(n_verts, 5.0), ys, np.ones(n_verts)], axis=1)
+            dsg.mesh = make_mesh(verts, [0.0] * n_verts, [100.0] * n_verts)
+            dsg.opt_epoch = 1
+            return dsg
+
+        # max_candidates above the densest cell: with the cap saturated the
+        # split (main+delta) setup truncates per-index and can legitimately
+        # return MORE evidence than one capped index
+        cfg = RayVerificatorConfig(
+            ray_policy="Middle", num_bins=32, temporal_resolution=4.0,
+            max_candidates=1024,
+        )
+        inc = RayVerificator(cfg)
+        inc.update(make_dsg(200), had_loop_closure=True)   # full build
+        inc.update(make_dsg(220), had_loop_closure=False)  # delta (+10%)
+        assert inc._delta is not None, "delta index expected"
+        inc.update(make_dsg(236), had_loop_closure=False)  # extended delta
+        assert inc._delta is not None
+        full = RayVerificator(cfg)
+        full.build(make_dsg(236))
+        pts = np.asarray(
+            [[3.0, 0, 1], [5.0, 1.9, 1], [5.0, -1.9, 1], [6.5, 0, 1]], np.float32
+        )
+        ev_i, ev_f = inc.query(pts), full.query(pts)
+        # grids differ (delta reuses the 200-vertex grid; the full build
+        # derives a fresh one), so borderline ray-cell assignment can shift a
+        # few counts — classifications must agree, totals within 5%
+        np.testing.assert_array_equal(ev_i.sum(axis=1) > 0, ev_f.sum(axis=1) > 0)
+        diff = np.abs(ev_i.astype(np.int64) - ev_f.astype(np.int64)).sum()
+        assert diff / max(ev_f.sum(), 1) < 0.05, (diff, ev_f.sum())
+        # touched cells must cover the new vertices' rays
+        touched = inc.touched_cells_for_new_targets(200)
+        cells = inc.point_cells(np.asarray([[5.0, 1.9, 1]], np.float32))
+        assert touched[cells[0]], "new-vertex ray cell not marked touched"
+        # a loop closure forces the full rebuild (delta folded in)
+        inc.update(make_dsg(236), had_loop_closure=True)
+        assert inc._delta is None
+
     def test_absent_match_occluded(self):
         ver = self.build_simple()
         ev = ver.query(np.asarray([[3.0, 0, 1], [5.0, 0, 1], [6.5, 0, 1], [3.0, 2.0, 1]], np.float32))
