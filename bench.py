@@ -32,13 +32,19 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--grid", type=int, nargs=3, default=[160, 160, 48])
+    # FULL pipeline (AW + backend + detached CD cadence) is the headline
+    # metric (BASELINE.md north star is pipeline >= real-time); --aw-only
+    # measures the active window in isolation
+    ap.add_argument("--aw-only", action="store_true",
+                    help="bench the active window only (no backend/CD)")
     ap.add_argument("--full-pipeline", action="store_true",
-                    help="include backend + change detection cadence")
+                    help="(default) include backend + change detection cadence")
     ap.add_argument("--det-stride", type=int, default=2,
                     help="detection stride (integration stays full-res)")
     ap.add_argument("--repeats", type=int, default=2,
                     help="timed repetitions (fresh engine each); best reported")
     args = ap.parse_args()
+    args.full_pipeline = not args.aw_only
 
     import jax
     import jax.numpy as jnp

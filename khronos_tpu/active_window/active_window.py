@@ -81,6 +81,17 @@ class ActiveWindowConfig:
     tracker: Plugin = plugin_field("tracker", "MaxIouTracker")
     object_extractor: Plugin = plugin_field("object_extractor", "MeshObjectExtractor")
     mesh_max_cells: int = 8192
+    # device-mesh mode (SURVEY.md §2.7 multi-host row): shard the voxel grid
+    # spatially over the leading axis of an n-device jax mesh. The fused step
+    # compiles SPMD (halo exchanges over ICI); scroll/emission inherit the
+    # sharding through XLA propagation. 0 = plain single-device path (with
+    # frustum cropping); 1 = a one-device mesh (the mesh code path without
+    # fan-out — for parity tests and scaling baselines). Requires
+    # grid_shape[0] % n_devices == 0; cropping is disabled under sharding
+    # (the crop offset is camera-dependent, incompatible with a static
+    # shard layout — costs ~2x single-chip throughput, regained by the shard
+    # fan-out).
+    n_devices: int = 0
 
 
 @dataclasses.dataclass
@@ -129,6 +140,17 @@ class ActiveWindow:
         self.label_space = label_space
         vol_cfg = config.volumetric_map
         self.state = av.create(vol_cfg)
+        self.mesh = None
+        if config.n_devices >= 1:
+            from khronos_tpu.parallel import sharding as _sh
+
+            if vol_cfg.grid_shape[0] % config.n_devices:
+                raise ValueError(
+                    f"grid_shape[0]={vol_cfg.grid_shape[0]} not divisible by "
+                    f"n_devices={config.n_devices}"
+                )
+            self.mesh = _sh.make_mesh(config.n_devices)
+            self.state = _sh.shard_volume(self.state, self.mesh)
         self._origin_np = np.asarray(self.state.origin)
         self._initialized_origin = False
         self.motion_detector = config.motion_detector.create(vol_cfg, camera)
@@ -184,16 +206,29 @@ class ActiveWindow:
             )
             self._openset_fused = config.object_detector.type == "InstanceForwarding"
             bg_emb = getattr(self.object_detector, "background_embeddings", None)
-            self._fused_step = fs.make_frame_step(
-                vol_cfg,
-                camera,
-                config.motion_detector.config if config.motion_detector.enabled else None,
-                od_cfg,
-                label_space,
-                detection_stride=config.detection_stride,
-                background_embeddings=bg_emb if self._openset_fused else None,
-                feature_dim=getattr(od_cfg, "feature_dim", 0) if self._openset_fused else 0,
+            md_cfg = (
+                config.motion_detector.config if config.motion_detector.enabled else None
             )
+            if self.mesh is not None:
+                from khronos_tpu.parallel import sharding as _sh
+
+                self._fused_step = _sh.make_sharded_frame_step(
+                    vol_cfg, camera, md_cfg, od_cfg, label_space, self.mesh,
+                    detection_stride=config.detection_stride,
+                    background_embeddings=bg_emb if self._openset_fused else None,
+                    feature_dim=getattr(od_cfg, "feature_dim", 0) if self._openset_fused else 0,
+                )
+            else:
+                self._fused_step = fs.make_frame_step(
+                    vol_cfg,
+                    camera,
+                    md_cfg,
+                    od_cfg,
+                    label_space,
+                    detection_stride=config.detection_stride,
+                    background_embeddings=bg_emb if self._openset_fused else None,
+                    feature_dim=getattr(od_cfg, "feature_dim", 0) if self._openset_fused else 0,
+                )
             self._unpack_stats = fs.unpack_stats
             if self._openset_fused:
                 self._feature_dim = (
@@ -213,11 +248,18 @@ class ActiveWindow:
         state = self.__dict__.copy()
         state.pop("_fused_step", None)
         state.pop("_unpack_stats", None)
+        state.pop("mesh", None)  # device handles are session-local
         state["_sinks"] = []  # sinks are session-local (may be unpicklable)
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
+        self.mesh = None
+        if self.config.n_devices >= 1:
+            from khronos_tpu.parallel import sharding as _sh
+
+            self.mesh = _sh.make_mesh(self.config.n_devices)
+            self.state = _sh.shard_volume(self.state, self.mesh)
         self._build_fused_step()
 
     # ------------------------------------------------------------------
@@ -235,7 +277,14 @@ class ActiveWindow:
                 origin = np.floor(
                     cam_pos / vol_cfg.voxel_size - shape / 2.0
                 ).astype(np.int32)
-                self.state = self.state._replace(origin=jnp.asarray(origin))
+                origin_dev = jnp.asarray(origin)
+                if self.mesh is not None:  # replicate over the device mesh
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    origin_dev = jax.device_put(
+                        origin_dev, NamedSharding(self.mesh, PartitionSpec())
+                    )
+                self.state = self.state._replace(origin=origin_dev)
                 self._origin_np = origin
                 self._initialized_origin = True
             elif av.needs_recenter(vol_cfg, self.state, cam_pos, self._origin_np):

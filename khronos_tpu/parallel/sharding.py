@@ -67,6 +67,8 @@ def make_sharded_frame_step(
     mesh: Mesh,
     axis: str = "x",
     detection_stride: int = 1,
+    background_embeddings=None,
+    feature_dim: int = 0,
 ):
     """The FULL fused active-window frame step (motion detection, object
     detection, TSDF+tracking integration, packed cluster stats) compiled SPMD
@@ -77,7 +79,9 @@ def make_sharded_frame_step(
 
     Returns step(state, depth, color, labels, R, t, t_now) ->
     (state', dynamic_image, object_image, packed_stats) like
-    fused_step.make_frame_step. Cropping is disabled (see make_frame_step)."""
+    fused_step.make_frame_step (open-set variant takes instances+features
+    like the single-device builder). Cropping is disabled (see
+    make_frame_step)."""
     from khronos_tpu.active_window import fused_step as fs
 
     raw = fs.make_frame_step(
@@ -89,15 +93,32 @@ def make_sharded_frame_step(
         detection_stride=detection_stride,
         crop=False,
         jit=False,
+        background_embeddings=background_embeddings,
+        feature_dim=feature_dim,
     )
     vol_shard = volume_sharding(mesh, axis)
     rep = NamedSharding(mesh, P())
-    return jax.jit(
+    openset = od_cfg is not None and od_cfg.__class__.__name__.startswith(
+        "InstanceForwarding"
+    )
+    n_rep = 8 if openset else 6  # image/pose args after the volume state
+    jitted = jax.jit(
         raw,
-        in_shardings=(vol_shard, rep, rep, rep, rep, rep, rep),
+        in_shardings=(vol_shard,) + (rep,) * n_rep,
         out_shardings=(vol_shard, rep, rep, rep),
         donate_argnums=(0,),
     )
+
+    def step(state, *args):
+        # host-side passes between frames (mesh emission, scroll) go through
+        # jitted programs WITHOUT explicit shardings; XLA's propagation can
+        # hand back replicated grids. Re-pin to the canonical layout — a
+        # no-op when already correct, an on-device reshard otherwise.
+        state = jax.tree.map(jax.device_put, state, vol_shard)
+        return jitted(state, *args)
+
+    step.jitted = jitted  # for AOT inspection (scaling harness cost proxy)
+    return step
 
 
 def make_sharded_ray_query(verificator, mesh: Mesh, axis: str = "x"):

@@ -222,6 +222,64 @@ class TestMultiDevice:
         np.testing.assert_array_equal(ref, got)
 
 
+class TestMultiDeviceOrchestrator:
+    def test_active_window_device_mesh_mode(self):
+        """ActiveWindow with n_devices=4: the ORCHESTRATOR path (spin_once,
+        scroll, emission, finish) runs on a sharded grid and matches the
+        single-device run (VERDICT r1 task 5 — mesh mode must be reachable
+        from the orchestrator, not a hand-built step)."""
+        import jax
+
+        from khronos_tpu.active_window.active_window import (
+            ActiveWindow,
+            ActiveWindowConfig,
+        )
+        from khronos_tpu.active_window.frame_data import FrameData
+        from khronos_tpu.config import build
+        from khronos_tpu.data import synthetic as syn
+
+        assert len(jax.devices()) >= 4
+        scene = syn.office_scene(duration=10.0)
+        seq = syn.SyntheticSequence(scene, syn.SyntheticSequenceConfig(
+            duration=10.0, fps=2.0, height=48, width=64,
+            fx=40.0, fy=40.0, cx=32.0, cy=24.0,
+        ))
+
+        def run(n_dev):
+            cfg = build(ActiveWindowConfig, {
+                "volumetric_map": {"grid_shape": [64, 64, 32], "voxel_size": 0.2},
+                "n_devices": n_dev,
+                "motion_detector": {"type": "FreeSpaceMotionDetector",
+                                    "min_cluster_size": 40},
+                "object_detector": {"type": "ConnectedSemantics",
+                                    "min_cluster_size": 20},
+                "tracker": {"type": "MaxIouTracker", "min_num_observations": 2},
+                "object_extractor": {"type": "MeshObjectExtractor",
+                                     "min_num_observations": 2},
+            })
+            aw = ActiveWindow(cfg, seq.camera, syn.default_label_space())
+            outs = []
+            for i in range(12):
+                f = seq.render_frame(i)
+                out = aw.spin_once(FrameData(
+                    stamp_ns=f["stamp_ns"], depth=f["depth"], color=f["color"],
+                    labels=f["labels"], R_w_c=f["R_w_c"], t_w_c=f["t_w_c"],
+                ))
+                if out is not None:
+                    outs.append(out)
+            outs.append(aw.finish_mapping())
+            w = float(np.asarray(aw.state.weight).sum())
+            tris = sum(len(o.mesh_vertices) for o in outs)
+            return w, tris, aw
+
+        w1, t1, _ = run(0)
+        w4, t4, aw4 = run(4)
+        assert len(aw4.state.tsdf.sharding.device_set) == 4
+        # crop on (single) vs off (sharded) gives small boundary deltas
+        assert abs(w1 - w4) / max(w1, 1) < 2e-2, (w1, w4)
+        assert t4 > 0 and abs(t1 - t4) <= max(0.1 * t1, 50), (t1, t4)
+
+
 class TestCli:
     def test_run_module_smoke(self, tmp_path):
         from khronos_tpu import run as run_mod
