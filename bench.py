@@ -127,10 +127,14 @@ def main():
 
             def cd_worker():
                 while True:
-                    req = cd_queue.get()
-                    if req is None:
+                    item = cd_queue.get()
+                    if item is None:
                         return
-                    pipe.run_change_detection_on(*req)
+                    kind, payload = item
+                    if kind == "cd":
+                        pipe.run_change_detection_on(*payload)
+                    else:  # deferred incremental places update
+                        payload()
 
             cd_thread = threading.Thread(target=cd_worker, daemon=True)
             cd_thread.start()
@@ -147,7 +151,10 @@ def main():
             if pipe is not None:
                 req = pipe.process_frame(frame, gt_pose=(f["R_gt"], f["t_gt"]), defer_cd=True)
                 if req is not None:
-                    cd_queue.put(req)
+                    cd_queue.put(("cd", req))
+                pu = pipe.take_places_update()
+                if pu is not None:
+                    cd_queue.put(("places", pu))
             else:
                 aw.spin_once(frame)
 

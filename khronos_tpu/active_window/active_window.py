@@ -406,6 +406,12 @@ class ActiveWindow:
                 referenced.add(frame.stamp_ns)
                 for queued_frame, _ in self._track_queue:
                     referenced.add(queued_frame.stamp_ns)
+                # finished tracks awaiting extraction at the next output must
+                # keep their frames alive too — otherwise reconstruction
+                # quality depends on WHEN async pulls land relative to the
+                # trim (timing-dependent object recall)
+                for t in self._pending_tracks:
+                    referenced.update(o.stamp_ns for o in t.observations)
                 self.frame_buffer.trim(referenced)
 
             self.frame_count += 1

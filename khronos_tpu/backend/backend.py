@@ -186,13 +186,21 @@ class Backend:
                             key, out.stamp_ns, lcd_frame[0], lcd_frame[1],
                             out.R_w_b, out.t_w_b,
                         )
+                elif getattr(self.lcd, "needs_scene", False):
+                    # scene-graph object-descriptor LCD: constellation of
+                    # recently detected objects around the keyframe
+                    lcs = self.lcd.add_keyframe(
+                        key, out.stamp_ns, out.R_w_b, out.t_w_b,
+                        self.objects.values(),
+                    )
                 elif gt_pose is not None:
                     lcs = self.lcd.add_keyframe(key, out.stamp_ns, gt_pose[0], gt_pose[1])
             for lc in lcs:
                 self.loop_closures.append(lc)
                 self.graph.add_between(
                     lc.from_key, lc.to_key, lc.R, lc.t,
-                    sigma_rot=cfg.sigma_lc_rot, sigma_trans=cfg.sigma_lc_trans,
+                    sigma_rot=lc.sigma_rot or cfg.sigma_lc_rot,
+                    sigma_trans=lc.sigma_trans or cfg.sigma_lc_trans,
                     robust=True,
                 )
             if lcs and cfg.optimize_on_lc:
@@ -205,7 +213,8 @@ class Backend:
         self.loop_closures.append(lc)
         self.graph.add_between(
             lc.from_key, lc.to_key, lc.R, lc.t,
-            sigma_rot=cfg.sigma_lc_rot, sigma_trans=cfg.sigma_lc_trans, robust=True,
+            sigma_rot=lc.sigma_rot or cfg.sigma_lc_rot,
+            sigma_trans=lc.sigma_trans or cfg.sigma_lc_trans, robust=True,
         )
         if optimize_now and cfg.optimize_on_lc:
             self.optimize()

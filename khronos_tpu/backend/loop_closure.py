@@ -36,6 +36,11 @@ class LoopClosure:
     R: np.ndarray  # measured relative pose from->to frame: T_from^-1 T_to
     t: np.ndarray
     score: float = 1.0
+    # measurement uncertainty; None -> backend's sigma_lc_* defaults. Coarse
+    # detectors (object-constellation registration) report decimeter-grade
+    # sigmas so the optimizer weighs them against odometry honestly.
+    sigma_trans: Optional[float] = None
+    sigma_rot: Optional[float] = None
 
 
 @register("lcd", "GtLoopClosure")
@@ -253,4 +258,212 @@ class DescriptorLoopClosureDetector:
         self._descs.append(desc)
         self._clouds.append(cloud.astype(np.float32))
         self._poses.append((R_odom.copy(), t_odom.copy()))
+        return out
+
+
+# ----------------------------------------------------------------------------
+# Scene-graph object-descriptor detector (hydra LCD object-layer analog)
+# ----------------------------------------------------------------------------
+
+
+def _constellation_descriptor(
+    positions: np.ndarray, labels: np.ndarray, radius: float
+) -> np.ndarray:
+    """Viewpoint-invariant descriptor of a labeled object constellation:
+    semantic-label histogram ++ pairwise-centroid-distance histogram
+    (the role of hydra LCD's object-layer descriptors, uHumans2.yaml:266-277)."""
+    lab_hist = np.bincount(labels % 32, minlength=32).astype(np.float32)
+    d = np.linalg.norm(positions[:, None, :] - positions[None, :, :], axis=-1)
+    iu = np.triu_indices(len(positions), k=1)
+    dist_hist, _ = np.histogram(d[iu], bins=16, range=(0.0, 2.0 * radius))
+    desc = np.concatenate([lab_hist, dist_hist.astype(np.float32)])
+    n = np.linalg.norm(desc)
+    return desc / n if n > 0 else desc
+
+
+def _register_constellations(
+    a: np.ndarray,
+    a_lab: np.ndarray,
+    b: np.ndarray,
+    b_lab: np.ndarray,
+    R0: np.ndarray,
+    t0: np.ndarray,
+    noise_bound: float,
+):
+    """Graduated truncated-LS alignment of labeled centroid set `a` (earlier
+    keyframe, local frame) onto `b` (current keyframe, local frame):
+    label-gated nearest-neighbor correspondences + weighted Umeyama, with the
+    inlier threshold annealed 4x -> 1x noise_bound (GNC-TLS schedule, the
+    TEASER++ slot of hydra LCD registration, uHumans2.yaml:298-307).
+    Returns (R, t, rms, n_inliers)."""
+    R, t = R0.astype(np.float64), t0.astype(np.float64)
+    gate = a_lab[:, None] != b_lab[None, :]
+    inl = np.zeros(len(a), bool)
+    res = np.full(len(a), np.inf)
+    for thr in (4.0, 2.0, 1.5, 1.0, 1.0, 1.0):
+        moved = a @ R.T + t
+        d = np.linalg.norm(moved[:, None, :] - b[None, :, :], axis=-1)
+        d[gate] = np.inf
+        nn = np.argmin(d, axis=1)
+        res = d[np.arange(len(a)), nn]
+        inl = res < thr * noise_bound
+        if inl.sum() < 3:
+            break
+        src = a[inl]
+        dst = b[nn[inl]]
+        mu_s, mu_d = src.mean(0), dst.mean(0)
+        H = (src - mu_s).T @ (dst - mu_d)
+        U, _, Vt = np.linalg.svd(H)
+        D = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+        R = Vt.T @ D @ U.T
+        t = mu_d - R @ mu_s
+    n_inl = int(inl.sum())
+    rms = float(np.sqrt(np.mean(res[inl] ** 2))) if n_inl else float("inf")
+    return R.astype(np.float32), t.astype(np.float32), rms, n_inl
+
+
+@register("lcd", "SceneGraphLoopClosure")
+@dataclasses.dataclass
+class SceneGraphLoopClosureConfig:
+    """Object-layer place recognition over the scene graph: keyframes are
+    described by the constellation of nearby recently-detected objects and
+    verified by robust registration of the two constellations. Needs no GT,
+    no depth frame, and no appearance vocabulary — the analog of hydra LCD's
+    scene-graph descriptor path (uHumans2.yaml:254-307)."""
+
+    radius: float = 8.0  # m: objects within this range of the keyframe
+    obs_window: float = 5.0  # s: |detected - keyframe stamp| for membership
+    min_objects: int = 3
+    min_time_gap: float = 10.0
+    min_descriptor_similarity: float = 0.7
+    min_detection_separation: float = 5.0
+    # registration gates
+    noise_bound: float = 0.3  # m (object-centroid uncertainty)
+    min_inliers: int = 3
+    max_registration_rms: float = 0.4  # m
+    # odometry-estimate candidate gate; <= 0 disables
+    max_candidate_distance: float = 15.0
+
+    def check(self):
+        assert self.obs_window < self.min_time_gap, (
+            "obs_window must be < min_time_gap or first-visit objects leak "
+            "into the re-visit constellation"
+        )
+
+    def create(self):
+        return SceneGraphLoopClosureDetector(self)
+
+
+class SceneGraphLoopClosureDetector:
+    """Keyframe database over the object layer. Constellations are built
+    LAZILY (refreshed every call) because object extraction lags the frame
+    stream by the active-window duration — a keyframe's nearby objects only
+    materialize a few seconds after the keyframe itself. Pending (recent)
+    keyframes are therefore retried each call until their constellation is
+    complete enough to match."""
+
+    needs_frame = False
+    needs_scene = True  # consumes the backend's object layer per keyframe
+
+    def __init__(self, config: SceneGraphLoopClosureConfig):
+        self.config = config
+        self._kfs: List[Tuple[int, int, np.ndarray, np.ndarray]] = []
+        # (key, stamp_ns, R_odom, t_odom)
+        self._matched: set = set()  # keyframe indices already fired or expired
+        self._last_fire_ns = -(10**18)
+
+    def _constellation(self, stamp_ns: int, t_odom: np.ndarray, objects):
+        cfg = self.config
+        w = int(cfg.obs_window * 1e9)
+        pos, lab = [], []
+        for o in objects:
+            if o.is_dynamic:
+                continue
+            if abs(o.detected_ns() - stamp_ns) > w:
+                continue
+            p = o.position()
+            if np.linalg.norm(p - t_odom) > cfg.radius:
+                continue
+            pos.append(p)
+            lab.append(o.semantic_category)
+        if not pos:
+            return np.zeros((0, 3), np.float32), np.zeros((0,), np.int32)
+        return np.stack(pos).astype(np.float32), np.asarray(lab, np.int32)
+
+    def add_keyframe(
+        self,
+        key: int,
+        stamp_ns: int,
+        R_odom: np.ndarray,
+        t_odom: np.ndarray,
+        objects,
+    ) -> List[LoopClosure]:
+        cfg = self.config
+        self._kfs.append((key, stamp_ns, R_odom.copy(), t_odom.copy()))
+        out: List[LoopClosure] = []
+        if stamp_ns - self._last_fire_ns < int(cfg.min_detection_separation * 1e9):
+            return out
+        gap = int(cfg.min_time_gap * 1e9)
+        pend_w = int((cfg.obs_window + 2.0) * 1e9)
+
+        # constellations for every keyframe (objects arrive late; cheap at
+        # O(keyframes x objects) with tens of objects)
+        cons = [
+            self._constellation(s, t, objects) for (_, s, _, t) in self._kfs
+        ]
+        descs = [
+            _constellation_descriptor(p, l, cfg.radius) if len(p) >= cfg.min_objects else None
+            for (p, l) in cons
+        ]
+
+        for qi in range(len(self._kfs) - 1, -1, -1):
+            qkey, qstamp, qR, qt = self._kfs[qi]
+            if stamp_ns - qstamp > pend_w:
+                break  # older keyframes already had their full retry window
+            if qi in self._matched or descs[qi] is None:
+                continue
+            qdesc = descs[qi]
+            qpos, qlab = cons[qi]
+            best = None
+            for ci in range(qi):
+                ckey, cstamp, cR, ct = self._kfs[ci]
+                if qstamp - cstamp < gap or descs[ci] is None:
+                    continue
+                if (
+                    cfg.max_candidate_distance > 0
+                    and np.linalg.norm(qt - ct) > cfg.max_candidate_distance
+                ):
+                    continue
+                sim = float(qdesc @ descs[ci])
+                if sim >= cfg.min_descriptor_similarity and (
+                    best is None or sim > best[0]
+                ):
+                    best = (sim, ci)
+            if best is None:
+                continue
+            sim, ci = best
+            ckey, cstamp, cR, ct = self._kfs[ci]
+            cpos, clab = cons[ci]
+            # local (sensor-relative) constellations: drift cancels within
+            # each visit because objects were mapped from that visit's poses
+            a = (cpos - ct) @ cR  # earlier, in earlier keyframe frame
+            b = (qpos - qt) @ qR  # current, in current keyframe frame
+            R0 = qR.T @ cR
+            t0 = qR.T @ (ct - qt)
+            R, t, rms, n_inl = _register_constellations(
+                a, clab, b, qlab, R0, t0, cfg.noise_bound
+            )
+            if n_inl >= cfg.min_inliers and rms <= cfg.max_registration_rms:
+                out.append(
+                    LoopClosure(
+                        from_key=qkey, to_key=ckey, R=R, t=t, score=sim,
+                        # centroid-grade measurement: sigma from the actual
+                        # registration residual, floored at half noise_bound
+                        sigma_trans=float(max(rms, 0.5 * cfg.noise_bound)),
+                        sigma_rot=0.03,
+                    )
+                )
+                self._matched.add(qi)
+                self._last_fire_ns = stamp_ns
+                break
         return out

@@ -64,7 +64,16 @@ class PipelineConfig:
     run_change_detection_every_n_frames: int = 50
     # free-space places layer (hydra GVD frontend equivalent); None disables
     places: Optional[PlacesConfig] = dataclasses.field(default_factory=PlacesConfig)
-    extract_places_every_snapshot: bool = False  # else only at finish
+    # places cadence (reference builds scene-graph layers incrementally per
+    # backend input, uHumans2.yaml:103-150):
+    #   "output"   — incremental: occupancy fed per ActiveWindowOutput mesh
+    #                delta, windowed re-extraction around the robot (default)
+    #   "snapshot" — full re-extraction at every change-detection snapshot
+    #   "finish"   — full extraction only at finishMapping
+    places_mode: str = "output"
+
+    def check(self):
+        assert self.places_mode in ("output", "snapshot", "finish"), self.places_mode
 
 
 class KhronosPipeline:
@@ -84,6 +93,8 @@ class KhronosPipeline:
         self._finishing = False
         self._frames_since_cd = 0
         self._last_stamp_ns = 0
+        self._last_places_ns = -(10**18)
+        self._places_due: Optional[np.ndarray] = None
         self._last_frame: Optional[FrameData] = None
         self._change_sinks: List = []
 
@@ -122,6 +133,26 @@ class KhronosPipeline:
                     valid = (depth > 0.1) & (depth < self.camera.max_range)
                     lcd_frame = (pts.astype(np.float32), valid)
                 had_lc = self.backend.add_output(out, gt_pose=gt_pose, lcd_frame=lcd_frame)
+                if (
+                    self.places_extractor is not None
+                    and self.config.places_mode == "output"
+                ):
+                    # incremental frontend: archived mesh delta -> occupancy,
+                    # windowed place re-extraction around the robot. With
+                    # defer_cd the re-extraction is handed to the detached
+                    # stage via take_places_update() (the reference's
+                    # frontend runs on its own thread, SURVEY.md §2.7).
+                    with Timer("pipeline/places_incremental"):
+                        self.places_extractor.add_mesh_delta(out.mesh_vertices)
+                        gap = self.config.places.min_update_interval_s
+                        if (
+                            frame.stamp_ns - self._last_places_ns >= int(gap * 1e9)
+                        ):
+                            self._last_places_ns = frame.stamp_ns
+                            if defer_cd:
+                                self._places_due = np.asarray(out.t_w_b)
+                            else:
+                                self.places_extractor.update_local(out.t_w_b)
             self.frame_count += 1
             self._frames_since_cd += 1
             self._last_stamp_ns = frame.stamp_ns
@@ -134,6 +165,16 @@ class KhronosPipeline:
                 self.run_change_detection(had_loop_closure=had_lc)
         return None
 
+    def take_places_update(self):
+        """Deferred incremental places work (set by process_frame under
+        defer_cd). Returns a callable for the detached stage, or None. Safe
+        to run concurrently with the frame loop (extractor-internal lock)."""
+        if self._places_due is None or self.places_extractor is None:
+            return None
+        center = self._places_due
+        self._places_due = None
+        return lambda: self.places_extractor.update_local(center)
+
     # ------------------------------------------------------------------
     def make_cd_request(self, had_loop_closure: bool = False):
         """Snapshot backend state for a detached change-detection pass. Must
@@ -143,6 +184,11 @@ class KhronosPipeline:
         with Timer("pipeline/cd_snapshot", self._last_stamp_ns):
             dsg = self.backend.get_dsg()
             merges = self.backend.validated_merges()
+            if (
+                self.places_extractor is not None
+                and self.config.places_mode == "output"
+            ):
+                dsg.places = self.places_extractor.snapshot_layer()
         return (dsg, self._last_stamp_ns, had_loop_closure, merges)
 
     def run_change_detection_on(self, dsg, stamp_ns, had_loop_closure, merges) -> None:
@@ -152,8 +198,9 @@ class KhronosPipeline:
         with Timer("pipeline/change_detection", stamp_ns):
             changes = self.change_detector.detect_changes(dsg, had_loop_closure, merges)
             dsg = self.reconciler.reconcile(dsg, changes, merges)
+            mode = self.config.places_mode
             if self.places_extractor is not None and (
-                self.config.extract_places_every_snapshot or self._finishing
+                mode == "snapshot" or (self._finishing and mode != "output")
             ):
                 with Timer("pipeline/places"):
                     dsg.places = self.places_extractor.extract(dsg.mesh.vertices)
@@ -174,6 +221,13 @@ class KhronosPipeline:
         with Timer("pipeline/finish"):
             out = self.active_window.finish_mapping(self._last_frame)
             self.backend.add_output(out)
+            if (
+                out is not None
+                and self.places_extractor is not None
+                and self.config.places_mode == "output"
+            ):
+                self.places_extractor.add_mesh_delta(out.mesh_vertices)
+                self.places_extractor.update_local(out.t_w_b)
             self.backend.finish_processing()
             if self.config.run_change_detection_every_n_frames >= 0:
                 self.run_change_detection(had_loop_closure=False)
@@ -366,16 +420,26 @@ class ExperimentManager:
             with lock:
                 frame, gt = slots.pop(i)
             req = self.pipeline.process_frame(frame, gt_pose=gt, defer_cd=True)
+            # detached stage runs both CD passes and incremental places
+            # updates (slot key: even = CD, odd = places)
+            pu = self.pipeline.take_places_update()
             if req is not None:
                 with lock:
-                    cd_slots[i] = req
-                ex.push(CD, i)
+                    cd_slots[2 * i] = ("cd", req)
+                ex.push(CD, 2 * i)
+            if pu is not None:
+                with lock:
+                    cd_slots[2 * i + 1] = ("places", pu)
+                ex.push(CD, 2 * i + 1)
             self._maybe_snapshot(i)
 
-        def change_detection(i: int) -> None:
+        def change_detection(j: int) -> None:
             with lock:
-                req = cd_slots.pop(i)
-            self.pipeline.run_change_detection_on(*req)
+                kind, payload = cd_slots.pop(j)
+            if kind == "cd":
+                self.pipeline.run_change_detection_on(*payload)
+            else:
+                payload()
 
         ex = native_rt.make_pipeline_executor(
             [ingest, process, change_detection], capacity=4

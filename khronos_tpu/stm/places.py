@@ -13,9 +13,13 @@ compression_distance_m 1.5, min_node_distance, room_finder). TPU design:
    [min_distance, max_distance] (the medial-axis / Voronoi ridge).
 4. Graph: candidates compressed on a `compression_distance` grid; edges
    between nearby places whose connecting segment keeps `min_edge_clearance`.
-5. Rooms: connected components of the place graph using only edges whose
-   clearance exceeds `room_clearance` (doorways drop below it and split
-   rooms), matching the role of hydra's room finder.
+5. Rooms: connected components of free space ERODED by `room_clearance`
+   (restricted to the z-slab, and to columns with floor support so
+   unobserved exterior space cannot merge rooms); places take the label of
+   their containing/nearest blob. Clutter (chairs, tables) cannot split a
+   room; a doorway narrower than 2x`room_clearance` does — the role of
+   hydra's room finder. Graph-edge union-find remains as a fallback when no
+   occupancy is available.
 """
 
 from __future__ import annotations
@@ -40,6 +44,20 @@ class PlacesConfig:
     room_clearance: float = 0.8  # m: edges narrower than this split rooms
     chamfer_iterations: int = 24
     z_slab: Tuple[float, float] = (0.1, 2.2)  # m band used for places
+    # incremental (per-output) mode: half-extent of the local extraction
+    # window around the robot, and the interior margin inside which freshly
+    # computed nodes replace persistent ones (border clearances are
+    # underinformed, so the outer ring only contributes obstacles)
+    window_radius: float = 6.4  # m
+    window_margin: float = 1.0  # m
+    # min seconds between incremental windowed re-extractions (deltas still
+    # accumulate every output; only the chamfer/splice is rate-limited)
+    min_update_interval_s: float = 1.0
+    # room segmentation grid (coarser than the places grid): rooms are
+    # connected components of free space ERODED by room_clearance, so
+    # furniture clutter cannot split a room but a doorway narrower than
+    # 2*room_clearance does (role of hydra's room finder)
+    room_voxel_size: float = 0.4
 
 
 @dataclasses.dataclass
@@ -89,13 +107,214 @@ def _local_maxima(d: jnp.ndarray):
     return d >= max_pool3(d) - 1e-6
 
 
+@functools.partial(jax.jit, static_argnames=("dims", "voxel", "clearance"))
+def _room_blobs(occ_idx, zmask, dims, voxel: float, clearance: float):
+    """Connected-component labels of room space: free cells ERODED by
+    `clearance`, restricted to the z-slab AND to columns with occupancy
+    below (floor support — unobserved space outside the building has no
+    floor and must not merge rooms through the exterior). Components via
+    26-neighbor max-label propagation run to fixpoint (lax.while_loop; a
+    fixed iteration count under-converges long/snaking components).
+    Returns an int32 label grid (0 = not in any blob)."""
+    from khronos_tpu.ops.dense import max_pool3
+
+    occ = (
+        jnp.zeros(dims, jnp.bool_)
+        .at[occ_idx[:, 0], occ_idx[:, 1], occ_idx[:, 2]]
+        .set(True)
+    )
+    n_iter = int(np.ceil(clearance / voxel)) + 2
+    d = chamfer_distance_field(occ, voxel, n_iter)
+    has_floor = jnp.cumsum(occ, axis=2) > 0
+    eroded = (d >= clearance) & zmask[None, None, :] & has_floor
+    labels = jnp.where(
+        eroded,
+        (jnp.arange(int(np.prod(dims)), dtype=jnp.int32) + 1).reshape(dims),
+        0,
+    )
+
+    def cond(carry):
+        _, changed = carry
+        return changed
+
+    def body(carry):
+        lab, _ = carry
+        grown = jnp.where(eroded, jnp.maximum(lab, max_pool3(lab)), lab)
+        return grown, (grown != lab).any()
+
+    labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.bool_(True)))
+    return labels
+
+
+_KEY_OFF = 1 << 20  # packed-cell offset: 21 bits/axis, +-1M cells
+
+
+def _pack_cells(idx: np.ndarray) -> np.ndarray:
+    """[N,3] int cell indices -> packed int64 keys."""
+    i = idx.astype(np.int64) + _KEY_OFF
+    return (i[:, 0] << 42) | (i[:, 1] << 21) | i[:, 2]
+
+
+def _unpack_cells(keys: np.ndarray) -> np.ndarray:
+    k = keys.astype(np.int64)
+    return (
+        np.stack([(k >> 42) & 0x1FFFFF, (k >> 21) & 0x1FFFFF, k & 0x1FFFFF], axis=1)
+        - _KEY_OFF
+    )
+
+
 class PlacesExtractor:
+    """Global (`extract`) and incremental per-output (`add_mesh_delta` +
+    `update_local`) free-space place extraction.
+
+    Incremental mode mirrors hydra's per-backend-input GVD frontend
+    (uHumans2.yaml:103-150): each ActiveWindowOutput's archived mesh delta
+    scatters into a persistent occupancy store (coarse-block dict of packed
+    voxel keys); `update_local` runs the chamfer field only in a window
+    around the robot and splices the fresh nodes into the persistent layer.
+    """
+
     def __init__(self, config: PlacesConfig = None):
+        import threading
+
         self.config = config or PlacesConfig()
+        # persistent occupancy: coarse block (16^3 cells) -> set of packed keys
+        self._blocks: Dict[int, set] = {}
+        self.layer = PlacesLayer()
+        # update_local may run on a detached stage (the reference runs its
+        # frontend on its own thread) while the frame loop feeds deltas
+        self._lock = threading.RLock()
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_lock")
+        return state
+
+    def __setstate__(self, state):
+        import threading
+
+        self.__dict__.update(state)
+        self._lock = threading.RLock()
+
+    def snapshot_layer(self) -> PlacesLayer:
+        import copy
+
+        with self._lock:
+            return copy.deepcopy(self.layer)
+
+    # -- occupancy store ------------------------------------------------
+    _BLOCK = 16  # cells per block side
+
+    def _scatter(self, vertices: np.ndarray) -> None:
+        if len(vertices) == 0:
+            return
+        cells = np.unique(
+            _pack_cells(np.floor(vertices / self.config.voxel_size).astype(np.int64))
+        )
+        blocks = _pack_cells(_unpack_cells(cells) // self._BLOCK)
+        order = np.argsort(blocks)
+        blocks, cells = blocks[order], cells[order]
+        starts = np.searchsorted(blocks, np.unique(blocks))
+        for s, e in zip(starts, np.r_[starts[1:], len(blocks)]):
+            self._blocks.setdefault(int(blocks[s]), set()).update(cells[s:e].tolist())
+
+    def add_mesh_delta(self, vertices: np.ndarray) -> None:
+        """Accumulate newly archived background geometry (per-output feed)."""
+        with self._lock:
+            self._scatter(np.asarray(vertices, np.float32).reshape(-1, 3))
+
+    def reset_occupancy(self, vertices: np.ndarray) -> None:
+        """Rebuild the occupancy store from a full (e.g. freshly reconciled)
+        mesh — purges geometry removed by reconciliation."""
+        with self._lock:
+            self._blocks = {}
+            self._scatter(np.asarray(vertices, np.float32).reshape(-1, 3))
+
+    def _occupied_cell_centers(self) -> np.ndarray:
+        """Centers of every occupied cell in the persistent store (room
+        segmentation input). Callers hold the lock."""
+        keys = [k for s in self._blocks.values() for k in s]
+        if not keys:
+            return np.zeros((0, 3), np.float32)
+        return (
+            (_unpack_cells(np.asarray(keys, np.int64)) + 0.5) * self.config.voxel_size
+        ).astype(np.float32)
+
+    def _window_cells(self, lo_cell: np.ndarray, dims: np.ndarray) -> np.ndarray:
+        """Occupied cell indices (relative to lo_cell) inside the window."""
+        b0 = lo_cell // self._BLOCK
+        b1 = (lo_cell + dims - 1) // self._BLOCK
+        keys: List[int] = []
+        for bx in range(int(b0[0]), int(b1[0]) + 1):
+            for by in range(int(b0[1]), int(b1[1]) + 1):
+                for bz in range(int(b0[2]), int(b1[2]) + 1):
+                    bkey = int(_pack_cells(np.array([[bx, by, bz]]))[0])
+                    s = self._blocks.get(bkey)
+                    if s:
+                        keys.extend(s)
+        if not keys:
+            return np.zeros((0, 3), np.int64)
+        idx = _unpack_cells(np.asarray(keys, np.int64)) - lo_cell
+        ok = ((idx >= 0) & (idx < dims)).all(axis=1)
+        return idx[ok]
+
+    # -- field + candidates (shared by global and windowed paths) -------
+    def _candidates(self, idx: np.ndarray, lo: np.ndarray, dims: np.ndarray):
+        """Chamfer field + compressed place candidates on a dense grid.
+        Returns (d_np, positions [N,3], dists [N])."""
+        cfg = self.config
+        vs = cfg.voxel_size
+        occ = (
+            jnp.zeros(tuple(int(x) for x in dims), jnp.bool_)
+            .at[idx[:, 0], idx[:, 1], idx[:, 2]]
+            .set(True)
+        )
+        d = chamfer_distance_field(occ, vs, cfg.chamfer_iterations)
+        maxima = _local_maxima(d)
+        d_np = np.asarray(d)
+        maxima_np = np.asarray(maxima)
+        zs = lo[2] + (np.arange(dims[2]) + 0.5) * vs
+        slab = (zs >= cfg.z_slab[0]) & (zs <= cfg.z_slab[1])
+        cand = maxima_np & (d_np >= cfg.min_distance) & (d_np <= cfg.max_distance)
+        cand &= slab[None, None, :]
+        coords = np.argwhere(cand)
+        if len(coords) == 0:
+            return d_np, np.zeros((0, 3), np.float32), np.zeros((0,), np.float32)
+        dists = d_np[cand]
+        positions = lo + (coords + 0.5) * vs
+        # compression: keep the highest-clearance candidate per coarse cell
+        keys = np.floor(positions / cfg.compression_distance).astype(np.int64)
+        best: Dict[tuple, int] = {}
+        for i, k in enumerate(map(tuple, keys)):
+            if k not in best or dists[i] > dists[best[k]]:
+                best[k] = i
+        chosen = sorted(best.values())
+        return d_np, positions[chosen].astype(np.float32), dists[chosen]
+
+    def _edges_from_field(
+        self, P: np.ndarray, pairs, d_np: np.ndarray, lo: np.ndarray, dims: np.ndarray
+    ) -> List[Tuple[int, int, float]]:
+        """Clearance-sampled edges for the given (a, b) index pairs."""
+        cfg = self.config
+        vs = cfg.voxel_size
+        out: List[Tuple[int, int, float]] = []
+        for a, b in pairs:
+            seg = P[b] - P[a]
+            length = np.linalg.norm(seg)
+            if length > cfg.edge_radius:
+                continue
+            n_samples = max(int(length / vs), 2)
+            ts = np.linspace(0, 1, n_samples)
+            pts = P[a] + ts[:, None] * seg
+            cells = np.clip(((pts - lo) / vs).astype(int), 0, np.asarray(dims) - 1)
+            clear = d_np[cells[:, 0], cells[:, 1], cells[:, 2]].min()
+            if clear >= cfg.min_edge_clearance:
+                out.append((a, b, float(clear)))
+        return out
 
     # ------------------------------------------------------------------
     def extract(self, mesh_vertices: np.ndarray) -> PlacesLayer:
-        """Build the places layer from background mesh vertices."""
+        """Build the places layer from scratch over all mesh vertices."""
         cfg = self.config
         layer = PlacesLayer()
         if len(mesh_vertices) < 10:
@@ -108,58 +327,177 @@ class PlacesExtractor:
 
         idx = ((mesh_vertices - lo) / vs).astype(int)
         ok = ((idx >= 0) & (idx < dims)).all(axis=1)
-        idx = idx[ok]
-        occ = jnp.zeros(tuple(dims), jnp.bool_).at[idx[:, 0], idx[:, 1], idx[:, 2]].set(True)
-
-        d = chamfer_distance_field(occ, vs, cfg.chamfer_iterations)
-        maxima = _local_maxima(d)
-        d_np = np.asarray(d)
-        maxima_np = np.asarray(maxima)
-
-        # z-slab + clearance band
-        zs = lo[2] + (np.arange(dims[2]) + 0.5) * vs
-        slab = (zs >= cfg.z_slab[0]) & (zs <= cfg.z_slab[1])
-        cand = maxima_np & (d_np >= cfg.min_distance) & (d_np <= cfg.max_distance)
-        cand &= slab[None, None, :]
-        coords = np.argwhere(cand)
-        if len(coords) == 0:
-            return layer
-        dists = d_np[cand]
-        positions = lo + (coords + 0.5) * vs
-
-        # compression: keep the highest-clearance candidate per coarse cell
-        keys = np.floor(positions / cfg.compression_distance).astype(np.int64)
-        best: Dict[tuple, int] = {}
-        for i, k in enumerate(map(tuple, keys)):
-            if k not in best or dists[i] > dists[best[k]]:
-                best[k] = i
-        chosen = sorted(best.values())
-        for pid, i in enumerate(chosen):
+        d_np, positions, dists = self._candidates(idx[ok], lo, dims)
+        for pid in range(len(positions)):
             layer.nodes.append(
-                PlaceNode(place_id=pid, position=positions[i].astype(np.float32), distance=float(dists[i]))
+                PlaceNode(place_id=pid, position=positions[pid], distance=float(dists[pid]))
             )
-
-        # edges: nearby places with clearance along the segment
-        P = np.stack([n.position for n in layer.nodes])
-        for a in range(len(layer.nodes)):
-            for b in range(a + 1, len(layer.nodes)):
-                seg = P[b] - P[a]
-                length = np.linalg.norm(seg)
-                if length > cfg.edge_radius:
-                    continue
-                n_samples = max(int(length / vs), 2)
-                ts = np.linspace(0, 1, n_samples)
-                pts = P[a] + ts[:, None] * seg
-                cells = np.clip(((pts - lo) / vs).astype(int), 0, dims - 1)
-                clear = d_np[cells[:, 0], cells[:, 1], cells[:, 2]].min()
-                if clear >= cfg.min_edge_clearance:
-                    layer.edges.append((a, b, float(clear)))
-
-        self._assign_rooms(layer)
+        if layer.nodes:
+            P = np.stack([n.position for n in layer.nodes])
+            pairs = [
+                (a, b) for a in range(len(P)) for b in range(a + 1, len(P))
+            ]
+            layer.edges = self._edges_from_field(P, pairs, d_np, lo, dims)
+        self._assign_rooms(layer, occupied_points=mesh_vertices[:: max(len(mesh_vertices) // 200000, 1)])
         return layer
 
     # ------------------------------------------------------------------
-    def _assign_rooms(self, layer: PlacesLayer) -> None:
+    def update_local(self, center: np.ndarray) -> PlacesLayer:
+        """Incremental update: recompute places in a window around `center`
+        from the persistent occupancy store and splice them into the
+        persistent layer (old nodes inside the inner window are replaced;
+        clearances/edges re-sampled for every pair touching the window)."""
+        cfg = self.config
+        vs = cfg.voxel_size
+        center = np.asarray(center, np.float32)
+        r = cfg.window_radius
+        lo_cell = np.floor((center - r) / vs).astype(np.int64)
+        dims = np.full(3, int(np.ceil(2 * r / vs)), np.int64)
+        dims = np.minimum(dims, 256)
+        lo = lo_cell * vs
+        hi = lo + dims * vs
+
+        with self._lock:
+            idx = self._window_cells(lo_cell, dims)
+        if len(idx) < 10:
+            return self.layer
+        d_np, new_pos, new_dist = self._candidates(idx, lo, dims)
+
+        inner_lo = lo + cfg.window_margin
+        inner_hi = hi - cfg.window_margin
+        in_inner = lambda p: bool(((p >= inner_lo) & (p <= inner_hi)).all())
+        keep_new = [i for i in range(len(new_pos)) if in_inner(new_pos[i])]
+
+        old = self.layer
+        survivors = [n for n in old.nodes if not in_inner(n.position)]
+        old_index = {id(n): i for i, n in enumerate(old.nodes)}
+        remap = {}  # old node list index -> new index
+        merged = PlacesLayer()
+        for n in survivors:
+            remap[old_index[id(n)]] = len(merged.nodes)
+            n.place_id = len(merged.nodes)
+            merged.nodes.append(n)
+        for i in keep_new:
+            merged.nodes.append(
+                PlaceNode(
+                    place_id=len(merged.nodes),
+                    position=new_pos[i],
+                    distance=float(new_dist[i]),
+                )
+            )
+        if not merged.nodes:
+            self.layer = merged
+            return merged
+
+        P = np.stack([n.position for n in merged.nodes])
+        in_window = ((P >= lo) & (P < hi)).all(axis=1)
+        # carry over old-old edges with BOTH endpoints outside the window
+        # (their geometry did not change); everything touching the window is
+        # re-sampled below
+        for a, b, c in old.edges:
+            if a in remap and b in remap:
+                na, nb = remap[a], remap[b]
+                if not (in_window[na] or in_window[nb]):
+                    merged.edges.append((min(na, nb), max(na, nb), c))
+        close = (
+            np.linalg.norm(P[:, None, :] - P[None, :, :], axis=-1)
+            <= cfg.edge_radius
+        )
+        pairs_in, pairs_cross = [], []
+        for a in range(len(P)):
+            for b in range(a + 1, len(P)):
+                if not close[a, b]:
+                    continue
+                if in_window[a] and in_window[b]:
+                    pairs_in.append((a, b))
+                elif in_window[a] or in_window[b]:
+                    pairs_cross.append((a, b))
+        merged.edges.extend(self._edges_from_field(P, pairs_in, d_np, lo, dims))
+        # cross-window pairs: sample only the in-window part of the segment;
+        # the out-of-window part is bounded by the outside node's own
+        # clearance (conservative — without this the place graph fragments
+        # into per-window islands and rooms over-split)
+        for a, b in pairs_cross:
+            seg = P[b] - P[a]
+            length = np.linalg.norm(seg)
+            n_samples = max(int(length / vs), 2)
+            ts = np.linspace(0, 1, n_samples)
+            pts = P[a] + ts[:, None] * seg
+            inside = ((pts >= lo) & (pts < hi)).all(axis=1)
+            if not inside.any():
+                continue
+            cells = np.clip(
+                ((pts[inside] - lo) / vs).astype(int), 0, np.asarray(dims) - 1
+            )
+            clear_in = float(d_np[cells[:, 0], cells[:, 1], cells[:, 2]].min())
+            out_node = merged.nodes[b if in_window[a] else a]
+            clear = min(clear_in, out_node.distance)
+            if clear >= cfg.min_edge_clearance:
+                merged.edges.append((a, b, clear))
+        with self._lock:
+            occ_pts = self._occupied_cell_centers()
+        self._assign_rooms(merged, occupied_points=occ_pts)
+        with self._lock:
+            self.layer = merged
+        return merged
+
+    # ------------------------------------------------------------------
+    def _assign_rooms(
+        self, layer: PlacesLayer, occupied_points: np.ndarray = None
+    ) -> None:
+        """Room segmentation. With geometry available: rooms are connected
+        components of free space ERODED by `room_clearance` — clutter
+        (tables, chairs) cannot split a room, a doorway narrower than
+        2*room_clearance does. Falls back to wide-edge union-find when no
+        occupancy is supplied."""
+        if occupied_points is None or len(occupied_points) < 10 or not layer.nodes:
+            self._assign_rooms_graph(layer)
+            return
+        cfg = self.config
+        vs2 = cfg.room_voxel_size
+        # exact integer cell arithmetic: float `(p - lo)/vs` truncation
+        # jitters points by one cell and fragments the field
+        cells = np.floor(
+            occupied_points.astype(np.float64) / vs2
+        ).astype(np.int64)
+        lo_cell = cells.min(axis=0) - 2
+        dims = np.minimum(cells.max(axis=0) - lo_cell + 3, 144)
+        idx = cells - lo_cell
+        ok = ((idx >= 0) & (idx < dims)).all(axis=1)
+        zs = (lo_cell[2] + np.arange(dims[2]) + 0.5) * vs2
+        zmask = (zs >= cfg.z_slab[0]) & (zs <= cfg.z_slab[1])
+        labels = np.asarray(
+            _room_blobs(
+                jnp.asarray(idx[ok]),
+                jnp.asarray(zmask),
+                tuple(int(x) for x in dims),
+                vs2,
+                cfg.room_clearance,
+            )
+        )
+        rooms: Dict[int, int] = {}
+        for n in layer.nodes:
+            c = np.clip(
+                np.floor(n.position.astype(np.float64) / vs2).astype(np.int64)
+                - lo_cell,
+                0,
+                dims - 1,
+            )
+            lbl = int(labels[c[0], c[1], c[2]])
+            if lbl <= 0:  # narrow spot: take any blob in a small neighborhood
+                r = 2
+                sl = tuple(
+                    slice(max(c[i] - r, 0), min(c[i] + r + 1, dims[i]))
+                    for i in range(3)
+                )
+                patch = labels[sl]
+                nz = patch[patch > 0]
+                lbl = int(nz[0]) if len(nz) else -(n.place_id + 1)
+            if lbl not in rooms:
+                rooms[lbl] = len(rooms)
+            n.room_id = rooms[lbl]
+
+    def _assign_rooms_graph(self, layer: PlacesLayer) -> None:
         """Union-find over wide edges; narrow passages separate rooms."""
         cfg = self.config
         parent = list(range(len(layer.nodes)))

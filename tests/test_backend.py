@@ -333,3 +333,93 @@ class TestSchurSolverOption:
         ta = np.stack([np.asarray(a.graph.node_t[i]) for i in a.agent_keys])
         tb = np.stack([np.asarray(b.graph.node_t[i]) for i in b.agent_keys])
         np.testing.assert_allclose(ta, tb, atol=5e-2)
+
+
+class TestSceneGraphLCD:
+    """Scene-graph object-descriptor LCD (hydra LCD object layer analog)."""
+
+    def _objects(self, positions, labels, detected_s, start_id=1):
+        from khronos_tpu.stm.scene_graph import KhronosObject
+
+        out = []
+        for i, (p, l) in enumerate(zip(positions, labels)):
+            p = np.asarray(p, np.float32)
+            ns = int(detected_s * 1e9)
+            out.append(
+                KhronosObject(
+                    node_id=start_id + i, semantic_category=int(l),
+                    bbox_min=p - 0.2, bbox_max=p + 0.2,
+                    first_observed_ns=[ns], last_observed_ns=[ns + int(1e9)],
+                    mesh_vertices=np.zeros((0, 3), np.float32),
+                    mesh_faces=np.zeros((0, 3), np.int32),
+                    mesh_colors=np.zeros((0, 3), np.float32),
+                )
+            )
+        return out
+
+    def test_revisit_with_drift_recovers_true_relative_pose(self):
+        from khronos_tpu.backend.loop_closure import SceneGraphLoopClosureConfig
+
+        det = SceneGraphLoopClosureConfig().create()
+        P = [[2.0, 1.0, 0.5], [3.5, -1.0, 0.4], [5.0, 0.5, 0.6], [2.5, -2.0, 0.5]]
+        L = [2, 3, 4, 5]
+        old = self._objects(P, L, detected_s=1.0, start_id=1)
+        # visit 1: keyframe at origin, accurate odometry
+        assert det.add_keyframe(10, int(1e9), np.eye(3, dtype=np.float32),
+                                np.zeros(3, np.float32), old) == []
+        # visit 2 at the SAME true pose, but odometry has drifted by
+        # (Rd, td); re-extracted duplicates land at drifted world positions
+        ang = 0.12
+        Rd = np.array([[np.cos(ang), -np.sin(ang), 0],
+                       [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        td = np.array([0.6, -0.4, 0.05], np.float32)
+        dup = self._objects([(Rd @ np.asarray(p) + td) for p in P], L,
+                            detected_s=20.0, start_id=100)
+        lcs = det.add_keyframe(50, int(21e9), Rd, td, old + dup)
+        assert len(lcs) == 1
+        lc = lcs[0]
+        assert lc.from_key == 50 and lc.to_key == 10
+        # true relative pose between the two keyframes is identity
+        np.testing.assert_allclose(lc.R, np.eye(3), atol=1e-3)
+        np.testing.assert_allclose(lc.t, np.zeros(3), atol=5e-3)
+
+    def test_extraction_lag_fires_on_later_call(self):
+        from khronos_tpu.backend.loop_closure import SceneGraphLoopClosureConfig
+
+        det = SceneGraphLoopClosureConfig().create()
+        P = [[2.0, 1.0, 0.5], [3.5, -1.0, 0.4], [5.0, 0.5, 0.6]]
+        L = [2, 3, 4]
+        old = self._objects(P, L, detected_s=1.0, start_id=1)
+        I, z = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        assert det.add_keyframe(10, int(1e9), I, z, old) == []
+        # re-visit keyframe arrives BEFORE its objects are extracted
+        assert det.add_keyframe(50, int(21e9), I, z, old) == []
+        # two seconds later extraction catches up; the pending keyframe
+        # (key 50) still fires even though this call carries key 60
+        dup = self._objects(P, L, detected_s=22.0, start_id=100)
+        lcs = det.add_keyframe(60, int(23e9), I, z, old + dup)
+        assert len(lcs) == 1
+        assert lcs[0].from_key in (50, 60) and lcs[0].to_key == 10
+
+    def test_different_constellations_do_not_match(self):
+        from khronos_tpu.backend.loop_closure import SceneGraphLoopClosureConfig
+
+        det = SceneGraphLoopClosureConfig().create()
+        I, z = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        a = self._objects([[2, 1, 0.5], [3.5, -1, 0.4], [5, 0.5, 0.6]],
+                          [2, 3, 4], detected_s=1.0, start_id=1)
+        assert det.add_keyframe(10, int(1e9), I, z, a) == []
+        # different labels AND different geometry at the later keyframe
+        b = self._objects([[1, 0, 0.5], [1.5, 2.5, 0.4], [4, 3, 0.6]],
+                          [5, 6, 6], detected_s=20.0, start_id=100)
+        lcs = det.add_keyframe(50, int(21e9), I, z, a + b)
+        assert lcs == []
+
+    def test_backend_integration_needs_scene(self):
+        """Backend.add_output routes the object layer into the detector."""
+        from khronos_tpu.backend.backend import Backend, BackendConfig
+        from khronos_tpu.config import build
+
+        cfg = build(BackendConfig, {"lcd": {"type": "SceneGraphLoopClosure"}})
+        be = Backend(cfg)
+        assert getattr(be.lcd, "needs_scene", False)

@@ -164,3 +164,113 @@ class TestOfficePipeline:
         late = stm.get_dsg(stm.latest_ns())
         assert late.mesh.num_vertices >= early.mesh.num_vertices
         assert (early.mesh.first_seen_ns <= stm.earliest_ns()).all()
+
+    def test_places_incremental_in_snapshots(self, office_run):
+        """Per-output incremental frontend (places_mode='output', default):
+        mid-run 4D snapshots carry a places layer — not only the final one
+        (reference builds scene-graph layers per backend input,
+        uHumans2.yaml:103-150)."""
+        scene, pipe, out_dir, gt, gt_traj = office_run
+        snaps = pipe.map.snapshots
+        assert len(snaps) >= 2
+        mid = snaps[len(snaps) // 2]
+        assert mid.places is not None and len(mid.places.nodes) > 0, (
+            "mid-run snapshot has no places layer"
+        )
+        final = snaps[-1]
+        assert final.places is not None and len(final.places.nodes) > 0
+        # the office is one open room: every place lands in a room and the
+        # wide interior does not split
+        assert final.places.num_rooms >= 1
+        assert all(n.room_id >= 0 for n in final.places.nodes)
+        # clearances are physically sane (inside a ~7 m room)
+        assert all(0.2 <= n.distance <= 6.0 for n in final.places.nodes)
+
+
+class TestSceneGraphLcdPipeline:
+    @pytest.mark.slow
+    def test_drifted_run_closed_by_object_constellations(self, tmp_path):
+        """Full pipeline with NO GT oracle and no depth-descriptor LCD:
+        loop closure comes purely from scene-graph object-constellation
+        matching (hydra LCD object-layer analog, uHumans2.yaml:254-307).
+        Drifted odometry must be corrected by the fired LC."""
+        from khronos_tpu.eval.evaluators import evaluate_trajectory
+
+        duration, fps = 24.0, 3.0
+        scene = syn.office_scene(duration=duration)
+        seq = syn.SyntheticSequence(
+            scene,
+            syn.SyntheticSequenceConfig(
+                duration=duration, fps=fps, height=60, width=80,
+                fx=50.0, fy=50.0, cx=40.0, cy=30.0, n_loops=2.0,
+                drift_rate=0.06,
+            ),
+        )
+        cfg = build(
+            PipelineConfig,
+            {
+                "active_window": {
+                    "volumetric_map": {"grid_shape": [128, 128, 32], "voxel_size": 0.1},
+                    "motion_detector": {"type": "FreeSpaceMotionDetector", "min_cluster_size": 40, "grow_iterations": 12},
+                    "object_detector": {"type": "ConnectedSemantics", "min_cluster_size": 20},
+                    "tracker": {"type": "MaxIouTracker", "min_num_observations": 3},
+                    "object_extractor": {
+                        "type": "MeshObjectExtractor",
+                        "min_num_observations": 3,
+                        "max_frames": 8,
+                        "min_dynamic_displacement": 0.8,
+                    },
+                },
+                "backend": {
+                    "lcd": {
+                        "type": "SceneGraphLoopClosure",
+                        "min_time_gap": 8.0,
+                        "obs_window": 5.0,
+                        "min_objects": 3,
+                        "noise_bound": 0.4,
+                        "max_registration_rms": 0.5,
+                    }
+                },
+                "label_space": {
+                    "num_classes": 7,
+                    "object_labels": [2, 3, 4, 5, 6],
+                    "dynamic_labels": [1],
+                },
+                "run_change_detection_every_n_frames": 60,
+            },
+        )
+        pipe = KhronosPipeline(cfg, seq.camera)
+        out_dir = str(tmp_path / "run")
+        mgr = ExperimentManager(ExperimentConfig(output_dir=out_dir), pipe, cfg)
+        frames, gt_stamps, gt_pos = [], [], []
+        for i in range(seq.n_frames):
+            f = seq.render_frame(i)
+            Ro, to = seq.odometry_pose(i)  # drifted input poses
+            frames.append(
+                FrameData(
+                    stamp_ns=f["stamp_ns"], depth=f["depth"], color=f["color"],
+                    labels=f["labels"],
+                    R_w_c=np.asarray(Ro, np.float32),
+                    t_w_c=np.asarray(to, np.float32),
+                )
+            )
+            gt_stamps.append(int(f["stamp_ns"]))
+            gt_pos.append(np.asarray(f["t_gt"], np.float64))
+        mgr.run(frames, None)  # no GT anywhere
+
+        assert len(pipe.backend.loop_closures) >= 1, (
+            "scene-graph LCD never fired"
+        )
+        dsg = pipe.backend.get_dsg()
+        est = evaluate_trajectory(
+            np.asarray([a.stamp_ns for a in dsg.agents], np.int64),
+            np.stack([a.t_w_b for a in dsg.agents]),
+            np.asarray(gt_stamps, np.int64), np.stack(gt_pos),
+        )
+        odo = evaluate_trajectory(
+            np.asarray(gt_stamps, np.int64),
+            np.stack([np.asarray(f.t_w_c, np.float64) for f in frames]),
+            np.asarray(gt_stamps, np.int64), np.stack(gt_pos),
+        )
+        assert odo["ate_rmse"] > 0.01, "drift injection broken"
+        assert est["ate_rmse"] < odo["ate_rmse"], (est, odo)

@@ -90,3 +90,73 @@ class TestPlaces:
         assert len(dsg2.places.nodes) == len(layer.nodes)
         assert len(dsg2.places.edges) == len(layer.edges)
         np.testing.assert_allclose(dsg2.places.nodes[0].position, layer.nodes[0].position)
+
+
+class TestIncrementalPlaces:
+    """Per-output incremental frontend: delta occupancy + windowed splice."""
+
+    def cfg(self):
+        return PlacesConfig(
+            voxel_size=0.2, compression_distance=1.0, room_clearance=0.7,
+            min_distance=0.3, window_radius=3.2, window_margin=0.6,
+        )
+
+    def test_windowed_updates_cover_both_rooms(self):
+        verts = two_room_mesh()
+        ex = PlacesExtractor(self.cfg())
+        # visit the left room first: only left geometry observed so far
+        ex.add_mesh_delta(verts[verts[:, 0] <= 4.5])
+        layer = ex.update_local(np.array([2.0, 2.0, 1.0]))
+        assert len(layer.nodes) > 0
+        assert all(n.position[0] < 4.8 for n in layer.nodes)
+        # then the right room arrives as a later mesh delta
+        ex.add_mesh_delta(verts[verts[:, 0] > 3.5])
+        layer = ex.update_local(np.array([6.0, 2.0, 1.0]))
+        # splice keeps the left-room nodes and adds right-room ones
+        assert any(n.position[0] < 3.5 for n in layer.nodes)
+        assert any(n.position[0] > 4.5 for n in layer.nodes)
+        # the narrow doorway separates rooms
+        left = {n.room_id for n in layer.nodes if n.position[0] < 3.5}
+        right = {n.room_id for n in layer.nodes if n.position[0] > 4.5}
+        assert left and right and left.isdisjoint(right)
+
+    def test_incremental_matches_global_clearances(self):
+        """Windowed clearances agree with the global field away from borders."""
+        verts = two_room_mesh()
+        g = PlacesExtractor(self.cfg()).extract(verts)
+        ex = PlacesExtractor(self.cfg())
+        ex.add_mesh_delta(verts)
+        layer = ex.update_local(np.array([2.0, 2.0, 1.0]))
+        g_nodes = {tuple(np.round(n.position, 3)): n.distance for n in g.nodes}
+        for n in layer.nodes:
+            key = tuple(np.round(n.position, 3))
+            if key in g_nodes:
+                assert abs(n.distance - g_nodes[key]) < 0.25
+
+    def test_stale_geometry_purged_by_reset(self):
+        verts = two_room_mesh()
+        ex = PlacesExtractor(self.cfg())
+        ex.add_mesh_delta(verts)
+        ex.update_local(np.array([2.0, 2.0, 1.0]))
+        # reconciliation removed the divider wall -> reset + re-extract
+        keep = verts[np.abs(verts[:, 0] - 4.0) > 0.2]
+        ex.reset_occupancy(keep)
+        layer = ex.update_local(np.array([2.0, 2.0, 1.0]))
+        # clearance near the removed divider grows
+        near = [n for n in layer.nodes if abs(n.position[0] - 3.0) < 1.2
+                and abs(n.position[1] - 2.0) < 1.2]
+        assert near and max(n.distance for n in near) > 0.5
+
+    def test_open_space_windows_do_not_fragment_rooms(self):
+        """Sweeping windows across one open room must not split it into
+        per-window islands (cross-window edges are re-sampled)."""
+        verts = two_room_mesh(door_width=3.5)  # effectively one open space
+        ex = PlacesExtractor(self.cfg())
+        ex.add_mesh_delta(verts)
+        for cx in (1.5, 4.0, 6.5):
+            layer = ex.update_local(np.array([cx, 2.0, 1.0]))
+        assert len(layer.nodes) >= 4
+        left = {n.room_id for n in layer.nodes if n.position[0] < 3.5}
+        right = {n.room_id for n in layer.nodes if n.position[0] > 4.5}
+        # one shared room across the sweep (allow an isolated corner node)
+        assert left & right, (left, right)
