@@ -204,6 +204,22 @@ class KhronosPipeline:
             ):
                 with Timer("pipeline/places"):
                     dsg.places = self.places_extractor.extract(dsg.mesh.vertices)
+            elif (
+                self.places_extractor is not None
+                and mode == "output"
+                and had_loop_closure
+            ):
+                # LC passes rewrite/deform geometry wholesale: rebuild the
+                # places occupancy store from the reconciled scene (background
+                # + object meshes — objects are obstacles for clearance) so
+                # removed geometry stops carving free space. Deltas that
+                # arrive between the CD snapshot and this reset are lost from
+                # occupancy until re-observed — bounded to one output.
+                parts = [np.asarray(dsg.mesh.vertices).reshape(-1, 3)]
+                for o in dsg.objects.values():
+                    if not o.is_dynamic and len(o.mesh_vertices):
+                        parts.append(np.asarray(o.mesh_vertices) + o.bbox_min)
+                self.places_extractor.reset_occupancy(np.concatenate(parts))
             self.map.update(dsg, stamp_ns)
         for sink in self._change_sinks:
             sink(dsg, changes, stamp_ns)

@@ -151,3 +151,64 @@ class TestFusedOpenset:
         aw._flush_tracker_queue()
         assert not frame.semantic_clusters, "background prompts must filter all"
         assert int(np.asarray(frame.object_image).max()) == 0
+
+
+class TestOpensetPipeline:
+    @pytest.mark.slow
+    def test_full_pipeline_preserves_features_into_4dmap(self, tmp_path):
+        """Open-set full run (reference: FastSAM+CLIP instances through the
+        whole stack, sam_clip.yaml): instances + embeddings -> external
+        tracking -> objects -> backend -> CD snapshots. Features must
+        survive into the saved 4D map."""
+        from khronos_tpu.pipeline.pipeline import (
+            ExperimentConfig,
+            ExperimentManager,
+            KhronosPipeline,
+            PipelineConfig,
+        )
+        from khronos_tpu.stm.spatio_temporal_map import SpatioTemporalMap
+
+        seq = make_seq()
+        cfg = build(PipelineConfig, {
+            "active_window": {
+                "volumetric_map": {"grid_shape": [128, 128, 32], "voxel_size": 0.1},
+                "motion_detector": None,
+                "object_detector": {"type": "InstanceForwarding", "min_cluster_size": 40},
+                "tracker": {"type": "ExternalTracker", "min_num_observations": 3},
+                "object_extractor": {"type": "MeshObjectExtractor",
+                                     "min_num_observations": 3, "max_frames": 8},
+            },
+            "backend": {"lcd": {"type": "GtLoopClosure", "min_time_gap": 6.0,
+                                "max_distance": 1.0}},
+            "label_space": {"num_classes": 7, "object_labels": [2, 3, 4, 5, 6]},
+            "run_change_detection_every_n_frames": 24,
+        })
+        pipe = KhronosPipeline(cfg, seq.camera)
+        out_dir = str(tmp_path / "openset_run")
+        mgr = ExperimentManager(ExperimentConfig(output_dir=out_dir), pipe, cfg)
+        frames, gts = [], []
+        for i in range(seq.n_frames):
+            f = seq.render_frame(i)
+            frames.append(to_frame(f))
+            gts.append((f["R_gt"], f["t_gt"]))
+        mgr.run(frames, gts)
+
+        from khronos_tpu.utils.logging import ExperimentLogger
+
+        assert ExperimentLogger.has_flag(out_dir, "Experiment Finished Cleanly")
+        assert pipe.map.num_snapshots >= 1
+        final = pipe.map.get_dsg(pipe.map.latest_ns())
+        objs = [o for o in final.objects.values() if not o.is_dynamic]
+        assert objs, "no open-set objects in the 4D map"
+        feats = [o for o in objs if o.feature is not None]
+        assert feats, "objects lost their embeddings through backend/CD"
+        lib = seq.instance_features()
+        f0 = feats[0].feature / np.linalg.norm(feats[0].feature)
+        assert (lib @ f0).max() > 0.99
+        # round-trip through the saved .4dmap
+        import os
+
+        stm = SpatioTemporalMap.load(os.path.join(out_dir, "final.4dmap.npz"))
+        final2 = stm.get_dsg(stm.latest_ns())
+        feats2 = [o for o in final2.objects.values() if o.feature is not None]
+        assert feats2, "features lost in .4dmap serialization"
