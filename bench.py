@@ -41,8 +41,9 @@ def main():
                     help="(default) include backend + change detection cadence")
     ap.add_argument("--det-stride", type=int, default=2,
                     help="detection stride (integration stays full-res)")
-    ap.add_argument("--repeats", type=int, default=2,
-                    help="timed repetitions (fresh engine each); best reported")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timed repetitions (fresh engine each); best reported"
+                    " (the dev tunnel varies ~10% run to run)")
     args = ap.parse_args()
     args.full_pipeline = not args.aw_only
 
