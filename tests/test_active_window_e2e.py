@@ -120,3 +120,99 @@ class TestOfficeDynamics:
             & (mid[:, 2] > 0.3) & (mid[:, 2] < 1.6)
         )
         assert in_mid.sum() < 0.02 * len(mid), f"{in_mid.sum()} ghost vertices mid-room"
+
+
+class TestPullTimingRobustness:
+    """The host-pull bus polls async device->host transfers with is_ready();
+    WHEN a transfer lands must not change WHAT the engine produces. Round-2
+    regression: frames of finished-but-unextracted tracks were trimmed when
+    pulls landed late, silently degrading object reconstruction. This test
+    delays pull delivery artificially and asserts the final mesh and objects
+    are identical to the undelayed run."""
+
+    def _run(self, delay: bool):
+        import khronos_tpu.data.synthetic as syn_mod
+
+        scene = syn_mod.office_scene(duration=16.0)
+        seq = syn_mod.SyntheticSequence(
+            scene,
+            syn_mod.SyntheticSequenceConfig(
+                duration=16.0, fps=4.0, height=96, width=128,
+                fx=80.0, fy=80.0, cx=64.0, cy=48.0,
+            ),
+        )
+        cfg = build(ActiveWindowConfig, {
+            "volumetric_map": {"grid_shape": [128, 128, 32], "voxel_size": 0.1},
+            "motion_detector": {"type": "FreeSpaceMotionDetector",
+                                "min_cluster_size": 60, "grow_iterations": 12},
+            "object_detector": {"type": "ConnectedSemantics", "min_cluster_size": 30},
+            "tracker": {"type": "MaxIouTracker", "min_num_observations": 2},
+            "object_extractor": {"type": "MeshObjectExtractor",
+                                 "min_num_observations": 2, "max_frames": 8,
+                                 "min_dynamic_displacement": 0.4},
+        })
+        aw = ActiveWindow(cfg, seq.camera, syn_mod.default_label_space())
+        if delay:
+            # deliver buses/pulls only every 3rd non-blocking poll — emulates
+            # slow transfer landings (e.g. a congested PCIe/tunnel link)
+            orig_poll = aw._poll_bus
+            orig_adv = aw._advance_mesh_pulls
+            n = {"p": 0, "a": 0}
+
+            def delayed_poll(block=False):
+                n["p"] += 1
+                if not block and n["p"] % 3:
+                    return
+                orig_poll(block=block)
+
+            def delayed_adv():
+                n["a"] += 1
+                if n["a"] % 3:
+                    return
+                orig_adv()
+
+            aw._poll_bus = delayed_poll
+            aw._advance_mesh_pulls = delayed_adv
+        acc = MeshAccumulator(resolution=0.02)
+        objects = []
+        last = None
+        for i in range(seq.n_frames):
+            f = seq.render_frame(i)
+            frame = FrameData(
+                stamp_ns=f["stamp_ns"], depth=f["depth"], color=f["color"],
+                labels=f["labels"], R_w_c=f["R_w_c"], t_w_c=f["t_w_c"],
+            )
+            out = aw.spin_once(frame)
+            last = frame
+            if out is not None:
+                acc.add_triangles(out.mesh_vertices, out.mesh_colors,
+                                  out.mesh_first_ns, out.mesh_last_ns, out.mesh_labels)
+                objects.extend(out.objects)
+        out = aw.finish_mapping(last)
+        acc.add_triangles(out.mesh_vertices, out.mesh_colors,
+                          out.mesh_first_ns, out.mesh_last_ns, out.mesh_labels)
+        objects.extend(out.objects)
+        return acc.build(), objects
+
+    @pytest.mark.slow
+    def test_delayed_pulls_same_result(self):
+        mesh_a, objs_a = self._run(delay=False)
+        mesh_b, objs_b = self._run(delay=True)
+        # mesh: identical triangle soup (delta order may differ -> compare
+        # as sorted vertex multisets)
+        assert mesh_a.num_vertices == mesh_b.num_vertices, (
+            mesh_a.num_vertices, mesh_b.num_vertices)
+        va = np.sort(np.round(mesh_a.vertices, 4).view(
+            [("x", "f4"), ("y", "f4"), ("z", "f4")]), axis=0)
+        vb = np.sort(np.round(mesh_b.vertices, 4).view(
+            [("x", "f4"), ("y", "f4"), ("z", "f4")]), axis=0)
+        assert (va == vb).all()
+        # objects: same set (by category + rounded centroid), same
+        # reconstruction sizes
+        def key(o):
+            c = np.round(o.position(), 2)
+            return (o.semantic_category, o.is_dynamic, c[0], c[1], c[2],
+                    len(o.mesh_vertices))
+        ka = sorted(key(o) for o in objs_a)
+        kb = sorted(key(o) for o in objs_b)
+        assert ka == kb, (ka, kb)
