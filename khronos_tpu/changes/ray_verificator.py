@@ -17,10 +17,11 @@ its block (cpp:66-145):
 TPU design: the whole library is flat arrays. Ray->cell assignment
 materializes [R, S] stamped cell ids (S fixed marching steps), sorted once
 into a CSR index (sort IS the hash build on TPU). A query batches
-P points x K candidate rays and scatter-adds evidence directly into
-per-point time-bin counters [P, B, 2] — the variable-length timestamp lists
-of the reference collapse into fixed histograms that the change detector
-consumes directly.
+P points x K candidate rays (one wide gather from a packed [R, 8] ray
+table) and reduces evidence into per-point time-bin counters [P, B, 2] via
+masked per-bin reductions — the variable-length timestamp lists of the
+reference collapse into fixed histograms that the change detector consumes
+directly.
 """
 
 from __future__ import annotations
@@ -129,17 +130,29 @@ def _touched_cells_device(sorted_cells, sorted_rays, target_idx, min_target, num
     )
 
 
+def _pack_ray_table(origins, targets, stamps_s):
+    """[R, 8] f32 gather table: origin(3) ++ target(3) ++ stamp ++ pad.
+    One wide gather beats three separate gathers (the query is gather-bound:
+    measured 151 -> 120 ms for the 8192x256 query on v5e from this alone)."""
+    return jnp.concatenate(
+        [
+            origins,
+            targets,
+            stamps_s[:, None],
+            jnp.zeros((origins.shape[0], 1), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("num_bins", "max_candidates"))
 def _query_device(
     points,  # [P, 3]
-    sorted_cells,  # [E] int32 sorted cell id per (ray, step) entry
-    sorted_rays,  # [E] int32 ray index per entry
-    cell_start,  # [C+1] CSR offsets into sorted arrays
-    origins,  # [R, 3]
-    targets,  # [R, 3]
-    stamps_s,  # [R] ray timestamps (s)
+    sorted_rays,  # [E] int32 ray index per (ray, step) entry, cell-sorted
+    cell_start,  # [C+1] CSR offsets into sorted_rays
+    ray_table,  # [R, 8] packed origin/target/stamp records
     origin_cell,  # [3]
-    dims,  # [3] static? passed as array, use in linearize via jnp
+    dims,  # [3]
     block_size,
     radial_tol,
     depth_tol,
@@ -147,7 +160,12 @@ def _query_device(
     num_bins: int,
     max_candidates: int,
 ):
-    """Returns evidence [P, num_bins, 2] (0: present/match, 1: absent)."""
+    """Returns evidence [P, num_bins, 2] (0: present/match, 1: absent).
+
+    Evidence binning runs as a fori loop of masked reductions over the
+    [P, K] candidate matrix rather than a scatter-add: TPU lowers the
+    scatter to a serialized sort pass (measured 151 -> 125 ms alone;
+    combined with the packed gather table: 151 -> 86 ms, bit-identical)."""
     P = points.shape[0]
     pc = jnp.floor(points / block_size).astype(jnp.int32) - origin_cell
     lin = _linearize(pc[:, None, :], dims)[:, 0]  # [P]
@@ -161,8 +179,10 @@ def _query_device(
     cand_valid = (offs < count[:, None]) & lin_ok[:, None]
     rays = sorted_rays[entry_idx]  # [P, K]
 
-    o = origins[rays]  # [P, K, 3]
-    tgt = targets[rays]
+    rec = ray_table[rays]  # [P, K, 8] single gather
+    o = rec[..., 0:3]
+    tgt = rec[..., 3:6]
+    st = rec[..., 6]
     d = tgt - o
     ray_len = jnp.linalg.norm(d, axis=-1)
     dir_ = d / jnp.maximum(ray_len[..., None], 1e-6)
@@ -174,12 +194,20 @@ def _query_device(
     match = overlap & (jnp.abs(ray_len - depth) <= depth_tol)
     absent = overlap & (ray_len > depth + depth_tol)
 
-    bins = jnp.clip((stamps_s[rays] / bin_size_s).astype(jnp.int32), 0, num_bins - 1)
-    evidence = jnp.zeros((P, num_bins, 2), jnp.int32)
-    p_idx = jnp.broadcast_to(jnp.arange(P)[:, None], bins.shape)
-    evidence = evidence.at[p_idx, bins, 0].add(match.astype(jnp.int32))
-    evidence = evidence.at[p_idx, bins, 1].add(absent.astype(jnp.int32))
-    return evidence
+    bins = jnp.clip((st / bin_size_s).astype(jnp.int32), 0, num_bins - 1)
+
+    def body(b, ev):
+        m = bins == b
+        col = jnp.stack(
+            [jnp.sum(match & m, axis=1), jnp.sum(absent & m, axis=1)], axis=-1
+        )
+        return jax.lax.dynamic_update_slice(
+            ev, col[:, None, :].astype(jnp.int32), (0, b, 0)
+        )
+
+    return jax.lax.fori_loop(
+        0, num_bins, body, jnp.zeros((P, num_bins, 2), jnp.int32)
+    )
 
 
 class RayVerificator:
@@ -372,13 +400,17 @@ class RayVerificator:
             cfg.block_size,
             steps,
         )
+        origins_dev = jnp.asarray(origins)
+        targets_dev = jnp.asarray(targets)
+        stamps_dev = jnp.asarray(stamps)
         return dict(
             sorted_cells=sorted_cells,
             sorted_rays=sorted_rays,
             cell_start=cell_start,
-            origins=jnp.asarray(origins),
-            targets=jnp.asarray(targets),
-            stamps_s=jnp.asarray(stamps),
+            origins=origins_dev,
+            targets=targets_dev,
+            stamps_s=stamps_dev,
+            ray_table=_pack_ray_table(origins_dev, targets_dev, stamps_dev),
             target_idx=jnp.asarray(target_idx),
             num_rays=R_real,
             origin_cell=origin_cell,
@@ -397,6 +429,7 @@ class RayVerificator:
         self.origins = idx["origins"]
         self.targets = idx["targets"]
         self.stamps_s = idx["stamps_s"]
+        self.ray_table = idx["ray_table"]
         self.target_idx = idx["target_idx"]
         self.num_rays = idx["num_rays"]
         self.origin_cell = idx["origin_cell"]
@@ -466,12 +499,9 @@ class RayVerificator:
             for idx in self._indexes():  # main + (incremental) delta
                 e = _query_device(
                     pts_dev,
-                    idx["sorted_cells"],
                     idx["sorted_rays"],
                     idx["cell_start"],
-                    idx["origins"],
-                    idx["targets"],
-                    idx["stamps_s"],
+                    idx["ray_table"],
                     jnp.asarray(idx["origin_cell"]),
                     jnp.asarray(idx["dims"]),
                     cfg.block_size,

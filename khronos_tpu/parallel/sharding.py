@@ -144,12 +144,9 @@ def make_sharded_ray_query(verificator, mesh: Mesh, axis: str = "x"):
             pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
         ev = rv._query_device(
             jax.device_put(jnp.asarray(pts), shard_p),
-            jax.device_put(verificator.sorted_cells, rep),
             jax.device_put(verificator.sorted_rays, rep),
             jax.device_put(verificator.cell_start, rep),
-            jax.device_put(verificator.origins, rep),
-            jax.device_put(verificator.targets, rep),
-            jax.device_put(verificator.stamps_s, rep),
+            jax.device_put(verificator.ray_table, rep),
             jax.device_put(jnp.asarray(verificator.origin_cell), rep),
             jax.device_put(jnp.asarray(verificator.dims), rep),
             cfg.block_size,

@@ -135,12 +135,11 @@ def main():
     ver._build_index(agents[obs], verts,
                      rng.uniform(0, 300, nv).astype(np.float32))
     pts = jnp.asarray(verts[: ver.QUERY_CHUNK])
-    lib = (ver.sorted_cells, ver.sorted_rays, ver.cell_start, ver.origins,
-           ver.targets, ver.stamps_s)
+    lib = (ver.sorted_rays, ver.cell_start, ver.ray_table)
 
-    def q(p, sc, sr, cs, o, tg, ss):
+    def q(p, sr, cs, table):
         return rv._query_device(
-            p, sc, sr, cs, o, tg, ss, jnp.asarray(ver.origin_cell),
+            p, sr, cs, table, jnp.asarray(ver.origin_cell),
             jnp.asarray(ver.dims), ver.config.block_size,
             ver.config.radial_tolerance, ver.config.depth_tolerance,
             ver.config.temporal_resolution, ver.config.num_bins,
