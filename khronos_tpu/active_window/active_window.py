@@ -161,6 +161,12 @@ class ActiveWindow:
         self.object_extractor = config.object_extractor.create(camera)
         self.frame_buffer = FrameDataBuffer(config.frame_data_buffer)
         self._last_output_s: float = -np.inf
+        # time base: device programs consume float32 seconds, so all device
+        # time is RELATIVE to the first frame's stamp (or a pipeline-provided
+        # t0). Epoch-scale bag stamps (~1.7e9 s) would otherwise quantize to
+        # ~128 s in float32, breaking ever-free timing and mesh stamps. Host
+        # int64 ns stamps stay absolute; emitted mesh stamps re-add t0.
+        self._t0_ns: Optional[int] = None
         self._pending_mesh: List[dict] = []
         self._pending_mesh_dev: List = []  # in-flight device emission buffers
         self._pending_tracks = []
@@ -263,10 +269,19 @@ class ActiveWindow:
         self._build_fused_step()
 
     # ------------------------------------------------------------------
+    def set_time_base(self, t0_ns: int) -> None:
+        """Fix the device time origin (called once by the pipeline so every
+        stage shares one t0). Must precede the first spin_once."""
+        if self._t0_ns is not None and self._t0_ns != t0_ns:
+            raise ValueError("time base already set from a processed frame")
+        self._t0_ns = int(t0_ns)
+
     def spin_once(self, frame: FrameData) -> Optional[ActiveWindowOutput]:
         cfg = self.config
         vol_cfg = cfg.volumetric_map
-        t_now = frame.stamp_ns * 1e-9
+        if self._t0_ns is None:
+            self._t0_ns = frame.stamp_ns
+        t_now = (frame.stamp_ns - self._t0_ns) * 1e-9
         cam_pos = np.asarray(frame.t_w_c)
 
         with Timer("active_window/all", frame.stamp_ns):
@@ -660,12 +675,13 @@ class ActiveWindow:
 
     def _append_mesh_delta(self, tris) -> None:
         if len(tris["vertices"]):
+            t0 = self._t0_ns or 0  # voxel obs times are t0-relative seconds
             self._pending_mesh.append(
                 dict(
                     mesh_vertices=tris["vertices"],
                     mesh_colors=tris["colors"],
-                    mesh_first_ns=(tris["first_obs"] * 1e9).astype(np.int64),
-                    mesh_last_ns=(tris["last_obs"] * 1e9).astype(np.int64),
+                    mesh_first_ns=(tris["first_obs"].astype(np.float64) * 1e9).astype(np.int64) + t0,
+                    mesh_last_ns=(tris["last_obs"].astype(np.float64) * 1e9).astype(np.int64) + t0,
                     mesh_labels=tris["labels"],
                 )
             )

@@ -90,17 +90,29 @@ class RayChangeDetector:
         self.config = config
         self.bin_size_s = bin_size_s
 
-    def scan(self, evidence: np.ndarray, t_min_s: float = 0.0, t_max_s: float = np.inf):
+    def scan(
+        self,
+        evidence: np.ndarray,
+        t_min_s: float = 0.0,
+        t_max_s: float = np.inf,
+        origin_s: float = 0.0,
+    ):
         """evidence [P, B, 2] -> dict of per-point bin indices and times (s).
 
         Semantics per point (reference cpp:66-133):
           first/last_absent: window starts where absence dominates
           first/last_persistent: windows with sufficient presence
         Times are window-start bin centers; -1/NaN where no evidence.
+
+        `origin_s` is the absolute time of bin 0 (the verificator's
+        bin_origin_s): t_min/t_max are absolute, returned *_s times too.
+        Evidence binned over the library's own range keeps float32 away from
+        epoch-scale values (reference bins over the evidence range,
+        ray_change_detector.cpp:66-133).
         """
         cfg = self.config
         P, B, _ = evidence.shape
-        bin_t = (np.arange(B) + 0.5) * self.bin_size_s
+        bin_t = origin_s + (np.arange(B) + 0.5) * self.bin_size_s
         valid = (bin_t >= t_min_s) & (bin_t <= t_max_s)
         fa, la, fp, lp = _scan_device(
             jnp.asarray(evidence),
@@ -114,7 +126,7 @@ class RayChangeDetector:
         fa, la, fp, lp = (np.asarray(x) for x in (fa, la, fp, lp))
 
         def to_time(idx):
-            t = (idx + 0.5) * self.bin_size_s
+            t = origin_s + (idx + 0.5) * self.bin_size_s
             return np.where(idx >= 0, t, np.nan)
 
         return {

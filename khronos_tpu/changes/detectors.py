@@ -72,6 +72,14 @@ class SequentialChangeDetector:
         # computed under (epoch change => vertex positions moved => full pass)
         self._bg_states: Optional[np.ndarray] = None
         self._bg_epoch = None
+        # incremental-object cache (reference updateDsg re-observed-object
+        # reporting, ray_verificator.cpp:163-182): per object, the
+        # observation envelope it was last scanned with, plus the vertex
+        # count and epoch of the previous pass. An object re-runs detection
+        # only if new rays touched its hash cells or its envelope changed.
+        self._obj_known: Dict[int, tuple] = {}
+        self._obj_prev_V: Optional[int] = None
+        self._obj_epoch = None
 
     # ------------------------------------------------------------------
     def detect_changes(self, dsg, had_loop_closure: bool = True, merges=None) -> Changes:
@@ -87,21 +95,37 @@ class SequentialChangeDetector:
                 # over new-vertex rays); full recomputeHash on LC/epoch
                 # change (ray_verificator.cpp:163-182, 316-325)
                 self.verificator.update(dsg, had_loop_closure)
+            epoch = getattr(dsg, "opt_epoch", None)
             if self.config.detect_object_changes:
                 with Timer("change_detection/objects"):
                     self._adopt_merges(merges)
-                    self._detect_object_changes(dsg)
+                    full_obj = (
+                        had_loop_closure
+                        or self._obj_prev_V is None
+                        or epoch is None
+                        or epoch != self._obj_epoch
+                        or dsg.mesh.num_vertices < self._obj_prev_V
+                    )
+                    self._detect_object_changes(dsg, full=full_obj)
+                    self._obj_epoch = epoch
             if self.config.detect_background_changes:
                 with Timer("change_detection/background"):
                     self._detect_background_changes(dsg, had_loop_closure)
+            self._obj_prev_V = dsg.mesh.num_vertices
         return self.changes
 
     # ------------------------------------------------------------------
     def _adopt_merges(self, merges) -> None:
         """Adopt validated merges: record merged_id on the absorbed object's
         change record; detection then skips it (the surviving object carries
-        the evidence) — reference ray_object_change_detector.cpp:104-115."""
+        the evidence) — reference ray_object_change_detector.cpp:104-115.
+        The survivor also inherits the absorbed twins' observation intervals
+        (`_merge_sources`): its pre/post scan windows must exclude any time
+        the merged-set was observed, else rays cast through the twin's
+        occupied space read as absence and hallucinate a change (reference
+        merge-record union semantics, reconciler.cpp:250-318)."""
         self._merged_away = set()
+        self._merge_sources: Dict[int, List[int]] = {}
         for m in merges or ():
             if not getattr(m, "is_valid", True):
                 continue
@@ -109,48 +133,95 @@ class SequentialChangeDetector:
             oc.merged_id = m.into_id
             self.changes.object_changes[m.from_id] = oc
             self._merged_away.add(m.from_id)
+            self._merge_sources.setdefault(m.into_id, []).append(m.from_id)
 
-    def _detect_object_changes(self, dsg) -> None:
+    def _object_points(self, o, cfg) -> np.ndarray:
+        """Subsampled world-frame query points for one object."""
+        verts = o.world_mesh_vertices()
+        if len(verts) == 0:
+            # fall back to bbox corners + center
+            mn, mx = o.bbox_min, o.bbox_max
+            verts = np.stack(
+                [mn, mx, [mn[0], mn[1], mx[2]], [mn[0], mx[1], mn[2]],
+                 [mx[0], mn[1], mn[2]], 0.5 * (mn + mx)]
+            ).astype(np.float32)
+        if len(verts) > cfg.vertex_subsample:
+            sel = np.linspace(0, len(verts) - 1, cfg.vertex_subsample).astype(int)
+            verts = verts[sel]
+        return np.asarray(verts, np.float32)
+
+    def _detect_object_changes(self, dsg, full: bool = True) -> None:
         cfg = self.config.objects
         merged_away = getattr(self, "_merged_away", set())
+        merge_sources = getattr(self, "_merge_sources", {})
         objs = [
             o for o in dsg.objects.values()
             if not o.is_dynamic and o.node_id not in merged_away
         ]
         if not objs:
             return
-        pts_all: List[np.ndarray] = []
-        seg: List[int] = []
-        for k, o in enumerate(objs):
-            verts = o.world_mesh_vertices()
-            if len(verts) == 0:
-                # fall back to bbox corners + center
-                mn, mx = o.bbox_min, o.bbox_max
-                verts = np.stack(
-                    [mn, mx, [mn[0], mn[1], mx[2]], [mn[0], mx[1], mn[2]],
-                     [mx[0], mn[1], mn[2]], 0.5 * (mn + mx)]
-                ).astype(np.float32)
-            if len(verts) > cfg.vertex_subsample:
-                sel = np.linspace(0, len(verts) - 1, cfg.vertex_subsample).astype(int)
-                verts = verts[sel]
-            pts_all.append(verts)
-            seg.extend([k] * len(verts))
+        # observation envelope over each object AND its absorbed twins:
+        # the merged set is one physical object, so scan windows start
+        # before the EARLIEST first-seen / after the LATEST last-seen
+        env: Dict[int, tuple] = {}
+        for o in objs:
+            first_ns = o.first_observed_ns[0]
+            last_ns = o.last_observed_ns[-1]
+            for sid in merge_sources.get(o.node_id, ()):
+                s = dsg.objects.get(sid)
+                if s is not None:
+                    first_ns = min(first_ns, s.first_observed_ns[0])
+                    last_ns = max(last_ns, s.last_observed_ns[-1])
+            env[o.node_id] = (first_ns, last_ns)
+
+        obj_pts = {o.node_id: self._object_points(o, cfg) for o in objs}
+
+        # incremental re-detection (reference ray_verificator.cpp:163-182):
+        # between loop closures / optimizations only objects whose hash
+        # cells were touched by rays targeting NEW vertices — or whose
+        # envelope changed — can gain evidence; everything else keeps its
+        # previous ObjectChange record.
+        if full or self._obj_prev_V is None:
+            scan = objs
+        else:
+            touched = self.verificator.touched_cells_for_new_targets(self._obj_prev_V)
+            scan = []
+            for o in objs:
+                if self._obj_known.get(o.node_id) != env[o.node_id]:
+                    scan.append(o)
+                    continue
+                cells = self.verificator.point_cells(obj_pts[o.node_id])
+                ok = cells >= 0
+                if len(touched) and ok.any() and touched[cells[ok]].any():
+                    scan.append(o)
+        if not scan:
+            return
+
+        pts_all = [obj_pts[o.node_id] for o in scan]
+        seg = np.concatenate(
+            [np.full(len(p), k) for k, p in enumerate(pts_all)]
+        )
         points = np.concatenate(pts_all).astype(np.float32)
-        seg = np.asarray(seg)
         ev = self.verificator.query(points)  # [P, B, 2]
         B = ev.shape[1]
         # per-object evidence: sum over its vertices
-        obj_ev = np.zeros((len(objs), B, 2), np.int64)
+        obj_ev = np.zeros((len(scan), B, 2), np.int64)
         np.add.at(obj_ev, seg, ev)
 
         bin_s = self.detector.bin_size_s
-        for k, o in enumerate(objs):
-            first_seen_s = o.first_observed_ns[0] * 1e-9
-            last_seen_s = o.last_observed_ns[-1] * 1e-9
+        origin = self.verificator.bin_origin_s
+        for k, o in enumerate(scan):
+            first_ns, last_ns = env[o.node_id]
+            self._obj_known[o.node_id] = env[o.node_id]
+            first_seen_s = first_ns * 1e-9
+            last_seen_s = last_ns * 1e-9
             oc = self.changes.object_changes.get(o.node_id) or ObjectChange(o.node_id)
             # BEFORE window: evidence strictly before first seen
             pre = self.detector.scan(
-                obj_ev[k : k + 1], 0.0, max(first_seen_s - cfg.time_filtering_threshold, 0.0)
+                obj_ev[k : k + 1],
+                -np.inf,
+                first_seen_s - cfg.time_filtering_threshold,
+                origin_s=origin,
             )
             # scanning backward from first_seen: the latest absent window
             if not np.isnan(pre["last_absent_s"][0]):
@@ -159,7 +230,10 @@ class SequentialChangeDetector:
                 oc.first_persistent_ns = int(pre["first_persistent_s"][0] * 1e9)
             # AFTER window: evidence after last seen
             post = self.detector.scan(
-                obj_ev[k : k + 1], last_seen_s + cfg.time_filtering_threshold, np.inf
+                obj_ev[k : k + 1],
+                last_seen_s + cfg.time_filtering_threshold,
+                np.inf,
+                origin_s=origin,
             )
             if not np.isnan(post["first_absent_s"][0]):
                 oc.last_absent_ns = int(post["first_absent_s"][0] * 1e9)
@@ -208,13 +282,14 @@ class SequentialChangeDetector:
             ev = self.verificator.query(mesh.vertices[sel])  # [S, B, 2]
         B = ev.shape[1]
         bin_s = self.detector.bin_size_s
+        origin = self.verificator.bin_origin_s
         last_seen_s = mesh.last_seen_ns[sel].astype(np.float64) * 1e-9
         # consider only bins after each vertex's last_seen (+ slack):
-        bin_t = (np.arange(B) + 0.5) * bin_s
+        bin_t = origin + (np.arange(B) + 0.5) * bin_s
         after = bin_t[None, :] > (last_seen_s[:, None] + cfg.time_filtering_threshold)
         ev_after = ev * after[..., None]
         with Timer("change_detection/background_scan"):
-            res = self.detector.scan(ev_after)
+            res = self.detector.scan(ev_after, origin_s=origin)
         sel_states = np.full(len(sel), UNOBSERVED, np.int8)
         has_absent = res["first_absent_bin"] >= 0
         has_persist = res["first_persistent_bin"] >= 0

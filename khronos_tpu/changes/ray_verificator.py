@@ -52,6 +52,11 @@ class RayVerificatorConfig:
     max_steps: int = 24
     max_candidates: int = 256  # rays considered per query point
     temporal_resolution: float = 5.0  # s per evidence bin (change detector)
+    # MINIMUM evidence bins. The active bin count is derived from the
+    # library's actual stamp span (reference discretizes over the evidence's
+    # own range, ray_change_detector.cpp:66-133) so long sequences keep
+    # per-bin resolution = temporal_resolution instead of clipping into the
+    # last bin of a fixed [0, num_bins * temporal_resolution] horizon.
     num_bins: int = 64
 
     def check(self):
@@ -219,6 +224,25 @@ class RayVerificator:
         self._delta = None  # incremental index over new-vertex rays
         self._epoch = None
         self._V_covered = 0
+        # time base: stamps are stored float32 RELATIVE to the library's
+        # first agent stamp (set at full build). Epoch-scale stamps
+        # (~1.7e9 s) would otherwise quantize to ~128 s in float32.
+        self._t0_s: float = 0.0
+        self._max_rel_s: float = 0.0
+
+    @property
+    def bin_origin_s(self) -> float:
+        """Absolute time (s) of evidence bin 0 (the library time base)."""
+        return self._t0_s
+
+    @property
+    def active_num_bins(self) -> int:
+        """Bin count covering the library's actual stamp span at
+        `temporal_resolution` (bucketed to multiples of 32 so the query and
+        scan programs re-hit the compile cache as the sequence grows)."""
+        cfg = self.config
+        need = int(np.ceil(self._max_rel_s / cfg.temporal_resolution)) + 2
+        return max(cfg.num_bins, ((need + 31) // 32) * 32)
 
     # ------------------------------------------------------------------
     def _generate_rays(self, dsg, v_lo: int = 0):
@@ -272,7 +296,9 @@ class RayVerificator:
             ray_stamp.append(agent_stamps[ob])
         origins = np.concatenate(ray_src).astype(np.float32)
         targets = np.concatenate(ray_tgt).astype(np.float32)
-        stamps = np.concatenate(ray_stamp).astype(np.float32)
+        # float64 ABSOLUTE seconds here; build()/update() rebase to the
+        # library time base before the float32 cast (epoch-stamp safety)
+        stamps = np.concatenate(ray_stamp).astype(np.float64)
         # target VERTEX index per ray: old vertices keep exactly their old
         # rays across passes (append-only mesh + frozen per-vertex stamps),
         # so "rays new since vertex count Vp" === "rays with target >= Vp" —
@@ -293,7 +319,13 @@ class RayVerificator:
             self._built = False
             self._V_covered = 0
             return
-        self._build_index(*rays)
+        origins, targets, stamps, target_idx = rays
+        # time base = first agent stamp: all stored stamps become small
+        # relative seconds (float32-exact to ~0.1 ms over multi-hour runs)
+        self._t0_s = float(stamps.min())
+        rel = (stamps - self._t0_s).astype(np.float32)
+        self._max_rel_s = float(rel.max())
+        self._build_index(origins, targets, rel, target_idx)
         self._V_covered = dsg.mesh.num_vertices
 
     def update(self, dsg, had_loop_closure: bool = True) -> None:
@@ -318,6 +350,11 @@ class RayVerificator:
         if rays is None:
             return
         origins, targets, stamps, target_idx = rays
+        # rebase onto the time base fixed at the last full build (stamps only
+        # grow forward between builds, so relative values stay non-negative)
+        rel = stamps - self._t0_s
+        self._max_rel_s = max(self._max_rel_s, float(rel.max()))
+        stamps = rel.astype(np.float32)
         if self._delta is not None:  # extend the existing delta's raw rays
             origins = np.concatenate([self._delta["raw"][0], origins])
             targets = np.concatenate([self._delta["raw"][1], targets])
@@ -482,10 +519,14 @@ class RayVerificator:
     QUERY_CHUNK = 8192
 
     def query(self, points: np.ndarray) -> np.ndarray:
-        """points [P,3] -> evidence histogram [P, num_bins, 2] (match, absent)."""
+        """points [P,3] -> evidence histogram [P, B, 2] (match, absent).
+        B = active_num_bins; bin b covers library-relative time
+        [b, b+1) * temporal_resolution, i.e. absolute time offset by
+        `bin_origin_s` (consumers must use the same origin)."""
         cfg = self.config
+        num_bins = self.active_num_bins if self._built else cfg.num_bins
         if not self._built or len(points) == 0:
-            return np.zeros((len(points), cfg.num_bins, 2), np.int32)
+            return np.zeros((len(points), num_bins, 2), np.int32)
         points = np.asarray(points, np.float32)
         P = len(points)
         chunk = self.QUERY_CHUNK
@@ -508,7 +549,7 @@ class RayVerificator:
                     cfg.radial_tolerance,
                     cfg.depth_tolerance,
                     cfg.temporal_resolution,
-                    cfg.num_bins,
+                    num_bins,
                     cfg.max_candidates,
                 )
                 ev = e if ev is None else ev + e

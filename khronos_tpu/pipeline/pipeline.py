@@ -89,6 +89,11 @@ class KhronosPipeline:
             PlacesExtractor(config.places) if config.places is not None else None
         )
         self.map = SpatioTemporalMap()
+        # one time base for the whole run, fixed at the first frame: device
+        # programs (active window) and the change-detection evidence bins
+        # work in t0-relative float32 seconds, so epoch-scale bag stamps
+        # (~1.7e18 ns) lose no precision. Host int64 ns stamps stay absolute.
+        self.t0_ns: Optional[int] = None
         self.frame_count = 0
         self._finishing = False
         self._frames_since_cd = 0
@@ -119,6 +124,9 @@ class KhronosPipeline:
         inline by default; with defer_cd=True return a snapshot request
         (dsg, stamp_ns, had_lc, merges) for a detached CD stage instead —
         the reference's detached-thread semantics (backend.cpp:189-216)."""
+        if self.t0_ns is None:
+            self.t0_ns = frame.stamp_ns
+            self.active_window.set_time_base(self.t0_ns)
         with Timer("pipeline/frame", frame.stamp_ns):
             out = self.active_window.spin_once(frame)
             had_lc = False
@@ -273,6 +281,9 @@ class KhronosPipeline:
     # ------------------------------------------------------------------
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
+        if self.t0_ns is not None:  # run time base (provenance for re-eval)
+            with open(os.path.join(directory, "t0_ns.txt"), "w") as fh:
+                fh.write(f"{self.t0_ns}\n")
         self.backend.save(directory)
         dsg = self.map.snapshots[-1] if self.map.num_snapshots else self.backend.get_dsg()
         serialization.save_mesh_ply(dsg.mesh, os.path.join(directory, "mesh.ply"))

@@ -208,6 +208,48 @@ class TestSequentialChangeDetection:
         assert oc.last_persistent_ns > int(40e9)
 
 
+class TestMergedEvidenceWindows:
+    """Round-3 task 4: a merge survivor must inherit the absorbed twin's
+    observation intervals for its scan windows — otherwise rays cast through
+    the twin's occupied space read as absence and hallucinate a change."""
+
+    def make_scene(self):
+        """Wall at x=5 observed [0,100]s spawns rays through x=4 the whole
+        time. Twin T (id 2) observed [0,60], survivor S (id 1) observed
+        [62,100], same spot at x=4 (oversegmented same physical object)."""
+        dsg = SceneGraph()
+        dsg.agents = make_agents([0, 0, 1], np.arange(0, 101, 2.0))
+        dsg.mesh = make_mesh([[5.0, 0, 1], [5.0, 0.1, 1]], [0.0, 0.0], [100.0, 100.0])
+        pts = [[4.0, 0, 1], [4.0, 0.1, 1]]
+        dsg.objects[1] = make_object(1, [4.0, 0.05, 1], 62.0, 100.0, mesh_pts=pts)
+        dsg.objects[2] = make_object(2, [4.0, 0.05, 1], 0.0, 60.0, mesh_pts=pts)
+        return dsg
+
+    def _detector(self):
+        cfg = SequentialChangeDetectorConfig()
+        cfg.verificator.ray_policy = "All"
+        cfg.verificator.temporal_resolution = 2.0
+        cfg.detector.window_size = 3
+        return SequentialChangeDetector(cfg)
+
+    def test_unmerged_scene_hallucinates(self):
+        """Sanity: WITHOUT the merge, the survivor's pre-first-seen window
+        overlaps the twin's presence and scans as absent."""
+        changes = self._detector().detect_changes(self.make_scene(), merges=None)
+        assert changes.object_changes[1].first_absent_ns >= 0
+
+    def test_merge_envelope_suppresses_hallucination(self):
+        from khronos_tpu.backend.backend import MergeProposal
+
+        merges = [MergeProposal(from_id=2, into_id=1, iou=0.9)]
+        changes = self._detector().detect_changes(self.make_scene(), merges=merges)
+        oc = changes.object_changes[1]
+        # pre-window now ends before the merged-set's earliest first-seen (0)
+        assert oc.first_absent_ns < 0, "hallucinated appearance survived merge"
+        assert oc.last_absent_ns < 0, "hallucinated disappearance survived merge"
+        assert changes.object_changes[2].merged_id == 1
+
+
 class TestReconciler:
     def test_presence_interval_estimation(self):
         dsg = SceneGraph()
@@ -422,6 +464,68 @@ class TestIncrementalBackground:
             build_dsg(3), had_loop_closure=False
         ).background_states.copy()
         np.testing.assert_array_equal(states_inc, states_full)
+
+    def test_incremental_objects_match_full(self):
+        """Round-3 task 9: objects whose hash cells gained no new rays keep
+        their previous ObjectChange without a re-query; results must match a
+        full pass (reference updateDsg re-observed-object reporting,
+        ray_verificator.cpp:163-182)."""
+        from khronos_tpu.changes.detectors import (
+            SequentialChangeDetector,
+            SequentialChangeDetectorConfig,
+        )
+
+        def build_dsg(n_extra):
+            dsg = SceneGraph()
+            dsg.agents = make_agents([0, 0, 1], np.arange(0, 101, 2.0))
+            verts = [[4.0, 0, 1], [4.0, 0.1, 1], [5.0, 0, 1], [0.0, 3.0, 1]]
+            first = [0.0, 0.0, 45.0, 0.0]
+            last = [40.0, 40.0, 100.0, 100.0]
+            for k in range(n_extra):  # appended wall vertices BEHIND object
+                # A: their rays pass through A's cells (A must rescan), far
+                # from object B (B must be skipped)
+                verts.append([6.0, 0.1 * k, 1.0])
+                first.append(50.0)
+                last.append(100.0)
+            dsg.mesh = make_mesh(verts, first, last)
+            dsg.opt_epoch = 0
+            # A: disappearing object at x=4; B: far object, untouched by the
+            # appended vertices' rays
+            dsg.objects[1] = make_object(
+                1, [4.0, 0.05, 1], 0.0, 40.0, mesh_pts=[[4.0, 0, 1], [4.0, 0.1, 1]]
+            )
+            dsg.objects[2] = make_object(
+                2, [-2.0, -2.0, 1], 0.0, 100.0, mesh_pts=[[-2.0, -2.0, 1]]
+            )
+            return dsg
+
+        cfg = SequentialChangeDetectorConfig()
+        cfg.verificator.ray_policy = "All"
+        cfg.verificator.temporal_resolution = 2.0
+
+        inc = SequentialChangeDetector(cfg)
+        inc.detect_changes(build_dsg(0), had_loop_closure=False)
+
+        # count queried points on the second (incremental) pass
+        calls = []
+        orig_query = inc.verificator.query
+        inc.verificator.query = lambda pts: (calls.append(len(pts)), orig_query(pts))[1]
+        ch_inc = inc.detect_changes(build_dsg(3), had_loop_closure=False)
+
+        full = SequentialChangeDetector(cfg)
+        ch_full = full.detect_changes(build_dsg(3), had_loop_closure=False)
+        for nid in (1, 2):
+            a = ch_inc.object_changes.get(nid) or ObjectChange(nid)
+            b = ch_full.object_changes.get(nid) or ObjectChange(nid)
+            assert (a.first_absent_ns, a.last_absent_ns) == (
+                b.first_absent_ns, b.last_absent_ns), nid
+        np.testing.assert_array_equal(
+            ch_inc.background_states, ch_full.background_states
+        )
+        # first query of the incremental pass is the OBJECT pass: touched
+        # object A re-queried (2 points), far object B skipped (else 3)
+        assert len(calls) == 2, calls  # object pass + background pass
+        assert calls[0] == 2, calls
 
     def test_epoch_change_forces_full(self):
         from khronos_tpu.changes.detectors import (
