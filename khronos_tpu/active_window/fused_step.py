@@ -101,7 +101,12 @@ def make_frame_step(
     TSDF/semantic integration stays full-resolution. Cluster pixel counts and
     size thresholds are then in detection-res pixels. The returned id images
     are nearest-upsampled back to full resolution."""
-    is_object_lut = jnp.asarray(label_space.is_object_lut())
+    # NUMPY constant, not a device array: a pre-created device array captured
+    # in a jit closure becomes a hidden buffer parameter, and fusions reading
+    # it run ~200x slower on the axon backend (measured: 602k-index gather
+    # from a closure-device LUT 7.5 ms vs 0.04 ms from a numpy literal).
+    # Numpy constants lower as HLO literals and stay on the fast path.
+    is_object_lut = np.asarray(label_space.is_object_lut())
     shape = tuple(vol_cfg.grid_shape)
     md_enabled = md_cfg is not None
     openset = isinstance(od_cfg, InstanceForwardingConfig)
@@ -112,7 +117,8 @@ def make_frame_step(
         bg_emb = None
         if background_embeddings is not None and len(background_embeddings):
             bg = np.asarray(background_embeddings, np.float32)
-            bg_emb = jnp.asarray(bg / np.maximum(np.linalg.norm(bg, axis=-1, keepdims=True), 1e-9))
+            # numpy, not device: see is_object_lut note above
+            bg_emb = bg / np.maximum(np.linalg.norm(bg, axis=-1, keepdims=True), 1e-9)
             feature_dim = bg.shape[1]
         feature_dim = max(int(feature_dim), 1)
     merge_dilation = max(0, (md_cfg.min_separation_distance - 1) if md_enabled else 0)
@@ -146,9 +152,19 @@ def make_frame_step(
     cropping = any(c < g for c, g in zip(crop, shape))
     n_crop = crop[0] * crop[1] * crop[2]
 
+    def _dslice(img):
+        """Detection-res downsample. Expressed as reshape + static index
+        instead of `img[::s, ::s]`: the strided slice lowers to a ~77k
+        random gather (~0.8 ms each on v5e), the reshape form to a plain
+        slice."""
+        if s == 1:
+            return img
+        fh, fw = img.shape[0], img.shape[1]
+        return img.reshape(fh // s, s, fw // s, s)[:, 0, :, 0]
+
     def _body(state, depth, color, labels, instances, features, R_w_c, t_w_c, t_now):
-        depth_d = depth[::s, ::s]
-        labels_d = labels[::s, ::s]
+        depth_d = _dslice(depth)
+        labels_d = _dslice(labels)
         H, W = depth_d.shape
         points_w = cam_d.vertex_image_world(depth_d, R_w_c, t_w_c)
         max_r = min(camera.max_range, md_cfg.max_range if md_enabled else camera.max_range)
@@ -164,9 +180,32 @@ def make_frame_step(
         ck = jnp.where(in_grid, idx[..., 2], 0)
         lin = _lin_iota(crop)
 
+        # ---------------- pixel -> voxel scatters ----------------
+        # When BOTH detectors run, their two grid scatters (seed scan for
+        # motion, per-voxel max class for objects) merge into ONE scatter-max
+        # of a packed value (0: no pixel, 1: pixel without object class,
+        # c+2: object-class pixel) — each scatter costs ~0.67 ms on v5e.
+        pix_class = None
+        if od_enabled:
+            safe_lab = jnp.clip(labels_d, 0, is_object_lut.shape[0] - 1)
+            # convert the numpy LUT INSIDE the trace: it stages as an HLO
+            # literal (fast); indexing the numpy array with a tracer fails
+            pix_class = jnp.where(
+                (labels_d >= 0) & jnp.asarray(is_object_lut)[safe_lab], labels_d, -1
+            )
+        scan = vclass = None
+        if md_enabled and od_enabled:
+            val = jnp.where(
+                in_grid, jnp.where(pix_class >= 0, pix_class + 2, 1), 0
+            )
+            packed_grid = jnp.zeros(crop, jnp.int32).at[ci, cj, ck].max(val)
+            scan = packed_grid >= 1
+            vclass = jnp.where(packed_grid >= 2, packed_grid - 2, -1)
+        elif md_enabled:
+            scan = jnp.zeros(crop, jnp.bool_).at[ci, cj, ck].max(in_grid)
+
         # ---------------- motion detection ----------------
         if md_enabled:
-            scan = jnp.zeros(crop, jnp.bool_).at[ci, cj, ck].max(in_grid)
             seeds = scan & sub.ever_free
             growable = dilate(seeds, merge_dilation) if merge_dilation > 0 else seeds
             mlab = propagate_labels_3d(
@@ -183,9 +222,13 @@ def make_frame_step(
             d_counts, d_sums, d_bmin, d_bmax = cl.cluster_stats(
                 dyn_compact, points_w, max_clusters=MC
             )
-            # voxel counts from pixel (cluster, voxel) keys — avoids a 1M sort
-            vox_lin = (ci * crop[1] + cj) * crop[2] + ck
-            d_vox = cl.cluster_voxel_counts(dyn_compact, vox_lin, MC, num_voxels=n_crop)
+            # voxel counts: approximated by the count of LABELED GRID CELLS
+            # per cluster is not needed — nothing downstream reads
+            # MeasurementCluster.num_voxels (size filters use pixel counts,
+            # the tracker re-voxelizes sample points on host), so the dense
+            # [MC+1, n_crop] presence-table scatter it used to cost
+            # (~2.5 ms/frame at 480x640 on v5e) is dropped outright
+            d_vox = jnp.zeros((MC,), jnp.int32)
             d_keep = (d_counts >= md_min_px) & (d_counts <= md_max_px)
             dynamic_image, d_ids = cl.filter_and_renumber(dyn_compact, d_keep)
             d_pts, _ = cl.cluster_point_samples(dyn_compact, points_w, K_SAMPLES, MC)
@@ -202,22 +245,32 @@ def make_frame_step(
 
         # ---------------- object detection (3D keyed CC) ----------------
         if od_enabled:
-            safe_lab = jnp.clip(labels_d, 0, is_object_lut.shape[0] - 1)
-            pix_class = jnp.where((labels_d >= 0) & is_object_lut[safe_lab], labels_d, -1)
             ok = in_grid & (pix_class >= 0)
             oci = jnp.where(ok, ci, 0)
             ocj = jnp.where(ok, cj, 0)
             ock = jnp.where(ok, ck, 0)
-            vclass = jnp.full(crop, -1, jnp.int32).at[oci, ocj, ock].max(
-                jnp.where(ok, pix_class, -1)
-            )
+            if vclass is None:  # not merged with the motion-detection scatter
+                vclass = jnp.full(crop, -1, jnp.int32).at[oci, ocj, ock].max(
+                    jnp.where(ok, pix_class, -1)
+                )
             ogrow = vclass >= 0
             olab = propagate_labels_keyed_3d(
                 jnp.where(ogrow, lin, -1), vclass, ogrow, od_cfg.grow_iterations
             )
-            pix_sem_raw = jnp.where(
-                ok & (vclass[oci, ocj, ock] == pix_class), olab[oci, ocj, ock], -1
-            )
+            # ONE packed gather for (olab, vclass) at each pixel's voxel —
+            # two separate 77k random gathers cost ~0.7 ms each on v5e.
+            # olab is a crop-linear id and vclass < 127, so
+            # (olab+1)*128 + (vclass+1) fits int32 exactly for crops under
+            # 2^24 voxels; larger grids fall back to two gathers.
+            if n_crop < (1 << 24):
+                pk = (olab + 1) * 128 + (vclass + 1)
+                g = pk[oci, ocj, ock]
+                g_class = g % 128 - 1
+                g_olab = g // 128 - 1
+            else:
+                g_class = vclass[oci, ocj, ock]
+                g_olab = olab[oci, ocj, ock]
+            pix_sem_raw = jnp.where(ok & (g_class == pix_class), g_olab, -1)
             sem_compact = cl.compact_labels(pix_sem_raw, MC, num_values=n_crop)
             s_counts, s_sums, s_bmin, s_bmax, s_cat = cl.cluster_stats(
                 sem_compact, points_w, extra=pix_class, max_clusters=MC
@@ -227,7 +280,7 @@ def make_frame_step(
             s_pts, _ = cl.cluster_point_samples(sem_compact, points_w, K_SAMPLES, MC)
         elif openset:
             # -------- open-set instance forwarding (device-side filters) ----
-            inst_d = instances[::s, ::s]
+            inst_d = _dslice(instances)
             os_valid = (depth_d > camera.min_range) & (
                 depth_d <= min(camera.max_range, od_cfg.max_range)
             )

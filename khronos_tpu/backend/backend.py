@@ -199,8 +199,8 @@ class Backend:
                 self.loop_closures.append(lc)
                 self.graph.add_between(
                     lc.from_key, lc.to_key, lc.R, lc.t,
-                    sigma_rot=lc.sigma_rot or cfg.sigma_lc_rot,
-                    sigma_trans=lc.sigma_trans or cfg.sigma_lc_trans,
+                    sigma_rot=lc.sigma_rot if lc.sigma_rot is not None else cfg.sigma_lc_rot,
+                    sigma_trans=lc.sigma_trans if lc.sigma_trans is not None else cfg.sigma_lc_trans,
                     robust=True,
                 )
             if lcs and cfg.optimize_on_lc:
@@ -213,8 +213,8 @@ class Backend:
         self.loop_closures.append(lc)
         self.graph.add_between(
             lc.from_key, lc.to_key, lc.R, lc.t,
-            sigma_rot=lc.sigma_rot or cfg.sigma_lc_rot,
-            sigma_trans=lc.sigma_trans or cfg.sigma_lc_trans, robust=True,
+            sigma_rot=lc.sigma_rot if lc.sigma_rot is not None else cfg.sigma_lc_rot,
+            sigma_trans=lc.sigma_trans if lc.sigma_trans is not None else cfg.sigma_lc_trans, robust=True,
         )
         if optimize_now and cfg.optimize_on_lc:
             self.optimize()

@@ -19,7 +19,7 @@ This module provides:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -371,6 +371,12 @@ class SceneGraphLoopClosureDetector:
         # (key, stamp_ns, R_odom, t_odom)
         self._matched: set = set()  # keyframe indices already fired or expired
         self._last_fire_ns = -(10**18)
+        # keyframe index -> frozen (constellation, descriptor): membership
+        # gates on |detected_ns - stamp| <= obs_window and detected_ns is
+        # fixed once set, so constellations of keyframes older than the
+        # pending window are immutable — caching them keeps add_keyframe
+        # O(pending x objects) instead of O(keyframes x objects) per call
+        self._frozen: Dict[int, Tuple] = {}
 
     def _constellation(self, stamp_ns: int, t_odom: np.ndarray, objects):
         cfg = self.config
@@ -406,15 +412,25 @@ class SceneGraphLoopClosureDetector:
         gap = int(cfg.min_time_gap * 1e9)
         pend_w = int((cfg.obs_window + 2.0) * 1e9)
 
-        # constellations for every keyframe (objects arrive late; cheap at
-        # O(keyframes x objects) with tens of objects)
-        cons = [
-            self._constellation(s, t, objects) for (_, s, _, t) in self._kfs
-        ]
-        descs = [
-            _constellation_descriptor(p, l, cfg.radius) if len(p) >= cfg.min_objects else None
-            for (p, l) in cons
-        ]
+        # constellations per keyframe: pending (recent) keyframes rebuild
+        # each call because objects arrive late; older ones come from the
+        # frozen cache (their membership window has closed)
+        cons, descs = [], []
+        for i, (_, s, _, t) in enumerate(self._kfs):
+            hit = self._frozen.get(i)
+            if hit is not None:
+                c, d = hit
+            else:
+                c = self._constellation(s, t, objects)
+                d = (
+                    _constellation_descriptor(c[0], c[1], cfg.radius)
+                    if len(c[0]) >= cfg.min_objects
+                    else None
+                )
+                if stamp_ns - s > pend_w:
+                    self._frozen[i] = (c, d)
+            cons.append(c)
+            descs.append(d)
 
         for qi in range(len(self._kfs) - 1, -1, -1):
             qkey, qstamp, qR, qt = self._kfs[qi]

@@ -1,18 +1,18 @@
-"""Pallas integrate-frame gather experiment (VERDICT r1 task 8).
+"""Pallas integrate-frame gather experiment (VERDICT r1 task 8 / r3 task 2).
 
-The fused frame step's stated cost is the per-voxel image gather: every
-in-frustum voxel projects to (u, v) and reads an 8-16 byte payload
-(depth + label / color) from the camera image. `scripts/roofline.py` shows
-the step runs at <1% of HBM peak — the limit is gather issue rate, not
-bytes. This module holds a VMEM-resident Pallas gather kernel and a
-benchmark comparing it against XLA's native gather on the same access
-pattern, so the keep-or-reject call is measured, not guessed
-(see METRICS.md "Pallas gather attempt").
+The fused frame step's per-voxel image lookup gathers an 8-byte payload
+(depth f32 + packed rgb/label/exclusion word) per in-frustum voxel from the
+camera image (active_volume.py integrate_frame: `packed_img[lin_pix]` with
+packed_img [H*W, 2] f32). `scripts/roofline.py` shows the step runs at <1%
+of HBM peak — the question is whether a VMEM-resident Pallas gather beats
+XLA's native gather on this exact pattern, so the keep-or-reject call is
+measured, not guessed (see METRICS.md "Pallas gather verdict").
 
-Kernel design: the whole 480x640 image (1.2 MB f32) stays resident in VMEM
-across grid blocks; each block owns a contiguous run of flattened voxel
-indices and gathers its payloads with `jnp.take` (Mosaic lowers this to the
-TPU dynamic-gather path when the table fits VMEM).
+Kernel design: the whole 480x640x2 payload image (2.4 MB f32) stays
+resident in VMEM across grid blocks; each block owns a contiguous run of
+flattened voxel indices and gathers its payload rows with `jnp.take`
+(Mosaic supports 2D gather; the earlier 1D form failed to lower with
+"Only 2D gather is supported").
 """
 
 from __future__ import annotations
@@ -24,8 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_pallas_gather(hw: int, n: int, block: int = 65536):
-    """gather(img_flat [hw] f32, idx [n] int32) -> [n] f32 via Pallas."""
+def make_pallas_gather(hw: int, channels: int, n: int, block: int = 65536):
+    """gather(img [hw, C] f32, idx [n] int32) -> [n, C] f32 via Pallas."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -35,24 +35,26 @@ def make_pallas_gather(hw: int, n: int, block: int = 65536):
     grid = (n // block,)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, channels), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((hw,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hw, channels), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (block, channels), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
     )
 
 
-def benchmark(n_voxels: int = 1_228_800, hw=(480, 640), iters: int = 30):
+def benchmark(n_voxels: int = 1_228_800, hw=(480, 640), channels: int = 2, iters: int = 30):
     """Times Pallas vs XLA gather on the integrate-frame access pattern
-    (one f32 payload per in-frustum voxel). Returns dict of ms/call."""
+    (one [C]-row payload per in-frustum voxel). Returns dict of ms/call."""
     import time
 
     H, W = hw
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.random((H * W,), np.float32))
+    img = jnp.asarray(rng.random((H * W, channels), np.float32))
     # projective access pattern: nearby voxels hit nearby pixels
     base = rng.integers(0, H * W - 256, n_voxels // 256)
     idx = (base[:, None] + rng.integers(0, 256, (len(base), 256))).reshape(-1)
@@ -71,7 +73,7 @@ def benchmark(n_voxels: int = 1_228_800, hw=(480, 640), iters: int = 30):
 
     out = {"xla_gather_ms": round(time_fn(xla), 3)}
     try:
-        pk = jax.jit(make_pallas_gather(H * W, len(np.asarray(idx))))
+        pk = jax.jit(make_pallas_gather(H * W, channels, len(np.asarray(idx))))
         np.testing.assert_allclose(
             np.asarray(pk(img, idx))[:1024], np.asarray(xla(img, idx))[:1024]
         )

@@ -136,8 +136,11 @@ def make_sharded_ray_query(verificator, mesh: Mesh, axis: str = "x"):
 
     def query(points: np.ndarray) -> np.ndarray:
         P_n = len(points)
+        num_bins = (
+            verificator.active_num_bins if verificator._built else cfg.num_bins
+        )
         if not verificator._built or P_n == 0:
-            return np.zeros((P_n, cfg.num_bins, 2), np.int32)
+            return np.zeros((P_n, num_bins, 2), np.int32)
         pad = (-P_n) % (n * 8)
         pts = np.asarray(points, np.float32)
         if pad:
@@ -153,7 +156,7 @@ def make_sharded_ray_query(verificator, mesh: Mesh, axis: str = "x"):
             cfg.radial_tolerance,
             cfg.depth_tolerance,
             cfg.temporal_resolution,
-            cfg.num_bins,
+            num_bins,
             cfg.max_candidates,
         )
         return np.asarray(ev)[:P_n]

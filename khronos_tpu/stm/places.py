@@ -375,8 +375,13 @@ class PlacesExtractor:
         merged = PlacesLayer()
         for n in survivors:
             remap[old_index[id(n)]] = len(merged.nodes)
-            n.place_id = len(merged.nodes)
-            merged.nodes.append(n)
+            # COPY survivors instead of mutating in place: the published
+            # self.layer shares these node objects with concurrent
+            # snapshot_layer() deepcopies on the frame thread — an in-place
+            # place_id/room_id rewrite here (detached CD stage) could tear a
+            # snapshot mid-copy. The splice-and-swap below publishes the new
+            # layer atomically under the lock.
+            merged.nodes.append(dataclasses.replace(n, place_id=len(merged.nodes)))
         for i in keep_new:
             merged.nodes.append(
                 PlaceNode(
@@ -460,10 +465,35 @@ class PlacesExtractor:
         cells = np.floor(
             occupied_points.astype(np.float64) / vs2
         ).astype(np.int64)
+        # the grid is bounded (144^3 cells); CENTER it on the place nodes'
+        # extent (the nodes are what receive room ids) instead of anchoring
+        # at the global occupancy min corner — on maps larger than the box
+        # the anchored variant silently clipped far nodes to the border.
+        # dims are bucketed to multiples of 16 so _room_blobs' static-shape
+        # jit signature recompiles O(log growth) times, not per-frame.
+        node_cells = np.floor(
+            np.stack([n.position for n in layer.nodes]).astype(np.float64) / vs2
+        ).astype(np.int64)
         lo_cell = cells.min(axis=0) - 2
-        dims = np.minimum(cells.max(axis=0) - lo_cell + 3, 144)
+        hi_cell = cells.max(axis=0) + 3
+        dims = hi_cell - lo_cell
+        over = dims > 144
+        if over.any():
+            mid = (node_cells.min(axis=0) + node_cells.max(axis=0)) // 2
+            lo_cell = np.where(over, mid - 72, lo_cell)
+            dims = np.minimum(dims, 144)
+        dims = np.minimum(((dims + 15) // 16) * 16, 144)
         idx = cells - lo_cell
         ok = ((idx >= 0) & (idx < dims)).all(axis=1)
+        n_drop = int((~ok).sum())
+        if n_drop:
+            from khronos_tpu.utils.logging import clog
+
+            clog(
+                2,
+                f"room grid truncated: {n_drop}/{len(ok)} occupancy cells "
+                f"outside the {dims.tolist()}-cell box around the place nodes",
+            )
         zs = (lo_cell[2] + np.arange(dims[2]) + 0.5) * vs2
         zmask = (zs >= cfg.z_slab[0]) & (zs <= cfg.z_slab[1])
         labels = np.asarray(
