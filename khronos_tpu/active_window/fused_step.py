@@ -82,6 +82,8 @@ def make_frame_step(
     jit: bool = True,
     background_embeddings: Optional[np.ndarray] = None,
     feature_dim: int = 0,
+    mesh=None,
+    mesh_axis: str = "x",
 ):
     """Build the fused jitted step:
     step(state, depth, color, labels, R, t, t_now)
@@ -162,11 +164,30 @@ def make_frame_step(
         fh, fw = img.shape[0], img.shape[1]
         return img.reshape(fh // s, s, fw // s, s)[:, 0, :, 0]
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _row_shard = NamedSharding(mesh, PartitionSpec(mesh_axis))
+
+        def _pshard(x):
+            """Pin an image-side array to row sharding over the device mesh.
+            Without this the whole pixel pipeline (projection, detection
+            compares, cluster ranking) replicates on every device — the
+            Amdahl term that capped N=8 partitioning efficiency at 0.22 at
+            the production operating point (SCALING.json). Constrained here,
+            XLA propagates the row sharding through the downstream
+            elementwise chains and inserts collectives only where pixel
+            streams meet the spatially-sharded grid."""
+            return jax.lax.with_sharding_constraint(x, _row_shard)
+    else:
+        def _pshard(x):
+            return x
+
     def _body(state, depth, color, labels, instances, features, R_w_c, t_w_c, t_now):
-        depth_d = _dslice(depth)
-        labels_d = _dslice(labels)
+        depth_d = _pshard(_dslice(depth))
+        labels_d = _pshard(_dslice(labels))
         H, W = depth_d.shape
-        points_w = cam_d.vertex_image_world(depth_d, R_w_c, t_w_c)
+        points_w = _pshard(cam_d.vertex_image_world(depth_d, R_w_c, t_w_c))
         max_r = min(camera.max_range, md_cfg.max_range if md_enabled else camera.max_range)
         valid = (depth_d > camera.min_range) & (depth_d <= max_r)
 
@@ -175,9 +196,9 @@ def make_frame_step(
 
         idx = jnp.floor(points_w / vol_cfg.voxel_size).astype(jnp.int32) - sub.origin
         in_grid = ((idx >= 0) & (idx < jnp.asarray(crop, jnp.int32))).all(-1) & valid
-        ci = jnp.where(in_grid, idx[..., 0], 0)
-        cj = jnp.where(in_grid, idx[..., 1], 0)
-        ck = jnp.where(in_grid, idx[..., 2], 0)
+        ci = _pshard(jnp.where(in_grid, idx[..., 0], 0))
+        cj = _pshard(jnp.where(in_grid, idx[..., 1], 0))
+        ck = _pshard(jnp.where(in_grid, idx[..., 2], 0))
         lin = _lin_iota(crop)
 
         # ---------------- pixel -> voxel scatters ----------------

@@ -180,10 +180,20 @@ class Backend:
             # consumes the sensor frame (real-data path, no oracle)
             lcs: List[LoopClosure] = []
             if self.lcd is not None and hasattr(self.lcd, "add_keyframe"):
-                if getattr(self.lcd, "needs_frame", False):
+                if getattr(self.lcd, "needs_frame", False) and getattr(
+                    self.lcd, "needs_scene", False
+                ):
+                    # hybrid constellation + appearance stack: consumes the
+                    # sensor frame AND the object layer
                     if lcd_frame is not None:
                         lcs = self.lcd.add_keyframe(
-                            key, out.stamp_ns, lcd_frame[0], lcd_frame[1],
+                            key, out.stamp_ns, *lcd_frame,
+                            out.R_w_b, out.t_w_b, self.objects.values(),
+                        )
+                elif getattr(self.lcd, "needs_frame", False):
+                    if lcd_frame is not None:
+                        lcs = self.lcd.add_keyframe(
+                            key, out.stamp_ns, *lcd_frame,
                             out.R_w_b, out.t_w_b,
                         )
                 elif getattr(self.lcd, "needs_scene", False):

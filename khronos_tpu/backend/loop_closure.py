@@ -262,6 +262,140 @@ class DescriptorLoopClosureDetector:
 
 
 # ----------------------------------------------------------------------------
+# Appearance-stream detector (hydra LCD BoW-appearance analog)
+# ----------------------------------------------------------------------------
+
+
+def _appearance_descriptor(color_small: np.ndarray, features=None) -> np.ndarray:
+    """Compact per-keyframe APPEARANCE descriptor — the role of the
+    reference's BoW appearance queries (khronos.launch.yaml:49 ->
+    kimera_vio bow_query; hydra LCD appearance stream, uHumans2.yaml:254-307).
+
+    Open-set path: when per-instance CLIP embeddings are available they are
+    mean-pooled into the descriptor. Otherwise: a 12x16 color thumbnail,
+    per-channel mean-subtracted (illumination-robust) and L2-normalized."""
+    if features is not None and len(features):
+        f = np.asarray(features, np.float32).mean(axis=0)
+        n = np.linalg.norm(f)
+        return f / n if n > 0 else f
+    img = np.asarray(color_small, np.float32)
+    th = np.asarray(
+        jax.image.resize(jnp.asarray(img), (12, 16, 3), method="linear")
+    )
+    th = th - th.mean(axis=(0, 1), keepdims=True)
+    d = th.reshape(-1)
+    n = np.linalg.norm(d)
+    return d / n if n > 0 else d
+
+
+@register("lcd", "AppearanceLoopClosure")
+@dataclasses.dataclass
+class AppearanceLoopClosureConfig:
+    min_time_gap: float = 10.0
+    min_appearance_similarity: float = 0.93
+    min_detection_separation: float = 5.0
+    max_registration_rms: float = 0.15  # m
+    n_icp_points: int = 256
+    max_candidate_distance: float = 10.0  # odometry gate; <= 0 disables
+    noise_bound: float = 0.07  # m, GNC-TLS truncation
+    min_inlier_fraction: float = 0.35
+    sigma_rot: float = 0.02
+
+    def create(self):
+        return AppearanceLoopClosureDetector(self)
+
+
+class AppearanceLoopClosureDetector:
+    """Keyframe database of (appearance descriptor, subsampled depth cloud).
+    Appearance proposes; GNC-TLS registration of the depth clouds verifies
+    and measures (registration-residual sigma on the factor). Works where
+    geometric/constellation recognition fails: object-free corridors,
+    geometry-ambiguous junctions."""
+
+    needs_frame = True  # camera-frame vertex image
+    needs_color = True  # + downsampled color image
+
+    def __init__(self, config: AppearanceLoopClosureConfig):
+        self.config = config
+        self._keys: List[int] = []
+        self._stamps: List[int] = []
+        self._descs: List[np.ndarray] = []
+        self._clouds: List[np.ndarray] = []
+        self._poses: List[Tuple[np.ndarray, np.ndarray]] = []
+        self._last_fire_ns = -(10**18)
+
+    def add_keyframe(
+        self,
+        key: int,
+        stamp_ns: int,
+        points_c: np.ndarray,  # [H, W, 3] camera-frame vertex image
+        valid: np.ndarray,
+        color_small: np.ndarray,  # downsampled color [h, w, 3]
+        R_odom: np.ndarray,
+        t_odom: np.ndarray,
+        features=None,  # optional per-instance open-set embeddings
+    ) -> List[LoopClosure]:
+        cfg = self.config
+        desc = _appearance_descriptor(color_small, features)
+        pts = points_c[np.asarray(valid)]
+        if len(pts) >= cfg.n_icp_points:
+            sel = np.linspace(0, len(pts) - 1, cfg.n_icp_points).astype(int)
+            cloud = pts[sel].astype(np.float32)
+        else:
+            cloud = np.zeros((cfg.n_icp_points, 3), np.float32)
+        out: List[LoopClosure] = []
+        comparable = [
+            i for i, d in enumerate(self._descs) if d.shape == desc.shape
+        ]
+        if comparable and stamp_ns - self._last_fire_ns >= int(
+            cfg.min_detection_separation * 1e9
+        ):
+            sims = np.asarray([self._descs[i] @ desc for i in comparable])
+            for j in np.argsort(-sims)[:3]:
+                idx = comparable[j]
+                if sims[j] < cfg.min_appearance_similarity:
+                    break
+                if stamp_ns - self._stamps[idx] < int(cfg.min_time_gap * 1e9):
+                    continue
+                R2, t2 = self._poses[idx]
+                if (
+                    cfg.max_candidate_distance > 0
+                    and np.linalg.norm(t_odom - t2) > cfg.max_candidate_distance
+                ):
+                    continue
+                from khronos_tpu.backend.registration import robust_icp
+
+                R0 = jnp.asarray((R_odom.T @ R2).astype(np.float32))
+                t0 = jnp.asarray((R_odom.T @ (t2 - t_odom)).astype(np.float32))
+                R, t, rms, inlier_frac = robust_icp(
+                    jnp.asarray(self._clouds[idx]), jnp.asarray(cloud),
+                    R0, t0, noise_bound=cfg.noise_bound,
+                )
+                if float(inlier_frac) < cfg.min_inlier_fraction:
+                    continue
+                if float(rms) <= cfg.max_registration_rms:
+                    out.append(
+                        LoopClosure(
+                            from_key=key, to_key=self._keys[idx],
+                            R=np.asarray(R), t=np.asarray(t),
+                            score=float(sims[j]),
+                            # measurement-grade sigma from the actual
+                            # registration residual
+                            sigma_trans=float(max(rms, 0.5 * cfg.noise_bound)),
+                            sigma_rot=cfg.sigma_rot,
+                        )
+                    )
+                    self._last_fire_ns = stamp_ns
+                    break
+        self._keys.append(key)
+        self._stamps.append(stamp_ns)
+        self._descs.append(desc)
+        self._clouds.append(cloud)
+        self._poses.append((R_odom.copy(), t_odom.copy()))
+        return out
+
+
+# ----------------------------------------------------------------------------
 # Scene-graph object-descriptor detector (hydra LCD object-layer analog)
 # ----------------------------------------------------------------------------
 
@@ -483,3 +617,76 @@ class SceneGraphLoopClosureDetector:
                 self._last_fire_ns = stamp_ns
                 break
         return out
+
+
+# ----------------------------------------------------------------------------
+# Hybrid detector: constellation + appearance fallback (full hydra LCD stack)
+# ----------------------------------------------------------------------------
+
+
+@register("lcd", "HybridLoopClosure")
+@dataclasses.dataclass
+class HybridLoopClosureConfig:
+    """The full hydra-LCD stack analog (uHumans2.yaml:254-307): scene-graph
+    object-constellation matching PLUS an appearance stream. The
+    constellation detector is consulted first (objects are the stronger
+    signal); when the revisit frustum carries no usable constellation
+    (object-free corridor, ambiguous geometry) the appearance stream still
+    closes the loop."""
+
+    constellation: "SceneGraphLoopClosureConfig" = dataclasses.field(
+        default_factory=lambda: SceneGraphLoopClosureConfig()
+    )
+    appearance: AppearanceLoopClosureConfig = dataclasses.field(
+        default_factory=AppearanceLoopClosureConfig
+    )
+
+    def check(self):
+        self.constellation.check()
+
+    def create(self):
+        return HybridLoopClosureDetector(self)
+
+
+class HybridLoopClosureDetector:
+    needs_frame = True
+    needs_color = True
+    needs_scene = True
+
+    def __init__(self, config: HybridLoopClosureConfig):
+        self.config = config
+        self.constellation = SceneGraphLoopClosureDetector(config.constellation)
+        self.appearance = AppearanceLoopClosureDetector(config.appearance)
+        self.constellation_fires = 0
+        self.appearance_fires = 0
+
+    def add_keyframe(
+        self,
+        key: int,
+        stamp_ns: int,
+        points_c: np.ndarray,
+        valid: np.ndarray,
+        color_small: np.ndarray,
+        R_odom: np.ndarray,
+        t_odom: np.ndarray,
+        objects=(),
+        features=None,
+    ) -> List[LoopClosure]:
+        lcs = self.constellation.add_keyframe(key, stamp_ns, R_odom, t_odom, objects)
+        if lcs:
+            self.constellation_fires += len(lcs)
+            # keep the appearance database in sync (store-only, no fire)
+            app = self.appearance
+            fire_guard = app._last_fire_ns
+            app._last_fire_ns = stamp_ns  # suppress a duplicate same-frame LC
+            app.add_keyframe(
+                key, stamp_ns, points_c, valid, color_small, R_odom, t_odom, features
+            )
+            app._last_fire_ns = max(fire_guard, stamp_ns)
+            return lcs
+        lcs = self.appearance.add_keyframe(
+            key, stamp_ns, points_c, valid, color_small, R_odom, t_odom, features
+        )
+        if lcs:
+            self.appearance_fires += len(lcs)
+        return lcs

@@ -29,6 +29,9 @@ def _pack(arr: np.ndarray) -> str:
 def export_html(stm: SpatioTemporalMap, path: str, max_points: int = 120000) -> None:
     """Write a standalone interactive viewer for the 4D map."""
     snaps = []
+    # rebase all display times to the map's first stamp: epoch-scale bag
+    # stamps (~1.7e9 s) would quantize to ~128 s in the float32 time fields
+    t0_ns = stm.earliest_ns()
     for stamp, snap in zip(stm.stamps_ns, stm.snapshots):
         mesh = snap.mesh
         V = mesh.num_vertices
@@ -37,7 +40,7 @@ def export_html(stm: SpatioTemporalMap, path: str, max_points: int = 120000) -> 
             sel = np.linspace(0, V - 1, max_points).astype(int)
         verts = mesh.vertices[sel].astype(np.float32)
         cols = (np.clip(mesh.colors[sel], 0, 1) * 255).astype(np.uint8)
-        first_s = (mesh.first_seen_ns[sel] * 1e-9).astype(np.float32)
+        first_s = ((mesh.first_seen_ns[sel] - t0_ns) * 1e-9).astype(np.float32)
         objs = []
         for oid, o in sorted(snap.objects.items()):
             objs.append(
@@ -46,25 +49,25 @@ def export_html(stm: SpatioTemporalMap, path: str, max_points: int = 120000) -> 
                     "cat": int(o.semantic_category),
                     "dyn": bool(o.is_dynamic),
                     "bbox": [o.bbox_min.tolist(), o.bbox_max.tolist()],
-                    "t0": o.first_observed_ns[0] * 1e-9,
-                    "t1": o.last_observed_ns[-1] * 1e-9,
+                    "t0": (o.first_observed_ns[0] - t0_ns) * 1e-9,
+                    "t1": (o.last_observed_ns[-1] - t0_ns) * 1e-9,
                     "traj": np.asarray(o.trajectory_positions, np.float32).reshape(-1, 3).tolist()
                     if o.is_dynamic
                     else [],
-                    "traj_t": [s * 1e-9 for s in o.trajectory_stamps_ns],
+                    "traj_t": [(s - t0_ns) * 1e-9 for s in o.trajectory_stamps_ns],
                 }
             )
         agents = np.asarray(
             [a.t_w_b for a in snap.agents], np.float32
         ).reshape(-1, 3)
-        agent_t = np.asarray([a.stamp_ns * 1e-9 for a in snap.agents], np.float32)
+        agent_t = np.asarray([(a.stamp_ns - t0_ns) * 1e-9 for a in snap.agents], np.float32)
         places = []
         if snap.places is not None:
             for n in snap.places.nodes:
                 places.append({"p": n.position.tolist(), "d": n.distance, "room": n.room_id})
         snaps.append(
             {
-                "stamp": stamp * 1e-9,
+                "stamp": (stamp - t0_ns) * 1e-9,
                 "n": len(verts),
                 "verts": _pack(verts),
                 "cols": _pack(cols),

@@ -95,6 +95,11 @@ def make_sharded_frame_step(
         jit=False,
         background_embeddings=background_embeddings,
         feature_dim=feature_dim,
+        # row-shard the pixel pipeline over the mesh: without it the
+        # image-side detection work replicates on every device (the Amdahl
+        # term of the production-shape partitioning study)
+        mesh=mesh,
+        mesh_axis=axis,
     )
     vol_shard = volume_sharding(mesh, axis)
     rep = NamedSharding(mesh, P())

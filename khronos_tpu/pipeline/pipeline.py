@@ -140,6 +140,10 @@ class KhronosPipeline:
                     pts = np.asarray(self.camera.back_project(frame.depth))[::4, ::4]
                     valid = (depth > 0.1) & (depth < self.camera.max_range)
                     lcd_frame = (pts.astype(np.float32), valid)
+                    if getattr(self.backend.lcd, "needs_color", False):
+                        # appearance stream: downsampled color rides along
+                        color = np.asarray(frame.color)[::4, ::4]
+                        lcd_frame = lcd_frame + (color.astype(np.float32),)
                 had_lc = self.backend.add_output(out, gt_pose=gt_pose, lcd_frame=lcd_frame)
                 if (
                     self.places_extractor is not None

@@ -32,21 +32,111 @@ from khronos_tpu.stm import serialization
 from khronos_tpu.stm.scene_graph import Mesh, SceneGraph
 from khronos_tpu.utils import intervals as iv
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
+
+
+class _SnapshotView:
+    """List-like view over prefix-shared snapshots (materialized on access)."""
+
+    def __init__(self, stm: "SpatioTemporalMap"):
+        self._stm = stm
+
+    def __len__(self) -> int:
+        return len(self._stm._stores)
+
+    def __getitem__(self, i):
+        n = len(self)
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(n))]
+        if i < 0:
+            i += n
+        return self._stm._materialize(i)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
 
 
 class SpatioTemporalMap:
+    """Snapshots are stored PREFIX-SHARED: the backend mesh is append-only
+    with frozen per-vertex stamps between optimizations, so when a new
+    snapshot's vertex/face prefix is bit-identical to the previous snapshot,
+    only the appended tail is stored (base-chain + delta). Reconciliation
+    removals and loop-closure deformations break the prefix and store a full
+    chunk. RAM and `.4dmap` size grow with the CHANGES, not
+    O(snapshots x vertices) (reference clones per snapshot,
+    spatio_temporal_map.cpp:100-118 — the soak test showed that blows up on
+    long runs)."""
+
     def __init__(self):
         self.stamps_ns: List[int] = []
-        self.snapshots: List[SceneGraph] = []
+        # per snapshot: {"base": int (-1 = full), "graph": SceneGraph whose
+        # mesh holds only the delta past the base's materialized mesh}
+        self._stores: List[dict] = []
+        self._last_full: Optional[Mesh] = None  # previous snapshot's full mesh
+
+    @property
+    def snapshots(self) -> _SnapshotView:
+        return _SnapshotView(self)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _is_prefix(full: Mesh, prev: Mesh) -> bool:
+        V, F = prev.num_vertices, prev.num_faces
+        return (
+            full.num_vertices >= V
+            and full.num_faces >= F
+            and np.array_equal(full.first_seen_ns[:V], prev.first_seen_ns)
+            and np.array_equal(full.last_seen_ns[:V], prev.last_seen_ns)
+            and np.array_equal(full.vertices[:V], prev.vertices)
+            and np.array_equal(full.colors[:V], prev.colors)
+            and np.array_equal(full.labels[:V], prev.labels)
+            and np.array_equal(full.faces[:F], prev.faces)
+        )
+
     def update(self, dsg: SceneGraph, stamp_ns: int) -> None:
         """Add a reconciled snapshot (finalized: vertices sorted by first_seen)."""
         snap = dsg.clone()
         self._finalize(snap)
+        full_mesh = snap.mesh
+        base = -1
+        if self._last_full is not None and self._is_prefix(full_mesh, self._last_full):
+            base = len(self._stores) - 1
+            V, F = self._last_full.num_vertices, self._last_full.num_faces
+            snap.mesh = Mesh(
+                vertices=full_mesh.vertices[V:].copy(),
+                colors=full_mesh.colors[V:].copy(),
+                labels=full_mesh.labels[V:].copy(),
+                first_seen_ns=full_mesh.first_seen_ns[V:].copy(),
+                last_seen_ns=full_mesh.last_seen_ns[V:].copy(),
+                faces=full_mesh.faces[F:].copy(),
+            )
+        self._stores.append({"base": base, "graph": snap})
         self.stamps_ns.append(int(stamp_ns))
-        self.snapshots.append(snap)
+        self._last_full = full_mesh
+
+    def _materialize(self, i: int) -> SceneGraph:
+        """Full SceneGraph for snapshot i (mesh rebuilt from the base chain)."""
+        store = self._stores[i]
+        if store["base"] < 0:
+            return store["graph"]
+        # collect the delta chain back to the nearest full chunk
+        chain = []
+        j = i
+        while j >= 0:
+            chain.append(self._stores[j]["graph"].mesh)
+            j = self._stores[j]["base"]
+        chain.reverse()
+        out = store["graph"].clone()
+        out.mesh = Mesh(
+            vertices=np.concatenate([m.vertices for m in chain]),
+            colors=np.concatenate([m.colors for m in chain]),
+            labels=np.concatenate([m.labels for m in chain]),
+            first_seen_ns=np.concatenate([m.first_seen_ns for m in chain]),
+            last_seen_ns=np.concatenate([m.last_seen_ns for m in chain]),
+            faces=np.concatenate([m.faces for m in chain]),
+        )
+        return out
 
     @staticmethod
     def _finalize(dsg: SceneGraph) -> None:
@@ -88,7 +178,7 @@ class SpatioTemporalMap:
             return None
         idx = int(np.searchsorted(self.stamps_ns, robot_time_ns, side="right")) - 1
         idx = max(idx, 0)
-        snap = self.snapshots[idx]
+        snap = self._materialize(idx)
         out = SceneGraph()
         q = robot_time_ns if query_time_ns is None else query_time_ns
 
@@ -139,13 +229,18 @@ class SpatioTemporalMap:
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
-        """Versioned `.4dmap` archive (npz)."""
+        """Versioned `.4dmap` archive (npz). Version 2 stores the
+        prefix-shared form (per-snapshot base index + mesh delta), so the
+        file grows with the changes, not O(snapshots x vertices)."""
         arrays = {
             "format_version": np.asarray([FORMAT_VERSION]),
             "stamps_ns": np.asarray(self.stamps_ns, np.int64),
+            "bases": np.asarray([s["base"] for s in self._stores], np.int64),
         }
-        for i, snap in enumerate(self.snapshots):
-            arrays.update(serialization.scene_graph_arrays(snap, prefix=f"snap/{i}/"))
+        for i, store in enumerate(self._stores):
+            arrays.update(
+                serialization.scene_graph_arrays(store["graph"], prefix=f"snap/{i}/")
+            )
         np.savez_compressed(path, **arrays)
 
     @staticmethod
@@ -153,12 +248,24 @@ class SpatioTemporalMap:
         out = SpatioTemporalMap()
         with np.load(path, allow_pickle=False) as data:
             version = int(data["format_version"][0])
-            if version != FORMAT_VERSION:
+            if version not in (1, 2):
                 raise ValueError(f"unsupported 4dmap version {version}")
             stamps = data["stamps_ns"]
             out.stamps_ns = [int(s) for s in stamps]
+            bases = (
+                data["bases"]
+                if version >= 2
+                else np.full(len(stamps), -1, np.int64)
+            )
             for i in range(len(stamps)):
-                out.snapshots.append(
-                    serialization.scene_graph_from_arrays(data, prefix=f"snap/{i}/")
+                out._stores.append(
+                    {
+                        "base": int(bases[i]),
+                        "graph": serialization.scene_graph_from_arrays(
+                            data, prefix=f"snap/{i}/"
+                        ),
+                    }
                 )
+        if out._stores:
+            out._last_full = out._materialize(len(out._stores) - 1).mesh
         return out

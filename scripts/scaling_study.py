@@ -22,6 +22,84 @@ import sys
 import time
 
 
+def child_aot(n_devices: int) -> None:
+    """Compile-only partitioning quality at the PRODUCTION operating point
+    (480x640 image, 160x160x48 grid): per-device FLOPs of the
+    SPMD-partitioned fused step, no timing (this host cannot run N real
+    devices; ICI-connected chips realize the partitioned FLOPs directly).
+    Round-3 VERDICT task 5."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from khronos_tpu.active_window.active_window import ActiveWindow, ActiveWindowConfig
+    from khronos_tpu.config import build
+    from khronos_tpu.data import synthetic as syn
+    from khronos_tpu.geometry.camera import Camera
+
+    H, W = 480, 640
+    cfg = build(ActiveWindowConfig, {
+        "volumetric_map": {"grid_shape": [160, 160, 48], "voxel_size": 0.1},
+        "n_devices": n_devices,
+        "min_output_separation": 1e9,
+        "motion_detector": {"type": "FreeSpaceMotionDetector", "min_cluster_size": 1500},
+        "object_detector": {"type": "ConnectedSemantics", "min_cluster_size": 750},
+        "tracker": None,
+        "object_extractor": None,
+    })
+    camera = Camera(H, W, W * 0.625, W * 0.625, W / 2, H / 2, 0.1, 5.0)
+    aw = ActiveWindow(cfg, camera, syn.default_label_space())
+    jitted = getattr(aw._fused_step, "jitted", None) or aw._fused_step
+    depth = jnp.zeros((H, W), jnp.float32)
+    color = jnp.zeros((H, W, 3), jnp.float32)
+    labels = jnp.zeros((H, W), jnp.int32)
+    R = jnp.eye(3, dtype=jnp.float32)
+    t = jnp.zeros(3, jnp.float32)
+    cost = jitted.lower(
+        aw.state, depth, color, labels, R, t, jnp.float32(0.0)
+    ).compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0] if cost else {}
+    print(json.dumps({
+        "n_devices": n_devices,
+        "flops_per_device": float(cost.get("flops", 0.0)),
+    }))
+
+
+def main_aot() -> None:
+    rows = []
+    f1 = None
+    for n in (1, 2, 4, 8):
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
+        env.setdefault("PYTHONPATH", ".")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--aot-child", str(n)],
+            capture_output=True, text=True, env=env, timeout=2400,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print(f"N={n} failed:\n{out.stderr[-2000:]}", file=sys.stderr)
+            continue
+        row = json.loads(line[-1])
+        if f1 is None:
+            f1 = row["flops_per_device"]
+        row["efficiency_partitioning"] = round(f1 / (n * row["flops_per_device"]), 3)
+        row["operating_point"] = "480x640_grid160x160x48"
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    try:
+        existing = json.load(open("SCALING.json"))
+    except Exception:
+        existing = []
+    existing = [r for r in existing if r.get("operating_point") != "480x640_grid160x160x48"]
+    json.dump(existing + rows, open("SCALING.json", "w"), indent=1)
+    print("appended production-shape rows to SCALING.json", file=sys.stderr)
+
+
 def child(n_devices: int) -> None:
     import numpy as np
 
@@ -91,9 +169,17 @@ def child(n_devices: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", type=int, default=0)
+    ap.add_argument("--aot-child", type=int, default=0)
+    ap.add_argument("--aot", action="store_true")
     args = ap.parse_args()
     if args.child:
         child(args.child)
+        return
+    if args.aot_child:
+        child_aot(args.aot_child)
+        return
+    if args.aot:
+        main_aot()
         return
 
     nproc = os.cpu_count() or 1

@@ -368,6 +368,52 @@ class TestSpatioTemporalMap:
         # vertices with first_seen <= 14 only
         assert (dsg.mesh.first_seen_ns <= int(14e9)).all()
 
+    def test_prefix_shared_storage(self, tmp_path):
+        """Round-3 task 8: append-only snapshot growth stores only the mesh
+        delta (base-chain), a prefix break (removal) stores a full chunk, and
+        the v2 archive round-trips."""
+        from khronos_tpu.stm.spatio_temporal_map import SpatioTemporalMap
+
+        stm = SpatioTemporalMap()
+
+        def make(n, drop_first=False):
+            dsg = SceneGraph()
+            verts = [[i * 0.1, 0, 0] for i in range(n)]
+            first = [float(i) for i in range(n)]
+            last = [100.0] * n
+            if drop_first:
+                verts, first, last = verts[1:], first[1:], last[1:]
+            dsg.mesh = make_mesh(verts, first, last)
+            dsg.agents = make_agents([0, 0, 0], np.arange(0, n, 1.0))
+            return dsg
+
+        stm.update(make(10), int(10e9))
+        stm.update(make(14), int(20e9))  # append-only: shares the 10-prefix
+        stm.update(make(18), int(30e9))  # chains on snapshot 1
+        assert stm._stores[0]["base"] == -1
+        assert stm._stores[1]["base"] == 0
+        assert stm._stores[2]["base"] == 1
+        assert stm._stores[1]["graph"].mesh.num_vertices == 4  # delta only
+        # materialization rebuilds the full mesh through the chain
+        assert stm.snapshots[2].mesh.num_vertices == 18
+        np.testing.assert_allclose(
+            stm.snapshots[2].mesh.vertices[:10], stm.snapshots[0].mesh.vertices
+        )
+        # a removal breaks the prefix -> full chunk
+        stm.update(make(18, drop_first=True), int(40e9))
+        assert stm._stores[3]["base"] == -1
+        # round-trip (v2 archive)
+        path = str(tmp_path / "m.4dmap.npz")
+        stm.save(path)
+        stm2 = SpatioTemporalMap.load(path)
+        assert stm2._stores[2]["base"] == 1
+        for i in range(4):
+            np.testing.assert_allclose(
+                stm2.snapshots[i].mesh.vertices, stm.snapshots[i].mesh.vertices
+            )
+        d = stm2.get_dsg(int(35e9))
+        assert d.mesh.num_vertices == 18
+
     def test_save_load_roundtrip(self, tmp_path):
         from khronos_tpu.stm.spatio_temporal_map import SpatioTemporalMap
 

@@ -193,6 +193,88 @@ class TestOfficePipeline:
 
 class TestSceneGraphLcdPipeline:
     @pytest.mark.slow
+    def test_drifted_run_closed_by_appearance_stream(self, tmp_path):
+        """Round-3 task 7: hybrid LCD with an EMPTY object layer (no object
+        labels -> constellation matching can never fire) must still close the
+        drifted loop through the appearance stream (reference BoW appearance
+        queries, khronos.launch.yaml:49 -> kimera_vio bow_query), with
+        registration-residual sigmas on the factor."""
+        from khronos_tpu.eval.evaluators import evaluate_trajectory
+
+        duration, fps = 24.0, 3.0
+        scene = syn.office_scene(duration=duration)
+        seq = syn.SyntheticSequence(
+            scene,
+            syn.SyntheticSequenceConfig(
+                duration=duration, fps=fps, height=60, width=80,
+                fx=50.0, fy=50.0, cx=40.0, cy=30.0, n_loops=2.0,
+                drift_rate=0.06,
+            ),
+        )
+        cfg = build(
+            PipelineConfig,
+            {
+                "active_window": {
+                    "volumetric_map": {"grid_shape": [128, 128, 32], "voxel_size": 0.1},
+                    "tracker": {"type": "MaxIouTracker", "min_num_observations": 3},
+                },
+                "backend": {
+                    "lcd": {
+                        "type": "HybridLoopClosure",
+                        "constellation": {"min_time_gap": 8.0, "min_objects": 3},
+                        "appearance": {
+                            "min_time_gap": 8.0,
+                            "min_appearance_similarity": 0.9,
+                            "max_registration_rms": 0.3,
+                            "noise_bound": 0.15,
+                        },
+                    }
+                },
+                # NO object labels: the object layer stays empty, so the
+                # constellation stream is structurally unable to fire
+                "label_space": {"num_classes": 7, "object_labels": [], "dynamic_labels": [1]},
+                "run_change_detection_every_n_frames": 60,
+            },
+        )
+        pipe = KhronosPipeline(cfg, seq.camera)
+        out_dir = str(tmp_path / "run")
+        mgr = ExperimentManager(ExperimentConfig(output_dir=out_dir), pipe, cfg)
+        frames, gt_stamps, gt_pos = [], [], []
+        for i in range(seq.n_frames):
+            f = seq.render_frame(i)
+            Ro, to = seq.odometry_pose(i)
+            frames.append(
+                FrameData(
+                    stamp_ns=f["stamp_ns"], depth=f["depth"], color=f["color"],
+                    labels=f["labels"],
+                    R_w_c=np.asarray(Ro, np.float32),
+                    t_w_c=np.asarray(to, np.float32),
+                )
+            )
+            gt_stamps.append(int(f["stamp_ns"]))
+            gt_pos.append(np.asarray(f["t_gt"], np.float64))
+        mgr.run(frames, None)
+
+        lcd = pipe.backend.lcd
+        assert lcd.constellation_fires == 0, "constellation fired with no objects?"
+        assert lcd.appearance_fires >= 1, "appearance stream never fired"
+        assert len(pipe.backend.loop_closures) >= 1
+        # sigma came from the registration residual, not the config default
+        assert all(lc.sigma_trans is not None for lc in pipe.backend.loop_closures)
+        dsg = pipe.backend.get_dsg()
+        est = evaluate_trajectory(
+            np.asarray([a.stamp_ns for a in dsg.agents], np.int64),
+            np.stack([a.t_w_b for a in dsg.agents]),
+            np.asarray(gt_stamps, np.int64), np.stack(gt_pos),
+        )
+        odo = evaluate_trajectory(
+            np.asarray(gt_stamps, np.int64),
+            np.stack([np.asarray(f.t_w_c, np.float64) for f in frames]),
+            np.asarray(gt_stamps, np.int64), np.stack(gt_pos),
+        )
+        assert odo["ate_rmse"] > 0.01, "drift injection broken"
+        assert est["ate_rmse"] < odo["ate_rmse"], (est, odo)
+
     def test_drifted_run_closed_by_object_constellations(self, tmp_path):
         """Full pipeline with NO GT oracle and no depth-descriptor LCD:
         loop closure comes purely from scene-graph object-constellation
