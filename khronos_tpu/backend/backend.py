@@ -278,7 +278,14 @@ class Backend:
     def finish_processing(self):
         """Final optimization (backend.cpp:218-226)."""
         if self.graph.num_nodes:
+            n_before = len(self.proposed_merges)
             self.optimize()
+            # merge proposals born in that final optimize added identity
+            # factors the solve has NOT judged yet; without one more GNC
+            # pass, cross-visit twins extracted near the end stay unmerged
+            # and both report phantom changes
+            if len(self.proposed_merges) > n_before:
+                self.optimize()
 
     # ------------------------------------------------------------------
     def _trajectory_correction(self):

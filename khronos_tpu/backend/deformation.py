@@ -60,7 +60,14 @@ def _deform_points(
     k: int,
 ):
     """Embedded-deformation blend: x' = sum_j w_j (R_j (x - g_j) + g'_j)."""
-    d2 = jnp.sum((points[:, None, :] - ctrl_old[None, :, :]) ** 2, axis=-1)  # [V, C]
+    # |p-g|^2 via the matmul identity: materializing the [V, C, 3]
+    # difference tensor OOMed HBM at 155k points x thousands of controls
+    # (soak run); the matmul form peaks at [V, C] and runs on the MXU
+    d2 = (
+        jnp.sum(points**2, axis=1)[:, None]
+        + jnp.sum(ctrl_old**2, axis=1)[None, :]
+        - 2.0 * points @ ctrl_old.T
+    )  # [V, C]
     neg_d2, idx = jax.lax.top_k(-d2, k)  # [V, k]
     d = jnp.sqrt(jnp.maximum(-neg_d2, 1e-12))
     # pgmo-style weights: (1 - d/d_max)^2 with d_max = distance to (k+1)-th;
@@ -115,14 +122,24 @@ class DeformationGraph:
         )  # original control positions in graph frame
         g_new = node_t[ids]
         k = min(self.config.interp_k, self.num_controls)
-        out = _deform_points(
-            jnp.asarray(points, jnp.float32),
-            jnp.asarray(g_old, jnp.float32),
-            jnp.asarray(corr_R, jnp.float32),
-            jnp.asarray(g_new, jnp.float32),
-            k,
-        )
-        return np.asarray(out)
+        g_old_d = jnp.asarray(g_old, jnp.float32)
+        corr_R_d = jnp.asarray(corr_R, jnp.float32)
+        g_new_d = jnp.asarray(g_new, jnp.float32)
+        # fixed-size chunks over points: one compiled program reused across
+        # chunks, bounded [chunk, C] memory regardless of mesh size
+        CHUNK = 65536
+        pts = np.asarray(points, np.float32)
+        P = len(pts)
+        pad = (-P) % CHUNK
+        if pad:
+            pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+        outs = [
+            _deform_points(
+                jnp.asarray(pts[s : s + CHUNK]), g_old_d, corr_R_d, g_new_d, k
+            )
+            for s in range(0, len(pts), CHUNK)
+        ]
+        return np.concatenate([np.asarray(o) for o in outs])[:P]
 
 
 def interpolate_stamped_corrections(

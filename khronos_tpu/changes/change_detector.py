@@ -29,6 +29,12 @@ class RayChangeDetectorConfig:
     presence_confidence: float = 0.2
     min_rays_per_window: int = 1
     use_relative_confidence: bool = True
+    # Laplace-style prior added to the window total in the relative branch:
+    # frac = count / (total + prior). Damps one-or-two-ray windows (the ray
+    # policies sample observers by STAMP range, not actual visibility, so a
+    # single fabricated ray through an occluder can otherwise flag a phantom
+    # absence) while leaving dense evidence untouched. 0 = off.
+    evidence_prior: float = 0.0
 
 
 @functools.partial(jax.jit, static_argnames=("window_size", "use_relative"))
@@ -38,6 +44,7 @@ def _scan_device(
     absence_conf,
     presence_conf,
     min_rays,
+    prior,
     window_size: int,
     use_relative: bool,
 ):
@@ -53,13 +60,20 @@ def _scan_device(
     starts = jnp.arange(B)  # window [i, min(i+w, B))
     ends = jnp.minimum(starts + w, B)
     win = cs[:, ends] - cs[:, starts]  # [P, B, 2]
+    # a window whose START bin is outside the queried range must not fire:
+    # its time (the window start) would be reported outside [t_min, t_max]
+    # even though its qualifying evidence lies inside (e.g. a "last absent
+    # at t=1 s" for an object last seen at 3 s). Evidence masking alone is
+    # not enough.
+    win = win * bin_valid[None, :, None]
     match = win[..., 0].astype(jnp.float32)
     absent = win[..., 1].astype(jnp.float32)
     total = match + absent
     enough = total >= min_rays
     if use_relative:
-        frac_abs = jnp.where(total > 0, absent / jnp.maximum(total, 1.0), 0.0)
-        frac_match = jnp.where(total > 0, match / jnp.maximum(total, 1.0), 0.0)
+        denom = jnp.maximum(total + prior, 1.0)
+        frac_abs = jnp.where(total > 0, absent / denom, 0.0)
+        frac_match = jnp.where(total > 0, match / denom, 0.0)
         is_absent = enough & (frac_abs > absence_conf)
         is_present = enough & (frac_match > presence_conf)
     else:
@@ -120,6 +134,7 @@ class RayChangeDetector:
             cfg.absence_confidence,
             cfg.presence_confidence,
             cfg.min_rays_per_window,
+            cfg.evidence_prior,
             cfg.window_size,
             cfg.use_relative_confidence,
         )

@@ -34,6 +34,12 @@ from khronos_tpu.utils.timing import Timer
 class ObjectChangeDetectionConfig:
     vertex_subsample: int = 32  # mesh vertices queried per object
     time_filtering_threshold: float = 1.0  # s slack around first/last seen
+    # pull query points toward the object centroid (m): surface vertices sit
+    # up to a voxel OUTSIDE the true surface (marching-cubes bias), where
+    # rays grazing the silhouette edge within radial_tolerance read as
+    # phantom absence. A true removal still puts every inset point on ray
+    # paths. Capped at 40% of each vertex's distance to the centroid.
+    query_inset: float = 0.1
 
 
 @dataclasses.dataclass
@@ -148,7 +154,14 @@ class SequentialChangeDetector:
         if len(verts) > cfg.vertex_subsample:
             sel = np.linspace(0, len(verts) - 1, cfg.vertex_subsample).astype(int)
             verts = verts[sel]
-        return np.asarray(verts, np.float32)
+        verts = np.asarray(verts, np.float32)
+        if cfg.query_inset > 0 and len(verts) > 1:
+            c = verts.mean(axis=0)
+            d = verts - c
+            n = np.linalg.norm(d, axis=1, keepdims=True)
+            shrink = np.minimum(cfg.query_inset, 0.4 * n)
+            verts = verts - d / np.maximum(n, 1e-6) * shrink
+        return verts
 
     def _detect_object_changes(self, dsg, full: bool = True) -> None:
         cfg = self.config.objects
@@ -204,9 +217,15 @@ class SequentialChangeDetector:
         points = np.concatenate(pts_all).astype(np.float32)
         ev = self.verificator.query(points)  # [P, B, 2]
         B = ev.shape[1]
-        # per-object evidence: sum over its vertices
+        # per-object evidence: each query POINT casts at most one vote per
+        # bin and class, and the scan thresholds are fractions of VOTING
+        # POINTS. Summing raw ray counts lets a couple of silhouette-grazing
+        # rays through one edge point dominate (background near objects is
+        # stripped at reconciliation, so a present object produces little
+        # match evidence to outvote them); a true removal puts through-rays
+        # on most of the object's points.
         obj_ev = np.zeros((len(scan), B, 2), np.int64)
-        np.add.at(obj_ev, seg, ev)
+        np.add.at(obj_ev, seg, (ev > 0).astype(np.int64))
 
         bin_s = self.detector.bin_size_s
         origin = self.verificator.bin_origin_s
@@ -215,7 +234,16 @@ class SequentialChangeDetector:
             self._obj_known[o.node_id] = env[o.node_id]
             first_seen_s = first_ns * 1e-9
             last_seen_s = last_ns * 1e-9
-            oc = self.changes.object_changes.get(o.node_id) or ObjectChange(o.node_id)
+            # each (re)scan RECOMPUTES the record from the full evidence
+            # history — carrying fields found by an earlier pass forward
+            # would preserve stale decisions after the object's envelope
+            # changed (merges, growing last_seen) even when the new scan
+            # finds nothing (reference rebuilds the ObjectChange per pass,
+            # ray_object_change_detector.cpp:62-163). merged_id survives.
+            prev = self.changes.object_changes.get(o.node_id)
+            oc = ObjectChange(o.node_id)
+            if prev is not None:
+                oc.merged_id = prev.merged_id
             # BEFORE window: evidence strictly before first seen
             pre = self.detector.scan(
                 obj_ev[k : k + 1],

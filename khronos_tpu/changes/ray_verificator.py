@@ -58,6 +58,16 @@ class RayVerificatorConfig:
     # per-bin resolution = temporal_resolution instead of clipping into the
     # last bin of a fixed [0, num_bins * temporal_resolution] horizon.
     num_bins: int = 64
+    # Physical plausibility gates: observers are sampled by STAMP range, so
+    # a policy can pair a vertex with a pose that could not have observed it
+    # (beyond sensor range, or outside the camera frustum) — a fabricated
+    # ray whose absence evidence reads through whatever actually occludes
+    # it. Rays longer than max_ray_length, or more than max_ray_angle_deg
+    # off the observer's forward axis, are dropped at generation. 0 disables
+    # either gate; the pipeline wires the camera's max_range (+5%) and
+    # diagonal half-FOV in automatically.
+    max_ray_length: float = 0.0
+    max_ray_angle_deg: float = 0.0
 
     def check(self):
         check_gt(self.block_size, 0.0, "block_size")
@@ -308,6 +318,25 @@ class RayVerificator:
         target_idx = np.concatenate(
             [np.arange(v_lo, V, dtype=np.int32)] * len(obs)
         )
+        ok = np.ones(len(origins), bool)
+        if cfg.max_ray_length > 0:
+            ok &= np.linalg.norm(targets - origins, axis=1) <= cfg.max_ray_length
+        if cfg.max_ray_angle_deg > 0 and dsg.agents:
+            # observer forward axis (camera z column of the body rotation)
+            fwd_all = np.stack(
+                [np.asarray(a.R_w_b)[:, 2] for a in dsg.agents]
+            ).astype(np.float32)
+            obs_idx = np.concatenate(obs)
+            fwd = fwd_all[obs_idx]
+            d = targets - origins
+            dn = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-6)
+            cosang = np.einsum("ij,ij->i", dn, fwd)
+            ok &= cosang >= np.cos(np.radians(cfg.max_ray_angle_deg))
+        if not ok.all():
+            origins, targets = origins[ok], targets[ok]
+            stamps, target_idx = stamps[ok], target_idx[ok]
+        if len(origins) == 0:
+            return None
         return origins, targets, stamps, target_idx
 
     def build(self, dsg) -> None:

@@ -163,14 +163,16 @@ class Reconciler:
                 )[order]
                 dst.trajectory_stamps_ns = stamps.tolist()
                 dst.trajectory_positions = pos.astype(np.float32)
-            # merge change records
+            # merge change records: mark the absorbed side only. The
+            # survivor does NOT inherit the twin's absence evidence — its
+            # own scan already runs over the merged-set observation envelope
+            # (detectors._detect_object_changes), and the twin's record was
+            # computed against its pre-merge envelope (copying it forward
+            # hallucinated appearances, e.g. a twin "absent" before a
+            # first-seen the merged object does not have).
             oc_src = changes.object_changes.get(m.from_id)
-            oc_dst = changes.object_changes.setdefault(m.into_id, ObjectChange(m.into_id))
+            changes.object_changes.setdefault(m.into_id, ObjectChange(m.into_id))
             if oc_src is not None:
-                if oc_dst.first_absent_ns < 0:
-                    oc_dst.first_absent_ns = oc_src.first_absent_ns
-                if oc_src.last_absent_ns >= 0:
-                    oc_dst.last_absent_ns = oc_src.last_absent_ns
                 oc_src.merged_id = m.into_id
             del dsg.objects[m.from_id]
 

@@ -83,6 +83,21 @@ class KhronosPipeline:
         self.label_space = config.label_space.create()
         self.active_window = ActiveWindow(config.active_window, camera, self.label_space)
         self.backend = Backend(config.backend)
+        if config.change_detection.verificator.max_ray_length <= 0:
+            # physical plausibility: rays longer than the sensor range
+            # cannot have been observed (see RayVerificatorConfig)
+            config.change_detection.verificator.max_ray_length = (
+                camera.max_range * 1.05
+            )
+        if config.change_detection.verificator.max_ray_angle_deg <= 0:
+            # ... nor can targets outside the camera frustum (diagonal
+            # half-FOV + slack)
+            half_diag = np.degrees(
+                np.arctan(np.hypot(camera.cx / camera.fx, camera.cy / camera.fy))
+            )
+            config.change_detection.verificator.max_ray_angle_deg = (
+                float(half_diag) * 1.05
+            )
         self.change_detector = SequentialChangeDetector(config.change_detection)
         self.reconciler = Reconciler(config.reconciler)
         self.places_extractor = (

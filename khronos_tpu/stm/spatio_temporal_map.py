@@ -58,20 +58,22 @@ class _SnapshotView:
 
 
 class SpatioTemporalMap:
-    """Snapshots are stored PREFIX-SHARED: the backend mesh is append-only
-    with frozen per-vertex stamps between optimizations, so when a new
-    snapshot's vertex/face prefix is bit-identical to the previous snapshot,
-    only the appended tail is stored (base-chain + delta). Reconciliation
-    removals and loop-closure deformations break the prefix and store a full
-    chunk. RAM and `.4dmap` size grow with the CHANGES, not
-    O(snapshots x vertices) (reference clones per snapshot,
-    spatio_temporal_map.cpp:100-118 — the soak test showed that blows up on
-    long runs)."""
+    """Snapshots are stored DELTA-SHARED: the backend mesh is append-only
+    with frozen per-vertex stamps between optimizations, and reconciliation
+    only REMOVES vertices, so consecutive snapshots relate as
+    `new = prev[keep_mask] ++ appended_tail` (stable first-seen order). Each
+    snapshot stores the keep mask (1 bit/vertex), the appended tail, and the
+    appended faces; surviving faces re-derive from the base by index remap.
+    Loop-closure deformations (positions moved) fall back to a full chunk.
+    RAM and the `.4dmap` archive grow with the CHANGES, not
+    O(snapshots x vertices) (the reference clones per snapshot,
+    spatio_temporal_map.cpp:100-118 — which blows up on long runs)."""
 
     def __init__(self):
         self.stamps_ns: List[int] = []
-        # per snapshot: {"base": int (-1 = full), "graph": SceneGraph whose
-        # mesh holds only the delta past the base's materialized mesh}
+        # per snapshot: {"base": int (-1 = full), "keep": bool[V_base]|None,
+        # "graph": SceneGraph whose mesh holds only the appended tail and
+        # the appended faces (final-snapshot vertex indexing)}
         self._stores: List[dict] = []
         self._last_full: Optional[Mesh] = None  # previous snapshot's full mesh
 
@@ -81,37 +83,78 @@ class SpatioTemporalMap:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _is_prefix(full: Mesh, prev: Mesh) -> bool:
-        V, F = prev.num_vertices, prev.num_faces
-        return (
-            full.num_vertices >= V
-            and full.num_faces >= F
-            and np.array_equal(full.first_seen_ns[:V], prev.first_seen_ns)
-            and np.array_equal(full.last_seen_ns[:V], prev.last_seen_ns)
-            and np.array_equal(full.vertices[:V], prev.vertices)
-            and np.array_equal(full.colors[:V], prev.colors)
-            and np.array_equal(full.labels[:V], prev.labels)
-            and np.array_equal(full.faces[:F], prev.faces)
+    def _row_keys(mesh: Mesh) -> np.ndarray:
+        """int64 content key per vertex (stamp + position bits); collisions
+        are harmless — candidates are verified element-wise before use."""
+        xb = np.ascontiguousarray(mesh.vertices, np.float32).view(np.uint32)
+        k = mesh.first_seen_ns.astype(np.int64) * np.int64(1000003)
+        k ^= xb[:, 0].astype(np.int64) * np.int64(0x9E3779B1)
+        k ^= xb[:, 1].astype(np.int64) * np.int64(0x85EBCA77)
+        k ^= xb[:, 2].astype(np.int64) * np.int64(0xC2B2AE3D)
+        return k
+
+    @classmethod
+    def _make_delta(cls, prev: Mesh, new: Mesh):
+        """Try to express `new` as prev[keep] ++ tail (+ appended faces).
+        Returns (keep_mask, tail_mesh, last_seen_full) or None.
+
+        Vertex identity EXCLUDES last_seen_ns: re-observation updates the
+        last-seen stamp of existing vertices every pass, which would break
+        sharing for the entire re-observed region — instead the (well
+        compressing) last_seen array is stored per snapshot in full and the
+        heavy arrays (positions, colors, labels, faces) are shared."""
+        Vp, Vn = prev.num_vertices, new.num_vertices
+        if Vp == 0:
+            return None
+        keep = np.isin(cls._row_keys(prev), cls._row_keys(new))
+        n_old = int(keep.sum())
+        if n_old > Vn:
+            return None
+        # verify prev[keep] == new[:n_old] exactly (hash collisions, order)
+        sel = np.nonzero(keep)[0]
+        if not (
+            np.array_equal(prev.first_seen_ns[sel], new.first_seen_ns[:n_old])
+            and np.array_equal(prev.vertices[sel], new.vertices[:n_old])
+            and np.array_equal(prev.colors[sel], new.colors[:n_old])
+            and np.array_equal(prev.labels[sel], new.labels[:n_old])
+        ):
+            return None
+        # faces: surviving base faces (remapped) must form the new prefix
+        remap = -np.ones(Vp, np.int64)
+        remap[keep] = np.arange(n_old)
+        if prev.num_faces:
+            f = remap[prev.faces]
+            derived = f[(f >= 0).all(axis=1)]
+        else:
+            derived = np.zeros((0, 3), np.int64)
+        Fd = len(derived)
+        if new.num_faces < Fd or not np.array_equal(new.faces[:Fd], derived):
+            return None
+        tail = Mesh(
+            vertices=new.vertices[n_old:].copy(),
+            colors=new.colors[n_old:].copy(),
+            labels=new.labels[n_old:].copy(),
+            first_seen_ns=new.first_seen_ns[n_old:].copy(),
+            last_seen_ns=new.last_seen_ns[n_old:].copy(),
+            faces=new.faces[Fd:].copy(),  # final-snapshot indexing
         )
+        return keep, tail, new.last_seen_ns.copy()
 
     def update(self, dsg: SceneGraph, stamp_ns: int) -> None:
         """Add a reconciled snapshot (finalized: vertices sorted by first_seen)."""
         snap = dsg.clone()
         self._finalize(snap)
         full_mesh = snap.mesh
-        base = -1
-        if self._last_full is not None and self._is_prefix(full_mesh, self._last_full):
-            base = len(self._stores) - 1
-            V, F = self._last_full.num_vertices, self._last_full.num_faces
-            snap.mesh = Mesh(
-                vertices=full_mesh.vertices[V:].copy(),
-                colors=full_mesh.colors[V:].copy(),
-                labels=full_mesh.labels[V:].copy(),
-                first_seen_ns=full_mesh.first_seen_ns[V:].copy(),
-                last_seen_ns=full_mesh.last_seen_ns[V:].copy(),
-                faces=full_mesh.faces[F:].copy(),
-            )
-        self._stores.append({"base": base, "graph": snap})
+        base, keep, last_seen = -1, None, None
+        if self._last_full is not None:
+            delta = self._make_delta(self._last_full, full_mesh)
+            if delta is not None:
+                keep, tail, last_seen = delta
+                base = len(self._stores) - 1
+                snap.mesh = tail
+        self._stores.append(
+            {"base": base, "keep": keep, "last_seen": last_seen, "graph": snap}
+        )
         self.stamps_ns.append(int(stamp_ns))
         self._last_full = full_mesh
 
@@ -120,22 +163,46 @@ class SpatioTemporalMap:
         store = self._stores[i]
         if store["base"] < 0:
             return store["graph"]
-        # collect the delta chain back to the nearest full chunk
+        if store.get("_cache") is not None:
+            return store["_cache"]
         chain = []
         j = i
-        while j >= 0:
-            chain.append(self._stores[j]["graph"].mesh)
+        while j >= 0 and self._stores[j]["base"] >= 0:
+            chain.append(self._stores[j])
             j = self._stores[j]["base"]
-        chain.reverse()
+        mesh = self._stores[j]["graph"].mesh  # full root chunk
+        for st in reversed(chain):
+            keep, tail = st["keep"], st["graph"].mesh
+            sel = np.nonzero(keep)[0]
+            n_old = len(sel)
+            remap = -np.ones(len(keep), np.int64)
+            remap[keep] = np.arange(n_old)
+            if mesh.num_faces:
+                f = remap[mesh.faces]
+                derived = f[(f >= 0).all(axis=1)]
+            else:
+                derived = np.zeros((0, 3), np.int64)
+            last_seen = st.get("last_seen")
+            if last_seen is None:
+                last_seen = np.concatenate(
+                    [mesh.last_seen_ns[sel], tail.last_seen_ns]
+                )
+            mesh = Mesh(
+                vertices=np.concatenate([mesh.vertices[sel], tail.vertices]),
+                colors=np.concatenate([mesh.colors[sel], tail.colors]),
+                labels=np.concatenate([mesh.labels[sel], tail.labels]),
+                first_seen_ns=np.concatenate(
+                    [mesh.first_seen_ns[sel], tail.first_seen_ns]
+                ),
+                last_seen_ns=last_seen,
+                faces=np.concatenate([derived, tail.faces]),
+            )
         out = store["graph"].clone()
-        out.mesh = Mesh(
-            vertices=np.concatenate([m.vertices for m in chain]),
-            colors=np.concatenate([m.colors for m in chain]),
-            labels=np.concatenate([m.labels for m in chain]),
-            first_seen_ns=np.concatenate([m.first_seen_ns for m in chain]),
-            last_seen_ns=np.concatenate([m.last_seen_ns for m in chain]),
-            faces=np.concatenate([m.faces for m in chain]),
-        )
+        out.mesh = mesh
+        # cache only the most recent materialization (the common access)
+        for st in self._stores:
+            st.pop("_cache", None)
+        store["_cache"] = out
         return out
 
     @staticmethod
@@ -241,6 +308,10 @@ class SpatioTemporalMap:
             arrays.update(
                 serialization.scene_graph_arrays(store["graph"], prefix=f"snap/{i}/")
             )
+            if store.get("keep") is not None:
+                arrays[f"snap/{i}/keep"] = np.packbits(store["keep"])
+                arrays[f"snap/{i}/keep_len"] = np.asarray([len(store["keep"])])
+                arrays[f"snap/{i}/last_seen"] = store["last_seen"]
         np.savez_compressed(path, **arrays)
 
     @staticmethod
@@ -258,9 +329,17 @@ class SpatioTemporalMap:
                 else np.full(len(stamps), -1, np.int64)
             )
             for i in range(len(stamps)):
+                keep = last_seen = None
+                if f"snap/{i}/keep" in data:
+                    n = int(data[f"snap/{i}/keep_len"][0])
+                    keep = np.unpackbits(data[f"snap/{i}/keep"])[:n].astype(bool)
+                    if f"snap/{i}/last_seen" in data:
+                        last_seen = data[f"snap/{i}/last_seen"]
                 out._stores.append(
                     {
                         "base": int(bases[i]),
+                        "keep": keep,
+                        "last_seen": last_seen,
                         "graph": serialization.scene_graph_from_arrays(
                             data, prefix=f"snap/{i}/"
                         ),

@@ -72,7 +72,7 @@ def run(stride: int, out_dir: str):
             "run_change_detection_every_n_frames": 50,
             "change_detection": {
                 "verificator": {"ray_policy": "All", "temporal_resolution": 2.0},
-                "detector": {"window_size": 3},
+                "detector": {"window_size": 3, "evidence_prior": 2.0},
             },
         },
     )

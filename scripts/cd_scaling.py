@@ -98,6 +98,12 @@ def run_once(n_verts: int, n_objects: int) -> dict:
     t0 = time.perf_counter()
     changes = det.detect_changes(dsg, had_loop_closure=True, merges=[])
     t_detect = time.perf_counter() - t0
+    # steady-state incremental pass (no LC, no new geometry): background and
+    # object work gate on touched hash cells — round-3 task 9 requires the
+    # OBJECT pass to stay flat as object count grows 10x
+    t0 = time.perf_counter()
+    det.detect_changes(dsg, had_loop_closure=False, merges=[])
+    t_incr = time.perf_counter() - t0
     t0 = time.perf_counter()
     rec.reconcile(dsg, changes, [])
     t_reconcile = time.perf_counter() - t0
@@ -106,6 +112,7 @@ def run_once(n_verts: int, n_objects: int) -> dict:
         "n_verts": n_verts,
         "n_objects": n_objects,
         "detect_s": round(t_detect, 3),
+        "detect_incremental_s": round(t_incr, 3),
         "reconcile_s": round(t_reconcile, 3),
         "total_s": round(total, 3),
         "ms_per_kvert": round(total / (n_verts / 1000.0) * 1000.0, 2),

@@ -70,7 +70,7 @@ def run_once(name: str, min_obs: int, min_disp: float, args, extra=None) -> dict
             "change_detection": {
                 "verificator": {"ray_policy": "All", "temporal_resolution": 2.0,
                                 "num_bins": 32},
-                "detector": {"window_size": 3},
+                "detector": {"window_size": 3, "evidence_prior": 2.0},
             },
         },
     )

@@ -399,9 +399,12 @@ class TestSpatioTemporalMap:
         np.testing.assert_allclose(
             stm.snapshots[2].mesh.vertices[:10], stm.snapshots[0].mesh.vertices
         )
-        # a removal breaks the prefix -> full chunk
+        # a removal still delta-shares: keep mask with the dropped vertex off
         stm.update(make(18, drop_first=True), int(40e9))
-        assert stm._stores[3]["base"] == -1
+        assert stm._stores[3]["base"] == 2
+        assert stm._stores[3]["keep"].sum() == 17
+        assert stm._stores[3]["graph"].mesh.num_vertices == 0  # no tail
+        assert stm.snapshots[3].mesh.num_vertices == 17
         # round-trip (v2 archive)
         path = str(tmp_path / "m.4dmap.npz")
         stm.save(path)

@@ -63,7 +63,7 @@ def office_run(tmp_path_factory):
             "run_change_detection_every_n_frames": 24,
             "change_detection": {
                 "verificator": {"ray_policy": "All", "temporal_resolution": 2.0, "num_bins": 32},
-                "detector": {"window_size": 3},
+                "detector": {"window_size": 3, "evidence_prior": 2.0},
             },
         },
     )
