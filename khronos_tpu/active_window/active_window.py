@@ -65,6 +65,11 @@ class ActiveWindowConfig:
     # device-side dynamic-integration mask is unaffected. 1 = flush every
     # frame (minimum lag, maximum copies).
     stats_batch_frames: int = 4
+    # bounded-queue backpressure: max in-flight host pulls (stats buses /
+    # emission rounds) before the oldest is consumed blocking. Bounds host
+    # memory and guarantees delivery on platforms that starve async-copy
+    # completions under a continuous dispatch stream.
+    max_inflight_pulls: int = 4
     # scroll emission: fraction of the scroll-out slab assumed to hold
     # UNMESHED surface cells when sizing the sync-free unconditional emission
     # rounds (see _emit_mesh rounds=...). Most slab surface was already
@@ -412,6 +417,16 @@ class ActiveWindow:
                     self._flush_bus()
                 self._poll_bus()
                 self._advance_mesh_pulls()
+                # bounded in-flight backlog (see _poll_bus): keeps host
+                # state/memory bounded and guarantees delivery even when the
+                # platform withholds async-copy completions
+                cap = max(1, cfg.max_inflight_pulls)
+                if len(self._bus_pending) > cap:
+                    self._poll_bus(min_drain=len(self._bus_pending) - cap)
+                if len(self._pending_mesh_dev) > cap:
+                    self._advance_mesh_pulls(
+                        force=len(self._pending_mesh_dev) - cap
+                    )
 
             # 5) frame buffer. Frames not yet seen by the (one-frame-lagged)
             # tracker must survive the trim.
@@ -477,13 +492,19 @@ class ActiveWindow:
         self._bus_unflushed = []
         self._bus_metas = overflow
 
-    def _poll_bus(self, block: bool = False) -> None:
+    def _poll_bus(self, block: bool = False, min_drain: int = 0) -> None:
         """Deliver landed buses in FIFO order: run the tracker over each
         carried frame's stats and hand each carried emission meta to its
-        entry (starting the used-rows body pull)."""
+        entry (starting the used-rows body pull). `min_drain` force-consumes
+        (blocking) at least that many oldest buses — bounded-queue
+        backpressure for platforms that starve async-copy completions under
+        a continuous dispatch stream (observed on the axon tunnel: with a
+        never-blocking frame loop, `is_ready` may never flip and the
+        in-flight backlog grows without bound)."""
+        drained = 0
         while self._bus_pending:
             n_stats, n_slots, entries, buf = self._bus_pending[0]
-            if not block:
+            if not block and drained >= min_drain:
                 try:
                     if not buf.is_ready():
                         return
@@ -506,6 +527,7 @@ class ActiveWindow:
                 ent[0] = meshing.start_body_pull(ent[0], int(meta[0]))
                 ent[3] = "body"
             self._bus_pending.pop(0)
+            drained += 1
 
     def _run_tracker(self, frame: FrameData, packed) -> None:
         dyn_c, sem_c, dyn_p, sem_p = self._unpack_stats(
@@ -616,7 +638,7 @@ class ActiveWindow:
         for _ in range(drain_rounds):
             one_round(True)
 
-    def _advance_mesh_pulls(self) -> None:
+    def _advance_mesh_pulls(self, force: int = 0) -> None:
         """Middle stages of the zero-sync emission pipeline. Per pending
         round, in FIFO order: (a) once its meta is host-known — delivered by
         the bus ("meta_bus" entries, handled in _poll_bus) or via its own
@@ -626,27 +648,32 @@ class ActiveWindow:
         mesh-delta list right away, so the periodic output path almost never
         blocks on a transfer. Stops at the first round that is not ready
         (keeps delta order deterministic).
-        Entry layout: [body_or_packed, meta(dev|np), tag, stage]."""
+        Entry layout: [body_or_packed, meta(dev|np), tag, stage].
+        `force` consumes (blocking) at least that many oldest READY-metadata
+        entries — backpressure companion to _poll_bus(min_drain=...)."""
         done = 0
         for ent in self._pending_mesh_dev:
+            forced = done < force
             if ent[3] == "meta_bus":
                 break  # its meta rides a bus that has not landed yet
             if ent[3] == "meta_copy":
                 meta_dev = ent[1]
-                try:
-                    if not meta_dev.is_ready():
-                        break
-                except AttributeError:
-                    pass
+                if not forced:
+                    try:
+                        if not meta_dev.is_ready():
+                            break
+                    except AttributeError:
+                        pass
                 ent[1] = np.asarray(meta_dev)
                 ent[0] = meshing.start_body_pull(ent[0], int(ent[1][0]))
                 ent[3] = "body"
             body_dev = ent[0]
-            try:
-                if body_dev is not None and not body_dev.is_ready():
-                    break
-            except AttributeError:
-                pass
+            if not forced:
+                try:
+                    if body_dev is not None and not body_dev.is_ready():
+                        break
+                except AttributeError:
+                    pass
             self._finalize_pull(ent)
             done += 1
         if done:

@@ -159,17 +159,17 @@ class TestPullTimingRobustness:
             orig_adv = aw._advance_mesh_pulls
             n = {"p": 0, "a": 0}
 
-            def delayed_poll(block=False):
+            def delayed_poll(block=False, min_drain=0):
                 n["p"] += 1
-                if not block and n["p"] % 3:
+                if not block and min_drain == 0 and n["p"] % 3:
                     return
-                orig_poll(block=block)
+                orig_poll(block=block, min_drain=min_drain)
 
-            def delayed_adv():
+            def delayed_adv(force=0):
                 n["a"] += 1
-                if n["a"] % 3:
+                if force == 0 and n["a"] % 3:
                     return
-                orig_adv()
+                orig_adv(force=force)
 
             aw._poll_bus = delayed_poll
             aw._advance_mesh_pulls = delayed_adv
