@@ -424,6 +424,11 @@ class ActiveWindow:
                 if len(self._bus_pending) > cap:
                     self._poll_bus(min_drain=len(self._bus_pending) - cap)
                 if len(self._pending_mesh_dev) > cap:
+                    if self._pending_mesh_dev[0][3] == "meta_bus":
+                        # head entry's meta rides a bus not yet flushed:
+                        # flush + consume one bus so the force below can act
+                        self._flush_bus()
+                        self._poll_bus(min_drain=1)
                     self._advance_mesh_pulls(
                         force=len(self._pending_mesh_dev) - cap
                     )

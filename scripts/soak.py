@@ -99,7 +99,11 @@ def main():
         PipelineConfig,
         {
             "active_window": {
-                "volumetric_map": {"grid_shape": [128, 96, 32], "voxel_size": 0.1},
+                # 0.15 m voxels: the corridor sweep covers ~460 m of travel; at
+                # 0.1 m the map would reach ~2M vertices and every CD pass
+                # would rebuild the ray library (growth > the delta
+                # threshold). Density is a soak parameter, not the subject.
+                "volumetric_map": {"grid_shape": [96, 64, 24], "voxel_size": 0.15},
                 "object_detector": {"type": "ConnectedSemantics", "min_cluster_size": 20},
                 "tracker": {"type": "MaxIouTracker", "min_num_observations": 2},
                 "object_extractor": {"type": "MeshObjectExtractor", "min_num_observations": 2, "max_frames": 8},

@@ -195,6 +195,59 @@ class TestPullTimingRobustness:
         return acc.build(), objects
 
     @pytest.mark.slow
+    def test_starved_completions_stay_bounded(self):
+        """Round-3 regression: on a platform whose async-copy completions
+        never report ready under a continuous dispatch stream (observed on
+        the axon tunnel), the in-flight backlog must stay bounded by
+        max_inflight_pulls via blocking consumption — and the engine must
+        still deliver mesh geometry (before the fix the backend saw an
+        empty map for the whole run)."""
+        import khronos_tpu.data.synthetic as syn_mod
+        from khronos_tpu.active_window.active_window import (
+            ActiveWindow, ActiveWindowConfig,
+        )
+        from khronos_tpu.active_window.frame_data import FrameData
+        from khronos_tpu.config import build
+
+        scene = syn_mod.office_scene(duration=8.0)
+        seq = syn_mod.SyntheticSequence(
+            scene,
+            syn_mod.SyntheticSequenceConfig(
+                duration=8.0, fps=4.0, height=48, width=64,
+                fx=40.0, fy=40.0, cx=32.0, cy=24.0,
+            ),
+        )
+        cfg = build(ActiveWindowConfig, {
+            "volumetric_map": {"grid_shape": [96, 96, 32], "voxel_size": 0.12},
+            "tracker": {"type": "MaxIouTracker", "min_num_observations": 2},
+            "max_inflight_pulls": 2,
+        })
+        aw = ActiveWindow(cfg, seq.camera, syn_mod.default_label_space())
+
+        # make every is_ready() report False: only forced (blocking)
+        # consumption can deliver
+        import unittest.mock as mock
+
+        class _NeverReady:
+            def __get__(self, obj, objtype=None):
+                return lambda: False
+
+        nv = 0
+        with mock.patch.object(
+            type(aw.state.tsdf), "is_ready", _NeverReady(), create=True
+        ):
+            for i in range(seq.n_frames):
+                f = seq.render_frame(i)
+                out = aw.spin_once(FrameData(
+                    stamp_ns=f["stamp_ns"], depth=f["depth"], color=f["color"],
+                    labels=f["labels"], R_w_c=f["R_w_c"], t_w_c=f["t_w_c"],
+                ))
+                if out is not None:
+                    nv += len(out.mesh_vertices)
+                assert len(aw._bus_pending) <= 2 + 1, len(aw._bus_pending)
+                assert len(aw._pending_mesh_dev) <= 2 + 2, len(aw._pending_mesh_dev)
+        assert nv > 0, "no geometry delivered under starved completions"
+
     def test_delayed_pulls_same_result(self):
         mesh_a, objs_a = self._run(delay=False)
         mesh_b, objs_b = self._run(delay=True)
