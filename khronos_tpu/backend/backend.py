@@ -103,6 +103,7 @@ class Backend:
         self.lcd = config.lcd.create()
         self.loop_closures: List[LoopClosure] = []
         self.proposed_merges: List[MergeProposal] = []
+        self._geometry_epoch = 0  # bumped only when a solve moves geometry
         self._object_keys: Dict[int, int] = {}  # object node_id -> graph key
         self._opt_result: Optional[fg.OptimizeResult] = None
         self._orig_R: List[np.ndarray] = []  # graph-node initial poses
@@ -252,6 +253,18 @@ class Backend:
             else:
                 self._opt_result = fg.optimize(self.graph, self.config.optimizer)
             self.num_optimizations += 1
+            # geometry epoch: bump only when the solve actually MOVED the
+            # estimates. With consistent odometry (GT poses) every
+            # merge-proposal solve returns the same geometry; keying change
+            # detection and 4D-map sharing on num_optimizations would force
+            # full ray-library rebuilds and full snapshot chunks for no
+            # geometric change.
+            if self.graph.num_nodes:
+                old_t = np.stack([np.asarray(t) for t in self.graph.node_t])
+                new_t = np.stack([np.asarray(t) for t in self._opt_result.node_t])
+                n = min(len(old_t), len(new_t))
+                if n == 0 or np.abs(new_t[:n] - old_t[:n]).max() > 1e-6:
+                    self._geometry_epoch += 1
             # re-linearize future odometry around the optimized estimates
             self.graph.node_R = [r for r in self._opt_result.node_R]
             self.graph.node_t = [t for t in self._opt_result.node_t]
@@ -306,10 +319,12 @@ class Backend:
             mesh = self.mesh_acc.build()
             dsg = SceneGraph(mesh=mesh)
             # deformation epoch: vertex positions only move when an
-            # optimization re-solves the graph; the incremental background
-            # change detector keys its per-vertex state cache on this
-            # (detectors.py, stricter than the reference's LC-only wipe)
-            dsg.opt_epoch = self.num_optimizations
+            # optimization actually MOVES the graph (identity solves from
+            # merge proposals over consistent odometry do not count); the
+            # incremental change detectors and the 4D map's delta sharing
+            # key on this (detectors.py, stricter than the reference's
+            # LC-only wipe)
+            dsg.opt_epoch = self._geometry_epoch
             optimized = self._opt_result is not None
             node_R_cur = np.stack([np.asarray(r) for r in self.graph.node_R]) if self.graph.num_nodes else np.zeros((0, 3, 3), np.float32)
             node_t_cur = np.stack([np.asarray(t) for t in self.graph.node_t]) if self.graph.num_nodes else np.zeros((0, 3), np.float32)

@@ -121,6 +121,17 @@ class DeformationGraph:
             [node_t_old[i] for i in ids]
         )  # original control positions in graph frame
         g_new = node_t[ids]
+        # identity short-circuit: with consistent odometry (e.g. GT poses)
+        # the optimized controls coincide with the originals — blending
+        # through the embedded deformation would still rewrite every vertex
+        # with float rounding noise, costing O(V) per snapshot AND breaking
+        # the 4D map's exact-row delta sharing for the whole mesh
+        eye = np.eye(3, dtype=corr_R.dtype)
+        if (
+            np.abs(corr_R - eye).max() < 1e-6
+            and np.abs(g_new - g_old).max() < 1e-6
+        ):
+            return points
         k = min(self.config.interp_k, self.num_controls)
         g_old_d = jnp.asarray(g_old, jnp.float32)
         corr_R_d = jnp.asarray(corr_R, jnp.float32)

@@ -40,7 +40,7 @@ class RayChangeDetectorConfig:
 @functools.partial(jax.jit, static_argnames=("window_size", "use_relative"))
 def _scan_device(
     evidence,  # [P, B, 2] int (match, absent)
-    bin_valid,  # [B] bool: bins inside the queried time range
+    bin_valid,  # [P, B] bool: bins inside each point's queried time range
     absence_conf,
     presence_conf,
     min_rays,
@@ -51,7 +51,7 @@ def _scan_device(
     """Returns per point (first_absent_bin, last_absent_bin,
     first_persistent_bin, last_persistent_bin), -1 where none."""
     P, B, _ = evidence.shape
-    ev = evidence * bin_valid[None, :, None]
+    ev = evidence * bin_valid[:, :, None]
     # windowed sums via cumsum
     cs = jnp.cumsum(ev, axis=1)
     pad = jnp.zeros((P, 1, 2), cs.dtype)
@@ -65,7 +65,7 @@ def _scan_device(
     # even though its qualifying evidence lies inside (e.g. a "last absent
     # at t=1 s" for an object last seen at 3 s). Evidence masking alone is
     # not enough.
-    win = win * bin_valid[None, :, None]
+    win = win * bin_valid[:, :, None]
     match = win[..., 0].astype(jnp.float32)
     absent = win[..., 1].astype(jnp.float32)
     total = match + absent
@@ -127,7 +127,15 @@ class RayChangeDetector:
         cfg = self.config
         P, B, _ = evidence.shape
         bin_t = origin_s + (np.arange(B) + 0.5) * self.bin_size_s
-        valid = (bin_t >= t_min_s) & (bin_t <= t_max_s)
+        # t_min/t_max may be scalars or per-point arrays [P] (the object
+        # pass batches every object's windowed scan into ONE device call)
+        t_min_s = np.asarray(t_min_s)
+        t_max_s = np.asarray(t_max_s)
+        valid = (bin_t[None, :] >= t_min_s.reshape(-1, 1)) & (
+            bin_t[None, :] <= t_max_s.reshape(-1, 1)
+        )
+        if valid.shape[0] == 1:
+            valid = np.broadcast_to(valid, (P, B))
         fa, la, fp, lp = _scan_device(
             jnp.asarray(evidence),
             jnp.asarray(valid),

@@ -227,13 +227,22 @@ class SequentialChangeDetector:
         obj_ev = np.zeros((len(scan), B, 2), np.int64)
         np.add.at(obj_ev, seg, (ev > 0).astype(np.int64))
 
-        bin_s = self.detector.bin_size_s
         origin = self.verificator.bin_origin_s
+        thr = cfg.time_filtering_threshold
+        first_s = np.asarray([env[o.node_id][0] for o in scan]) * 1e-9
+        last_s = np.asarray([env[o.node_id][1] for o in scan]) * 1e-9
+        # ONE batched device scan per direction for ALL scanned objects
+        # (per-row valid masks); the previous per-object loop cost two
+        # device round trips per object — ~8 s of a CD pass at 40 objects
+        # on the tunnel (soak timer change_detection/objects)
+        pre = self.detector.scan(
+            obj_ev, -np.inf, first_s - thr, origin_s=origin
+        )
+        post = self.detector.scan(
+            obj_ev, last_s + thr, np.inf, origin_s=origin
+        )
         for k, o in enumerate(scan):
-            first_ns, last_ns = env[o.node_id]
             self._obj_known[o.node_id] = env[o.node_id]
-            first_seen_s = first_ns * 1e-9
-            last_seen_s = last_ns * 1e-9
             # each (re)scan RECOMPUTES the record from the full evidence
             # history — carrying fields found by an earlier pass forward
             # would preserve stale decisions after the object's envelope
@@ -244,29 +253,16 @@ class SequentialChangeDetector:
             oc = ObjectChange(o.node_id)
             if prev is not None:
                 oc.merged_id = prev.merged_id
-            # BEFORE window: evidence strictly before first seen
-            pre = self.detector.scan(
-                obj_ev[k : k + 1],
-                -np.inf,
-                first_seen_s - cfg.time_filtering_threshold,
-                origin_s=origin,
-            )
-            # scanning backward from first_seen: the latest absent window
-            if not np.isnan(pre["last_absent_s"][0]):
-                oc.first_absent_ns = int(pre["last_absent_s"][0] * 1e9)
-            if not np.isnan(pre["first_persistent_s"][0]):
-                oc.first_persistent_ns = int(pre["first_persistent_s"][0] * 1e9)
-            # AFTER window: evidence after last seen
-            post = self.detector.scan(
-                obj_ev[k : k + 1],
-                last_seen_s + cfg.time_filtering_threshold,
-                np.inf,
-                origin_s=origin,
-            )
-            if not np.isnan(post["first_absent_s"][0]):
-                oc.last_absent_ns = int(post["first_absent_s"][0] * 1e9)
-            if not np.isnan(post["last_persistent_s"][0]):
-                oc.last_persistent_ns = int(post["last_persistent_s"][0] * 1e9)
+            # BEFORE window: latest absent window before first seen
+            if not np.isnan(pre["last_absent_s"][k]):
+                oc.first_absent_ns = int(pre["last_absent_s"][k] * 1e9)
+            if not np.isnan(pre["first_persistent_s"][k]):
+                oc.first_persistent_ns = int(pre["first_persistent_s"][k] * 1e9)
+            # AFTER window: earliest absent window after last seen
+            if not np.isnan(post["first_absent_s"][k]):
+                oc.last_absent_ns = int(post["first_absent_s"][k] * 1e9)
+            if not np.isnan(post["last_persistent_s"][k]):
+                oc.last_persistent_ns = int(post["last_persistent_s"][k] * 1e9)
             self.changes.object_changes[o.node_id] = oc
 
     # ------------------------------------------------------------------
@@ -308,16 +304,17 @@ class SequentialChangeDetector:
                 return
         with Timer("change_detection/background_query"):
             ev = self.verificator.query(mesh.vertices[sel])  # [S, B, 2]
-        B = ev.shape[1]
-        bin_s = self.detector.bin_size_s
         origin = self.verificator.bin_origin_s
         last_seen_s = mesh.last_seen_ns[sel].astype(np.float64) * 1e-9
-        # consider only bins after each vertex's last_seen (+ slack):
-        bin_t = origin + (np.arange(B) + 0.5) * bin_s
-        after = bin_t[None, :] > (last_seen_s[:, None] + cfg.time_filtering_threshold)
-        ev_after = ev * after[..., None]
+        # per-vertex window: only bins after each vertex's last_seen (+
+        # slack) — expressed as per-row scan bounds (one device call)
         with Timer("change_detection/background_scan"):
-            res = self.detector.scan(ev_after, origin_s=origin)
+            res = self.detector.scan(
+                ev,
+                last_seen_s + cfg.time_filtering_threshold,
+                np.inf,
+                origin_s=origin,
+            )
         sel_states = np.full(len(sel), UNOBSERVED, np.int8)
         has_absent = res["first_absent_bin"] >= 0
         has_persist = res["first_persistent_bin"] >= 0

@@ -21,8 +21,10 @@ import numpy as np
 
 DURATION = 1320.0  # 22 min
 FPS = 2.0
-SPEED = 0.35  # m/s along the corridor (out; same back)
-CD_EVERY = 60  # frames -> 30 s cadence
+SPEED = 0.2  # m/s along the corridor (out; same back)
+# reference real-data cadence is every 300 frames (jackal.yaml:7); 120
+# frames at 2 fps = a 60 s cadence interval
+CD_EVERY = 120
 REMOVE_T = 600.0  # s: removal instant of the marked box
 
 
@@ -91,8 +93,8 @@ def main():
     seq = CorridorSequence(
         scene,
         syn.SyntheticSequenceConfig(
-            duration=DURATION, fps=FPS, height=60, width=80,
-            fx=50.0, fy=50.0, cx=40.0, cy=30.0,
+            duration=DURATION, fps=FPS, height=48, width=64,
+            fx=40.0, fy=40.0, cx=32.0, cy=24.0, max_range=3.5,
         ),
     )
     cfg = build(
