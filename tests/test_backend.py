@@ -283,6 +283,75 @@ class TestBackend:
         assert (tmp_path / "proposed_merges.csv").exists()
 
 
+class TestGeometryEpoch:
+    """The CD/4D-map invalidation epoch must track geometry MOTION, not
+    optimization count (soak finding: merge-proposal solves over consistent
+    odometry are identity yet forced full ray-library rebuilds and full 4D
+    snapshot chunks every pass)."""
+
+    def test_identity_solves_do_not_bump_epoch(self):
+        n = 20
+        gt, _ = make_orbit(n)
+        cfg = build(BackendConfig, {"lcd": None})
+        be = Backend(cfg)
+        for k in range(n):
+            # odometry == GT: perfectly consistent graph, any solve is identity
+            be.add_output(make_output(int(k * 4e8), gt[k], gt[k]), gt_pose=gt[k])
+        be.optimize()
+        be.optimize()
+        assert be.num_optimizations == 2
+        dsg = be.get_dsg()
+        assert dsg.opt_epoch == 0, "identity solves must not invalidate CD/4D state"
+        # and the deformed mesh is bitwise the accumulator mesh (identity
+        # short-circuit in deform_points) — the 4D map's exact-row delta
+        # sharing depends on this
+        raw = be.mesh_acc.build()
+        assert np.array_equal(dsg.mesh.vertices, raw.vertices)
+
+    def test_moving_solve_bumps_epoch(self):
+        n = 40
+        gt, odom = make_orbit(n)
+        cfg = build(BackendConfig, {
+            "lcd": {"type": "GtLoopClosure", "min_time_gap": 5.0, "max_distance": 1.0},
+            "sigma_odom_trans": 0.02,
+        })
+        be = Backend(cfg)
+        for k in range(n):
+            be.add_output(make_output(int(k * 4e8), odom[k], gt[k]), gt_pose=gt[k])
+        assert len(be.loop_closures) >= 1
+        dsg = be.get_dsg()
+        assert dsg.opt_epoch >= 1, "a loop-closure solve that moves the graph must bump the epoch"
+
+
+class TestIdentityDeform:
+    def test_identity_correction_returns_input_array(self):
+        from khronos_tpu.backend.deformation import DeformationGraph
+
+        g = DeformationGraph()
+        rng = np.random.default_rng(3)
+        ctrl = rng.random((6, 3)).astype(np.float32)
+        for i, p in enumerate(ctrl):
+            g.add_control(p, i)
+        pts = rng.random((500, 3)).astype(np.float32)
+        eye = np.tile(np.eye(3, dtype=np.float32), (6, 1, 1))
+        out = g.deform_points(pts, eye, ctrl, eye, ctrl)
+        assert out is pts  # exact short-circuit, no device round-trip
+
+    def test_real_correction_still_moves_points(self):
+        from khronos_tpu.backend.deformation import DeformationGraph
+
+        g = DeformationGraph()
+        rng = np.random.default_rng(4)
+        ctrl = rng.random((6, 3)).astype(np.float32)
+        for i, p in enumerate(ctrl):
+            g.add_control(p, i)
+        pts = rng.random((64, 3)).astype(np.float32)
+        eye = np.tile(np.eye(3, dtype=np.float32), (6, 1, 1))
+        shift = ctrl + np.array([0.5, 0.0, 0.0], np.float32)
+        out = g.deform_points(pts, eye, shift, eye, ctrl)
+        assert np.abs(out - (pts + [0.5, 0, 0])).max() < 1e-3
+
+
 class TestDescriptorLCD:
     def test_detects_revisit(self):
         from khronos_tpu.backend.loop_closure import DescriptorLoopClosureDetector
