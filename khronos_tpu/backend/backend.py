@@ -101,6 +101,11 @@ class Backend:
         self.agents: List[AgentNode] = []  # raw odometry-frame agent nodes
         self.agent_keys: List[int] = []  # graph node id per agent
         self.lcd = config.lcd.create()
+        # optional places-layer feed for LCDs with needs_places (the hydra
+        # LCD places tier): a callable returning (positions [P,3],
+        # clearances [P]) or None; wired by the pipeline when a places
+        # extractor is configured
+        self.places_provider = None
         self.loop_closures: List[LoopClosure] = []
         self.proposed_merges: List[MergeProposal] = []
         self._geometry_epoch = 0  # bumped only when a solve moves geometry
@@ -185,11 +190,18 @@ class Backend:
                     self.lcd, "needs_scene", False
                 ):
                     # hybrid constellation + appearance stack: consumes the
-                    # sensor frame AND the object layer
+                    # sensor frame AND the object layer (+ the places layer
+                    # for the descriptor-gate tier when wired)
                     if lcd_frame is not None:
+                        kw = {}
+                        if (
+                            getattr(self.lcd, "needs_places", False)
+                            and self.places_provider is not None
+                        ):
+                            kw["places"] = self.places_provider()
                         lcs = self.lcd.add_keyframe(
                             key, out.stamp_ns, *lcd_frame,
-                            out.R_w_b, out.t_w_b, self.objects.values(),
+                            out.R_w_b, out.t_w_b, self.objects.values(), **kw,
                         )
                 elif getattr(self.lcd, "needs_frame", False):
                     if lcd_frame is not None:

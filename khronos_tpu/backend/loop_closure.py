@@ -323,6 +323,9 @@ class AppearanceLoopClosureDetector:
         self._clouds: List[np.ndarray] = []
         self._poses: List[Tuple[np.ndarray, np.ndarray]] = []
         self._last_fire_ns = -(10**18)
+        # optional places-tier veto set by the hybrid stack: (query_key,
+        # candidate_key) -> bool (False rejects the candidate pre-registration)
+        self.place_gate = None
 
     def add_keyframe(
         self,
@@ -361,6 +364,10 @@ class AppearanceLoopClosureDetector:
                 if (
                     cfg.max_candidate_distance > 0
                     and np.linalg.norm(t_odom - t2) > cfg.max_candidate_distance
+                ):
+                    continue
+                if self.place_gate is not None and not self.place_gate(
+                    key, self._keys[idx]
                 ):
                     continue
                 from khronos_tpu.backend.registration import robust_icp
@@ -511,6 +518,9 @@ class SceneGraphLoopClosureDetector:
         # pending window are immutable — caching them keeps add_keyframe
         # O(pending x objects) instead of O(keyframes x objects) per call
         self._frozen: Dict[int, Tuple] = {}
+        # optional places-tier veto set by the hybrid stack (see
+        # PlacesGateConfig): (query_key, candidate_key) -> bool
+        self.place_gate = None
 
     def _constellation(self, stamp_ns: int, t_odom: np.ndarray, objects):
         cfg = self.config
@@ -584,6 +594,8 @@ class SceneGraphLoopClosureDetector:
                     and np.linalg.norm(qt - ct) > cfg.max_candidate_distance
                 ):
                     continue
+                if self.place_gate is not None and not self.place_gate(qkey, ckey):
+                    continue
                 sim = float(qdesc @ descs[ci])
                 if sim >= cfg.min_descriptor_similarity and (
                     best is None or sim > best[0]
@@ -620,6 +632,64 @@ class SceneGraphLoopClosureDetector:
 
 
 # ----------------------------------------------------------------------------
+# Places-layer descriptor tier (hydra LCD places path)
+# ----------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PlacesGateConfig:
+    """Places-layer descriptor tier of the LCD cascade — the analog of hydra
+    LCD's place descriptors (clearance histogram `place_histogram_config:
+    {min: 0.5, max: 2.5, bins: 30}` over places within a fixed radius,
+    L1-matched; reference uHumans2.yaml:262,288-296).
+
+    Persistent place nodes are shared between visits, so registering them
+    against themselves carries no drift information — as in hydra, the
+    places tier GATES candidate matches top-down; the relative pose comes
+    from the object/agent-level registration of the stream it gates."""
+
+    radius: float = 8.0  # m (hydra places_extraction max_radius_m: 13)
+    hist_min: float = 0.5  # m (place_histogram_config.min)
+    hist_max: float = 2.5  # m (place_histogram_config.max)
+    hist_bins: int = 30  # (place_histogram_config.bins)
+    min_places: int = 4  # below this the tier abstains (gate passes)
+    # score = 1 - 0.5 * ||a - b||_1 on sum-normalized histograms, in [0, 1]
+    # (hydra `type: L1`, places min_score 0.2 — we default stricter because
+    # our histograms are radius-local rather than subgraph-extracted)
+    min_score: float = 0.35
+
+
+def _place_layer_descriptor(
+    positions: np.ndarray, clearances: np.ndarray, center: np.ndarray,
+    cfg: PlacesGateConfig,
+) -> Optional[np.ndarray]:
+    """Clearance histogram of the place nodes within `radius` of a keyframe;
+    None when the local places layer is too thin to describe (gate abstains)."""
+    if positions is None or len(positions) == 0:
+        return None
+    d = np.linalg.norm(np.asarray(positions, np.float32) - center[None, :], axis=1)
+    m = d <= cfg.radius
+    if int(m.sum()) < cfg.min_places:
+        return None
+    hist, _ = np.histogram(
+        np.asarray(clearances, np.float32)[m], bins=cfg.hist_bins,
+        range=(cfg.hist_min, cfg.hist_max),
+    )
+    h = hist.astype(np.float32)
+    n = float(h.sum())
+    return h / n if n > 0 else h
+
+
+def _place_descriptor_score(a: Optional[np.ndarray], b: Optional[np.ndarray]) -> float:
+    """L1 match score in [0, 1]; 1.0 (abstain/pass) when either side is
+    undescribed — the tier only vetoes when BOTH keyframes have a local
+    places context to compare."""
+    if a is None or b is None:
+        return 1.0
+    return float(1.0 - 0.5 * np.abs(a - b).sum())
+
+
+# ----------------------------------------------------------------------------
 # Hybrid detector: constellation + appearance fallback (full hydra LCD stack)
 # ----------------------------------------------------------------------------
 
@@ -640,6 +710,13 @@ class HybridLoopClosureConfig:
     appearance: AppearanceLoopClosureConfig = dataclasses.field(
         default_factory=AppearanceLoopClosureConfig
     )
+    # places-layer descriptor tier (hydra LCD's place path): gates BOTH
+    # streams' candidates top-down when the pipeline wires a places layer in;
+    # abstains (passes) for keyframes with no local places context. None
+    # disables the tier entirely.
+    places: Optional[PlacesGateConfig] = dataclasses.field(
+        default_factory=PlacesGateConfig
+    )
 
     def check(self):
         self.constellation.check()
@@ -652,6 +729,7 @@ class HybridLoopClosureDetector:
     needs_frame = True
     needs_color = True
     needs_scene = True
+    needs_places = True  # consumes (positions, clearances) of the places layer
 
     def __init__(self, config: HybridLoopClosureConfig):
         self.config = config
@@ -659,6 +737,25 @@ class HybridLoopClosureDetector:
         self.appearance = AppearanceLoopClosureDetector(config.appearance)
         self.constellation_fires = 0
         self.appearance_fires = 0
+        # key -> places-layer descriptor (None = undescribed at that keyframe)
+        self._place_descs: Dict[int, Optional[np.ndarray]] = {}
+        # recent keyframes re-describe each call: the places layer
+        # materializes behind the frame stream (mesh archival lag), so a
+        # keyframe's local places only exist a few seconds after it
+        self._place_pending: List[Tuple[int, int, np.ndarray]] = []  # (key, stamp, t)
+        self.place_gate_rejections = 0
+        if config.places is not None:
+            self.constellation.place_gate = self._place_gate
+            self.appearance.place_gate = self._place_gate
+
+    def _place_gate(self, query_key: int, cand_key: int) -> bool:
+        score = _place_descriptor_score(
+            self._place_descs.get(query_key), self._place_descs.get(cand_key)
+        )
+        ok = score >= self.config.places.min_score
+        if not ok:
+            self.place_gate_rejections += 1
+        return ok
 
     def add_keyframe(
         self,
@@ -671,7 +768,22 @@ class HybridLoopClosureDetector:
         t_odom: np.ndarray,
         objects=(),
         features=None,
+        places=None,  # optional (positions [P,3], clearances [P]) snapshot
     ) -> List[LoopClosure]:
+        if self.config.places is not None and places is not None:
+            pcfg = self.config.places
+            self._place_pending.append(
+                (key, stamp_ns, np.asarray(t_odom, np.float32))
+            )
+            horizon = int((self.config.constellation.obs_window + 2.0) * 1e9)
+            keep = []
+            for k, s, t in self._place_pending:
+                self._place_descs[k] = _place_layer_descriptor(
+                    places[0], places[1], t, pcfg
+                )
+                if stamp_ns - s <= horizon:
+                    keep.append((k, s, t))
+            self._place_pending = keep
         lcs = self.constellation.add_keyframe(key, stamp_ns, R_odom, t_odom, objects)
         if lcs:
             self.constellation_fires += len(lcs)

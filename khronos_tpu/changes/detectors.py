@@ -40,6 +40,16 @@ class ObjectChangeDetectionConfig:
     # phantom absence. A true removal still puts every inset point on ray
     # paths. Capped at 40% of each vertex's distance to the centroid.
     query_inset: float = 0.1
+    # identity-split veto: an absent verdict is suppressed when a
+    # same-class object spatially coincident with the scanned one was
+    # observed during the claimed absence — the "absence" is then an
+    # unmerged re-extraction twin (fragment/whole pairs fail the merge-IoU
+    # gate), not a physical change. Mirrors the reference's merge-record
+    # presence semantics (reconciler.cpp:250-318) without adding merge
+    # factors to the graph. Overlap = bbox intersection over the SMALLER
+    # box's volume, so a fragment contained in the whole scores ~1.
+    twin_presence_veto: bool = True
+    twin_overlap_threshold: float = 0.3
 
 
 @dataclasses.dataclass
@@ -263,7 +273,43 @@ class SequentialChangeDetector:
                 oc.last_absent_ns = int(post["first_absent_s"][k] * 1e9)
             if not np.isnan(post["last_persistent_s"][k]):
                 oc.last_persistent_ns = int(post["last_persistent_s"][k] * 1e9)
+            if cfg.twin_presence_veto and (
+                oc.first_absent_ns >= 0 or oc.last_absent_ns >= 0
+            ):
+                self._veto_identity_splits(o, oc, objs, env, obj_pts, cfg)
             self.changes.object_changes[o.node_id] = oc
+
+    def _veto_identity_splits(self, o, oc, objs, env, obj_pts, cfg) -> None:
+        """Suppress absent verdicts contradicted by a same-class, spatially
+        coincident object observed during the claimed absence (see
+        twin_presence_veto)."""
+        pts_o = obj_pts[o.node_id]
+        mn_o, mx_o = pts_o.min(axis=0), pts_o.max(axis=0)
+        vol_o = float(np.prod(np.maximum(mx_o - mn_o, 1e-3)))
+        thr_ns = int(cfg.time_filtering_threshold * 1e9)
+        for p in objs:
+            if p.node_id == o.node_id or p.semantic_category != o.semantic_category:
+                continue
+            pts_p = obj_pts[p.node_id]
+            mn_p, mx_p = pts_p.min(axis=0), pts_p.max(axis=0)
+            inter = np.maximum(
+                np.minimum(mx_o, mx_p) - np.maximum(mn_o, mn_p), 0.0
+            )
+            vol_p = float(np.prod(np.maximum(mx_p - mn_p, 1e-3)))
+            if float(np.prod(inter)) / min(vol_o, vol_p) < cfg.twin_overlap_threshold:
+                continue
+            pf, pl = env[p.node_id]
+            # disappearance claimed from last_absent_ns on, but the twin was
+            # still observed at/after it -> the surface is present under
+            # another identity
+            if oc.last_absent_ns >= 0 and pl >= oc.last_absent_ns - thr_ns:
+                oc.last_absent_ns = -1
+            # appearance claimed (absent until first_absent_ns), but the
+            # twin was already observed at/before it
+            if oc.first_absent_ns >= 0 and pf <= oc.first_absent_ns + thr_ns:
+                oc.first_absent_ns = -1
+            if oc.first_absent_ns < 0 and oc.last_absent_ns < 0:
+                return
 
     # ------------------------------------------------------------------
     def _detect_background_changes(self, dsg, had_loop_closure: bool = True) -> None:

@@ -103,6 +103,12 @@ class KhronosPipeline:
         self.places_extractor = (
             PlacesExtractor(config.places) if config.places is not None else None
         )
+        if self.places_extractor is not None and getattr(
+            self.backend.lcd, "needs_places", False
+        ):
+            # hydra-LCD places tier: keyframes get a clearance-histogram
+            # descriptor of the local places layer as a candidate gate
+            self.backend.places_provider = self.places_extractor.lcd_snapshot
         self.map = SpatioTemporalMap()
         # one time base for the whole run, fixed at the first frame: device
         # programs (active window) and the change-detection evidence bins

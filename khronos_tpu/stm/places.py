@@ -202,6 +202,17 @@ class PlacesExtractor:
         with self._lock:
             return copy.deepcopy(self.layer)
 
+    def lcd_snapshot(self):
+        """Cheap (positions [P,3], clearances [P]) arrays of the current
+        layer for the LCD places-descriptor tier; None while empty."""
+        with self._lock:
+            nodes = self.layer.nodes
+            if not nodes:
+                return None
+            pos = np.stack([n.position for n in nodes]).astype(np.float32)
+            clr = np.asarray([n.distance for n in nodes], np.float32)
+        return pos, clr
+
     # -- occupancy store ------------------------------------------------
     _BLOCK = 16  # cells per block side
 

@@ -1,3 +1,5 @@
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -492,3 +494,95 @@ class TestSceneGraphLCD:
         cfg = build(BackendConfig, {"lcd": {"type": "SceneGraphLoopClosure"}})
         be = Backend(cfg)
         assert getattr(be.lcd, "needs_scene", False)
+
+
+class TestPlacesGate:
+    """Places-layer descriptor tier of the hybrid LCD (hydra LCD place path:
+    clearance histogram, L1-matched, gating candidates top-down —
+    uHumans2.yaml:262,288-296)."""
+
+    def _hist(self, clearances, center=np.zeros(3, np.float32)):
+        from khronos_tpu.backend.loop_closure import (
+            PlacesGateConfig,
+            _place_layer_descriptor,
+        )
+
+        rng = np.random.default_rng(3)
+        pos = (rng.random((len(clearances), 3)).astype(np.float32) - 0.5) * 6.0
+        return _place_layer_descriptor(
+            pos + center, np.asarray(clearances, np.float32), center,
+            PlacesGateConfig(),
+        )
+
+    def test_descriptor_discriminates_corridor_from_open_room(self):
+        from khronos_tpu.backend.loop_closure import _place_descriptor_score
+
+        corridor = self._hist([0.6, 0.65, 0.7, 0.6, 0.55, 0.62, 0.68, 0.6])
+        open_room = self._hist([2.2, 2.3, 2.1, 2.4, 2.2, 2.25, 2.3, 2.15])
+        same = self._hist([0.6, 0.66, 0.71, 0.59, 0.56, 0.61, 0.69, 0.63])
+        assert _place_descriptor_score(corridor, open_room) < 0.1
+        assert _place_descriptor_score(corridor, same) > 0.6
+        # abstention: undescribed side passes (score 1.0)
+        assert _place_descriptor_score(corridor, None) == 1.0
+        # too few nodes -> undescribed
+        assert self._hist([0.6, 0.7]) is None
+
+    def test_gate_vetoes_appearance_candidate(self):
+        """Identical frames (appearance similarity 1.0, registration exact)
+        at places-distinct keyframes: the places tier must veto the match;
+        with matching place context the same candidate fires."""
+        from khronos_tpu.backend.loop_closure import HybridLoopClosureConfig
+
+        rng = np.random.default_rng(0)
+        H, W = 24, 32
+        depth_pts = rng.random((H, W, 3)).astype(np.float32) * 3.0
+        valid = np.ones((H, W), bool)
+        color = rng.random((12, 16, 3)).astype(np.float32)
+        I, z = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+
+        def run(desc_a, desc_b):
+            det = HybridLoopClosureConfig().create()
+            det.appearance.config = dataclasses.replace(
+                det.appearance.config, min_time_gap=5.0,
+                min_detection_separation=1.0,
+            )
+            # no places feed this call (places=None): descriptors injected
+            # directly so the test isolates the gate itself
+            assert det.add_keyframe(10, int(1e9), depth_pts, valid, color, I, z) == []
+            det._place_descs = {10: desc_a, 50: desc_b}
+            return det, det.add_keyframe(50, int(20e9), depth_pts, valid, color, I, z)
+
+        corridor = self._hist([0.6, 0.65, 0.7, 0.6, 0.55, 0.62, 0.68, 0.6])
+        open_room = self._hist([2.2, 2.3, 2.1, 2.4, 2.2, 2.25, 2.3, 2.15])
+        det, lcs = run(corridor, open_room)
+        assert lcs == [], "places-distinct match not vetoed"
+        assert det.place_gate_rejections >= 1
+        det, lcs = run(corridor, corridor)
+        assert len(lcs) == 1, "places-consistent match blocked"
+        assert det.place_gate_rejections == 0
+
+    def test_hybrid_describes_keyframes_from_places_feed(self):
+        """End-to-end wiring of the feed: add_keyframe with a (positions,
+        clearances) snapshot stores a descriptor for the keyframe, and the
+        pending-refresh re-describes recent keyframes as the layer grows."""
+        from khronos_tpu.backend.loop_closure import HybridLoopClosureConfig
+
+        rng = np.random.default_rng(1)
+        H, W = 24, 32
+        depth_pts = rng.random((H, W, 3)).astype(np.float32) * 3.0
+        valid = np.ones((H, W), bool)
+        color = rng.random((12, 16, 3)).astype(np.float32)
+        I, z = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        det = HybridLoopClosureConfig().create()
+        # at keyframe time the local layer is too thin (mesh archival lag)
+        thin = (np.zeros((2, 3), np.float32), np.asarray([0.6, 0.7], np.float32))
+        det.add_keyframe(10, int(1e9), depth_pts, valid, color, I, z, places=thin)
+        assert det._place_descs[10] is None
+        # two seconds later the layer has materialized: the pending refresh
+        # re-describes keyframe 10 with the grown layer
+        pos = (rng.random((10, 3)).astype(np.float32) - 0.5) * 6.0
+        clr = np.full(10, 0.8, np.float32)
+        det.add_keyframe(11, int(3e9), depth_pts, valid, color, I, z,
+                         places=(pos, clr))
+        assert det._place_descs[10] is not None
+        assert det._place_descs[11] is not None

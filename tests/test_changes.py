@@ -598,3 +598,85 @@ class TestIncrementalBackground:
         dsg.opt_epoch = 1
         st = scd.detect_changes(dsg, had_loop_closure=False).background_states
         assert len(st) == 2
+
+
+class TestTwinPresenceVeto:
+    """Identity-split veto: absent verdicts contradicted by a same-class,
+    spatially coincident twin observed during the claimed absence are
+    suppressed (unmerged fragment/whole re-extraction pairs), mirroring the
+    reference's merge-record presence semantics (reconciler.cpp:250-318)."""
+
+    def _detector(self):
+        from khronos_tpu.changes.detectors import (
+            SequentialChangeDetector,
+            SequentialChangeDetectorConfig,
+        )
+
+        return SequentialChangeDetector(SequentialChangeDetectorConfig())
+
+    def _obj(self, nid, lo, hi, cls=3):
+        o = lambda: None  # noqa: E731 - attribute bag
+        o.node_id = nid
+        o.semantic_category = cls
+        return o
+
+    def test_disappearance_vetoed_by_coincident_twin(self):
+        det = self._detector()
+        cfg = det.config.objects
+        whole = self._obj(1, 0, 0)
+        frag = self._obj(2, 0, 0)
+        # fragment contained in the whole's bbox
+        obj_pts = {
+            1: np.array([[0, 0, 0], [1, 1, 1]], np.float32),
+            2: np.array([[0.2, 0.2, 0.2], [0.8, 0.8, 0.8]], np.float32),
+        }
+        # whole seen 0-10 s; fragment (re-extraction) seen 20-24 s
+        env = {1: (0, int(10e9)), 2: (int(20e9), int(24e9))}
+        # the whole is claimed absent from t=21 s on (rays through its
+        # never-reseen extent) -- but the fragment is observed then
+        oc = ObjectChange(1)
+        oc.last_absent_ns = int(21e9)
+        det._veto_identity_splits(whole, oc, [whole, frag], env, obj_pts, cfg)
+        assert oc.last_absent_ns == -1
+        # and the fragment's pre-window "appeared at 20 s" is vetoed by the
+        # whole's earlier presence
+        oc2 = ObjectChange(2)
+        oc2.first_absent_ns = int(9e9)
+        det._veto_identity_splits(frag, oc2, [whole, frag], env, obj_pts, cfg)
+        assert oc2.first_absent_ns == -1
+
+    def test_true_removal_not_vetoed(self):
+        det = self._detector()
+        cfg = det.config.objects
+        chair = self._obj(1, 0, 0)
+        other_chair = self._obj(2, 0, 0)  # same class, DIFFERENT place
+        distinct = self._obj(3, 0, 0, cls=5)  # same place, different class
+        obj_pts = {
+            1: np.array([[0, 0, 0], [1, 1, 1]], np.float32),
+            2: np.array([[5, 5, 0], [6, 6, 1]], np.float32),
+            3: np.array([[0.1, 0.1, 0.1], [0.9, 0.9, 0.9]], np.float32),
+        }
+        env = {1: (0, int(10e9)), 2: (0, int(24e9)), 3: (int(20e9), int(24e9))}
+        oc = ObjectChange(1)
+        oc.last_absent_ns = int(15e9)
+        det._veto_identity_splits(chair, oc, [chair, other_chair, distinct], env, obj_pts, cfg)
+        assert oc.last_absent_ns == int(15e9), (
+            "removal vetoed by a non-coincident or different-class object"
+        )
+
+    def test_twin_observed_only_before_absence_does_not_veto(self):
+        det = self._detector()
+        cfg = det.config.objects
+        a = self._obj(1, 0, 0)
+        b = self._obj(2, 0, 0)
+        obj_pts = {
+            1: np.array([[0, 0, 0], [1, 1, 1]], np.float32),
+            2: np.array([[0.2, 0.2, 0.2], [0.8, 0.8, 0.8]], np.float32),
+        }
+        # both twins last observed by 10 s; absence claimed from 20 s: the
+        # twin cannot account for the missing surface
+        env = {1: (0, int(10e9)), 2: (0, int(9e9))}
+        oc = ObjectChange(1)
+        oc.last_absent_ns = int(20e9)
+        det._veto_identity_splits(a, oc, [a, b], env, obj_pts, cfg)
+        assert oc.last_absent_ns == int(20e9)

@@ -259,6 +259,13 @@ class TestSceneGraphLcdPipeline:
         assert lcd.constellation_fires == 0, "constellation fired with no objects?"
         assert lcd.appearance_fires >= 1, "appearance stream never fired"
         assert len(pipe.backend.loop_closures) >= 1
+        # places tier was live end-to-end: the pipeline fed the places layer
+        # into the LCD, keyframes got described, and the descriptor gate did
+        # not veto the TRUE loop (same place -> high L1 score)
+        assert pipe.backend.places_provider is not None
+        assert any(d is not None for d in lcd._place_descs.values()), (
+            "places feed never described a keyframe"
+        )
         # sigma came from the registration residual, not the config default
         assert all(lc.sigma_trans is not None for lc in pipe.backend.loop_closures)
         dsg = pipe.backend.get_dsg()
