@@ -126,9 +126,10 @@ class TestOfficePipeline:
         assert obj["precision"] > 0.8, obj
         assert obj["recall"] > 0.8, obj
         ch = summary["changes"]
-        # reference office change P/R: 34.7 / 49.3; measured 0.67 / 1.0
-        assert ch["change_recall"] > 0.5, ch
-        assert ch["change_precision"] > 0.3, ch
+        # reference office change P/R: 34.7 / 49.3; measured 1.0 / 1.0 after
+        # the round-3 CD fixes + the identity-split (twin-presence) veto
+        assert ch["change_recall"] > 0.99, ch
+        assert ch["change_precision"] > 0.99, ch
 
     def test_loop_closure_fired(self, office_run):
         scene, pipe, out_dir, gt, gt_traj = office_run
