@@ -109,8 +109,10 @@ def make_frame_step(
     # from a closure-device LUT 7.5 ms vs 0.04 ms from a numpy literal).
     # Numpy constants lower as HLO literals and stay on the fast path.
     is_object_lut = np.asarray(label_space.is_object_lut())
+    is_dynamic_lut = np.asarray(label_space.is_dynamic_lut())
     shape = tuple(vol_cfg.grid_shape)
     md_enabled = md_cfg is not None
+    seed_dyn = md_enabled and getattr(md_cfg, "seed_dynamic_labels", False)
     openset = isinstance(od_cfg, InstanceForwardingConfig)
     od_enabled = od_cfg is not None and not openset
     if openset:
@@ -215,19 +217,45 @@ def make_frame_step(
                 (labels_d >= 0) & jnp.asarray(is_object_lut)[safe_lab], labels_d, -1
             )
         scan = vclass = None
+        dyn_hit = None
+        if seed_dyn:
+            # dynamic-labeled pixel mask; the LUT stages as an HLO literal
+            # (see is_object_lut note)
+            safe_lab_d = jnp.clip(labels_d, 0, is_dynamic_lut.shape[0] - 1)
+            dyn_pix = (labels_d >= 0) & jnp.asarray(is_dynamic_lut)[safe_lab_d]
         if md_enabled and od_enabled:
             val = jnp.where(
                 in_grid, jnp.where(pix_class >= 0, pix_class + 2, 1), 0
             )
-            packed_grid = jnp.zeros(crop, jnp.int32).at[ci, cj, ck].max(val)
+            if seed_dyn:
+                # semantic motion seeding rides the SAME scatter: dyn bit in
+                # the LSB, class/pixel code shifted up. Max keeps the highest
+                # class code; on a (rare) voxel hit by both an object-class
+                # pixel and a dynamic pixel the class wins and the dyn bit is
+                # dropped — the human's other voxels still seed and region
+                # growing recovers the cluster.
+                val = val * 2 + (in_grid & dyn_pix)
+                packed_grid = jnp.zeros(crop, jnp.int32).at[ci, cj, ck].max(val)
+                dyn_hit = (packed_grid & 1) == 1
+                packed_grid = packed_grid >> 1
+            else:
+                packed_grid = jnp.zeros(crop, jnp.int32).at[ci, cj, ck].max(val)
             scan = packed_grid >= 1
             vclass = jnp.where(packed_grid >= 2, packed_grid - 2, -1)
         elif md_enabled:
-            scan = jnp.zeros(crop, jnp.bool_).at[ci, cj, ck].max(in_grid)
+            if seed_dyn:
+                val = in_grid.astype(jnp.int32) * 2 + (in_grid & dyn_pix)
+                packed_grid = jnp.zeros(crop, jnp.int32).at[ci, cj, ck].max(val)
+                dyn_hit = (packed_grid & 1) == 1
+                scan = packed_grid >= 2
+            else:
+                scan = jnp.zeros(crop, jnp.bool_).at[ci, cj, ck].max(in_grid)
 
         # ---------------- motion detection ----------------
         if md_enabled:
-            seeds = scan & sub.ever_free
+            seeds = scan & (
+                (sub.ever_free | dyn_hit) if seed_dyn else sub.ever_free
+            )
             growable = dilate(seeds, merge_dilation) if merge_dilation > 0 else seeds
             mlab = propagate_labels_3d(
                 jnp.where(seeds, lin, -1), growable, md_cfg.grow_iterations

@@ -55,6 +55,17 @@ class FreeSpaceMotionDetectorConfig:
     max_range: float = 5.0  # m
     min_z: float = -1.0e9  # m, ground removal off by default
     grow_iterations: int = 16  # label-propagation rounds (~1.6 m reach @ 0.1 m)
+    # semantic motion seeding (fused mode): dynamic-labeled pixels seed
+    # motion clusters directly, without requiring ever-free history —
+    # removes the free-space detector's structural blind spot in
+    # freshly-first-observed areas (the Dynablox warm-up: a voxel must be
+    # SEEN free before occupancy there can read as motion; a human standing
+    # in never-before-observed space is invisible to it). Off by default
+    # for reference parity (Dynablox-style geometry-only detection,
+    # motion_detection.cpp seeds = ever-free & occupied); quality configs
+    # enable it. Costs nothing: the dyn bit packs into the same single
+    # pixel->voxel scatter-max the seed-scan/class write already does.
+    seed_dynamic_labels: bool = False
 
     def check(self):
         check_gt(self.min_cluster_size, 0, "min_cluster_size")

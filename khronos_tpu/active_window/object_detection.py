@@ -44,6 +44,12 @@ class LabelSpace:
             lut[l] = True
         return lut
 
+    def is_dynamic_lut(self) -> np.ndarray:
+        lut = np.zeros(self.num_classes + 1, np.bool_)
+        for l in self.dynamic_labels:
+            lut[l] = True
+        return lut
+
 
 @register("object_detector", "ConnectedSemantics")
 @dataclasses.dataclass

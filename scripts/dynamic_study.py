@@ -108,6 +108,8 @@ def main():
     ap.add_argument("--width", type=int, default=128)
     ap.add_argument("--fps", type=float, default=4.0)
     ap.add_argument("--duration", type=float, default=24.0)
+    ap.add_argument("--seed-only", action="store_true",
+                    help="only the baseline + semantic-seeding variants")
     args = ap.parse_args()
     # round-2 best was obs2_disp04 (recall 0.219); round-3 attacks the
     # remaining gap terms named in METRICS.md: ever-free warm-up
@@ -121,7 +123,13 @@ def main():
         ("obs1_tb025", 1, 0.4, {"volumetric_map": {"temporal_buffer": 0.25}}),
         ("obs1_tb025_mc40", 1, 0.4, {"volumetric_map": {"temporal_buffer": 0.25},
                                       "motion_detector": {"min_cluster_size": 40}}),
+        # semantic motion seeding: dynamic-labeled pixels seed clusters
+        # without ever-free history (the warm-up blind spot attacked
+        # directly; off by default for reference parity)
+        ("seed", 2, 0.4, {"motion_detector": {"seed_dynamic_labels": True}}),
     ]
+    if args.seed_only:
+        variants = [v for v in variants if v[0] in ("obs2_disp04", "seed")]
     rows = [run_once(n, o, d, args, x) for (n, o, d, x) in variants]
     for r in rows:
         print(json.dumps(r))

@@ -269,3 +269,58 @@ class TestPullTimingRobustness:
         ka = sorted(key(o) for o in objs_a)
         kb = sorted(key(o) for o in objs_b)
         assert ka == kb, (ka, kb)
+
+
+class TestSemanticMotionSeeding:
+    """seed_dynamic_labels: dynamic-labeled pixels seed motion clusters in
+    freshly-first-observed space, bypassing the ever-free warm-up (the
+    Dynablox-inherent blind spot: a voxel must be SEEN free before occupancy
+    there can read as motion, so a human in never-observed space is
+    invisible to the geometry-only detector)."""
+
+    def _first_dynamic_frame(self, seed: bool):
+        import khronos_tpu.data.synthetic as syn_mod
+
+        scene = syn_mod.office_scene(duration=12.0)
+        seq = syn_mod.SyntheticSequence(
+            scene,
+            syn_mod.SyntheticSequenceConfig(
+                duration=12.0, fps=4.0, height=96, width=128,
+                fx=80.0, fy=80.0, cx=64.0, cy=48.0,
+            ),
+        )
+        cfg = build(ActiveWindowConfig, {
+            "volumetric_map": {"grid_shape": [128, 128, 32], "voxel_size": 0.1},
+            "motion_detector": {"type": "FreeSpaceMotionDetector",
+                                "min_cluster_size": 60, "grow_iterations": 12,
+                                "seed_dynamic_labels": seed},
+            "object_detector": {"type": "ConnectedSemantics", "min_cluster_size": 30},
+            "tracker": {"type": "MaxIouTracker", "min_num_observations": 2},
+        })
+        import khronos_tpu.data.synthetic as syn2
+        aw = ActiveWindow(cfg, seq.camera, syn2.default_label_space())
+        first, purity = None, None
+        # start AT the frame where humans first enter view (frame 4 of this
+        # sequence): the first frame the detector ever sees has a human
+        # standing in never-before-observed space — the ever-free blind spot
+        for i in range(4, 16):
+            f = seq.render_frame(i)
+            frame = FrameData(
+                stamp_ns=f["stamp_ns"], depth=f["depth"], color=f["color"],
+                labels=f["labels"], R_w_c=f["R_w_c"], t_w_c=f["t_w_c"],
+            )
+            aw.spin_once(frame)
+            dyn = np.asarray(frame.dynamic_image)
+            if first is None and (dyn > 0).sum() > 30:
+                first = i
+                labels = np.asarray(f["labels"])
+                human = int(((dyn > 0) & (labels == syn_mod.HUMAN)).sum())
+                purity = human / max(int((dyn > 0).sum()), 1)
+        return first if first is not None else 999, purity
+
+    def test_seeding_bypasses_ever_free_warmup(self):
+        base, _ = self._first_dynamic_frame(False)
+        seeded, purity = self._first_dynamic_frame(True)
+        assert seeded < base, (seeded, base)
+        # seeded clusters are still humans, not background leakage
+        assert purity is not None and purity > 0.7, purity
