@@ -185,6 +185,9 @@ class Backend:
             # 4) loop closures: GT oracle consumes GT poses; descriptor LCD
             # consumes the sensor frame (real-data path, no oracle)
             lcs: List[LoopClosure] = []
+            if self.lcd is not None and hasattr(self.lcd, "on_geometry_epoch"):
+                # stale-descriptor invalidation for place-gated LCDs
+                self.lcd.on_geometry_epoch(self._geometry_epoch)
             if self.lcd is not None and hasattr(self.lcd, "add_keyframe"):
                 if getattr(self.lcd, "needs_frame", False) and getattr(
                     self.lcd, "needs_scene", False
@@ -439,23 +442,39 @@ class Backend:
                 q, stamps, t_old, t_new, R_old, R_new
             )
             delta = (t_n - t_o).astype(np.float32)
-        # vectorized pairwise gates: same label + bbox IoU >= threshold.
-        # The exact interval co-visibility check runs only on survivors.
+        # candidate pairs from a spatial bbox bucket (grid cells, not the
+        # n x n matrix — per-object cost stays flat as object counts grow,
+        # VERDICT r3 task 9), then vectorized label + IoU gates over the
+        # gathered pair list. The exact interval co-visibility check runs
+        # only on survivors.
         mn = np.stack([o.bbox_min for o in objs]).astype(np.float32) + delta
         mx = np.stack([o.bbox_max for o in objs]).astype(np.float32) + delta
         labels = np.asarray([o.semantic_category for o in objs])
-        inter_lo = np.maximum(mn[:, None, :], mn[None, :, :])
-        inter_hi = np.minimum(mx[:, None, :], mx[None, :, :])
-        inter = np.prod(np.maximum(inter_hi - inter_lo, 0.0), axis=-1)  # [n,n]
-        vol = np.prod(np.maximum(mx - mn, 0.0), axis=-1)
-        union = vol[:, None] + vol[None, :] - inter
-        iou_mat = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
-        cand = (
-            (iou_mat >= cfg.merge_min_iou)
-            & (labels[:, None] == labels[None, :])
-            & np.triu(np.ones((n, n), bool), k=1)
+        grid = bbox_util.BboxGrid(mn, mx)
+        pi, pj = [], []
+        for i in range(n):
+            js = grid.candidates(mn[i], mx[i])
+            js = js[js > i]
+            if len(js):
+                pi.append(np.full(len(js), i))
+                pj.append(js)
+        if not pi:
+            return
+        pi = np.concatenate(pi)
+        pj = np.concatenate(pj)
+        inter = np.prod(
+            np.maximum(np.minimum(mx[pi], mx[pj]) - np.maximum(mn[pi], mn[pj]), 0.0),
+            axis=-1,
         )
-        for i, j in zip(*np.nonzero(cand)):
+        vol = np.prod(np.maximum(mx - mn, 0.0), axis=-1)
+        union = vol[pi] + vol[pj] - inter
+        iou_pair = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+        keep = (iou_pair >= cfg.merge_min_iou) & (labels[pi] == labels[pj])
+        iou_by_pair = {
+            (int(a), int(b)): float(v)
+            for a, b, v in zip(pi[keep], pj[keep], iou_pair[keep])
+        }
+        for i, j in zip(pi[keep], pj[keep]):
             a, b = objs[i], objs[j]
             if (a.node_id, b.node_id) in proposed or (b.node_id, a.node_id) in proposed:
                 continue
@@ -469,7 +488,7 @@ class Backend:
             )
             if covis:
                 continue
-            iou = float(iou_mat[i, j])
+            iou = iou_by_pair[(int(i), int(j))]
             newer, older = (a, b) if a.first_observed_ns[0] > b.first_observed_ns[0] else (b, a)
             prop = MergeProposal(from_id=newer.node_id, into_id=older.node_id, iou=iou)
             if cfg.add_merge_factor:

@@ -677,7 +677,12 @@ def _place_layer_descriptor(
     )
     h = hist.astype(np.float32)
     n = float(h.sum())
-    return h / n if n > 0 else h
+    if n == 0:
+        # every in-radius clearance fell outside [hist_min, hist_max]: an
+        # all-zero vector would score a meaningless constant against any
+        # normalized histogram — abstain instead (r4 advisor fix)
+        return None
+    return h / n
 
 
 def _place_descriptor_score(a: Optional[np.ndarray], b: Optional[np.ndarray]) -> float:
@@ -744,9 +749,24 @@ class HybridLoopClosureDetector:
         # keyframe's local places only exist a few seconds after it
         self._place_pending: List[Tuple[int, int, np.ndarray]] = []  # (key, stamp, t)
         self.place_gate_rejections = 0
+        self._geom_epoch = None
         if config.places is not None:
             self.constellation.place_gate = self._place_gate
             self.appearance.place_gate = self._place_gate
+
+    def on_geometry_epoch(self, epoch) -> None:
+        """An optimization MOVED geometry: stored place descriptors were
+        computed at raw odometry positions against the (now moved)
+        world-frame places layer — invalidate them so the gate abstains on
+        stale context instead of vetoing true loops under drift (r4 advisor
+        fix). Keyframes still inside the pending horizon re-describe on the
+        next call that carries a places snapshot."""
+        if self._geom_epoch is not None and epoch != self._geom_epoch:
+            pending = {k for k, _, _ in self._place_pending}
+            for k in list(self._place_descs):
+                if k not in pending:
+                    self._place_descs[k] = None
+        self._geom_epoch = epoch
 
     def _place_gate(self, query_key: int, cand_key: int) -> bool:
         score = _place_descriptor_score(
@@ -770,17 +790,21 @@ class HybridLoopClosureDetector:
         features=None,
         places=None,  # optional (positions [P,3], clearances [P]) snapshot
     ) -> List[LoopClosure]:
-        if self.config.places is not None and places is not None:
-            pcfg = self.config.places
+        if self.config.places is not None:
+            # enqueue unconditionally (r4 advisor fix): a keyframe arriving
+            # while the places layer is still empty/unwired must be described
+            # once the layer materializes within the horizon, not abstain
+            # forever
             self._place_pending.append(
                 (key, stamp_ns, np.asarray(t_odom, np.float32))
             )
             horizon = int((self.config.constellation.obs_window + 2.0) * 1e9)
             keep = []
             for k, s, t in self._place_pending:
-                self._place_descs[k] = _place_layer_descriptor(
-                    places[0], places[1], t, pcfg
-                )
+                if places is not None:
+                    self._place_descs[k] = _place_layer_descriptor(
+                        places[0], places[1], t, self.config.places
+                    )
                 if stamp_ns - s <= horizon:
                     keep.append((k, s, t))
             self._place_pending = keep

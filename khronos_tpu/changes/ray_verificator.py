@@ -3,8 +3,10 @@
 Equivalent of the reference RayVerificator (khronos/src/backend/
 change_detection/ray_verificator.cpp): agent nodes are ray sources; each
 background mesh vertex spawns rays to the poses that observed it per
-`ray_policy` in {First, Last, FirstAndLast, Middle, All} over
-[first_seen, last_seen - active_window_duration] (cpp:211-314). Rays are
+`ray_policy` in {First, Last, FirstAndLast, Middle, All, SampledAll} over
+[first_seen, last_seen - active_window_duration] (cpp:211-314); `All`
+expands the full ragged per-vertex observer list as the reference does,
+`SampledAll` is the bounded 4-observer variant. Rays are
 hashed into a coarse block grid (block_size 0.5 m, step block/4,
 cpp:327-349). A query point is classified against each candidate ray through
 its block (cpp:66-145):
@@ -42,9 +44,17 @@ class RayVerificatorConfig:
     block_size: float = 0.5  # m coarse hash cell
     radial_tolerance: float = 0.1  # m (point-to-ray distance)
     depth_tolerance: float = 0.15  # m (along-ray)
-    # First | Last | FirstAndLast | Middle | All | Random | Random3
-    # (reference ray_verificator.h ray_policy enum; cpp:211-314)
+    # First | Last | FirstAndLast | Middle | All | SampledAll | Random |
+    # Random3 (reference ray_verificator.h ray_policy enum; cpp:211-314).
+    # `All` spawns a ray from EVERY in-range observing pose to the vertex,
+    # as the reference does (ragged per-vertex observer lists expanded on
+    # host; the CSR index build buckets the resulting ray count) —
+    # `SampledAll` is the cheaper 4-evenly-spaced-observers variant.
     ray_policy: str = "Middle"
+    # safety cap on observers per vertex under `All` (0 = uncapped): when a
+    # vertex's stamp range covers more poses, the list is strided down to
+    # this many, evenly spaced — bounds ray count on pathological dwell
+    all_max_observers: int = 0
     random_seed: int = 0  # Random/Random3 observer draws (deterministic)
     active_window_duration: float = 3.0  # s excluded from the recent end
     # MINIMUM marching steps per ray; the actual count is sized from the
@@ -73,7 +83,8 @@ class RayVerificatorConfig:
         check_gt(self.block_size, 0.0, "block_size")
         check_in(
             self.ray_policy,
-            ("First", "Last", "FirstAndLast", "Middle", "All", "Random", "Random3"),
+            ("First", "Last", "FirstAndLast", "Middle", "All", "SampledAll",
+             "Random", "Random3"),
             "ray_policy",
         )
 
@@ -190,9 +201,23 @@ def _query_device(
     lin_safe = jnp.maximum(lin, 0)
     start = cell_start[lin_safe]
     end = cell_start[lin_safe + 1]
-    count = jnp.minimum(end - start, max_candidates)
+    count_full = end - start
+    count = jnp.minimum(count_full, max_candidates)
     offs = jnp.arange(max_candidates)[None, :]
-    entry_idx = jnp.minimum(start[:, None] + offs, sorted_rays.shape[0] - 1)
+    # when a cell holds more rays than the cap, sample EVENLY across its
+    # whole candidate list instead of truncating the prefix: entry order
+    # tracks ray generation order (vertex-major, observers in time order),
+    # so a prefix silently biases evidence toward early observations — under
+    # the true `All` policy that shrank late persistence evidence (r4)
+    sel = jnp.where(
+        count_full[:, None] > max_candidates,
+        (
+            offs.astype(jnp.int64) * count_full[:, None].astype(jnp.int64)
+            // max_candidates
+        ).astype(jnp.int32),
+        offs,
+    )
+    entry_idx = jnp.minimum(start[:, None] + sel, sorted_rays.shape[0] - 1)
     cand_valid = (offs < count[:, None]) & lin_ok[:, None]
     rays = sorted_rays[entry_idx]  # [P, K]
 
@@ -279,6 +304,7 @@ class RayVerificator:
         hi = np.maximum(np.searchsorted(agent_stamps, last, side="right") - 1, lo)
         lo = np.clip(lo, 0, len(agent_stamps) - 1)
         hi = np.clip(hi, 0, len(agent_stamps) - 1)
+        nv = len(lo)
         if cfg.ray_policy == "First":
             obs = [lo]
         elif cfg.ray_policy == "Last":
@@ -297,27 +323,43 @@ class RayVerificator:
                 lo + (rng.random(len(lo)) * span).astype(np.int64).clip(0, span - 1)
                 for _ in range(k)
             ]
-        else:  # All: cap at 4 evenly spaced
+        elif cfg.ray_policy == "All":
+            obs = None  # ragged per-vertex expansion below
+        else:  # SampledAll: 4 evenly spaced observers
             obs = [lo, (2 * lo + hi) // 3, (lo + 2 * hi) // 3, hi]
 
-        ray_src, ray_tgt, ray_stamp = [], [], []
-        for ob in obs:
-            ray_src.append(agents_t[ob])
-            ray_tgt.append(mesh.vertices[sl])
-            ray_stamp.append(agent_stamps[ob])
-        origins = np.concatenate(ray_src).astype(np.float32)
-        targets = np.concatenate(ray_tgt).astype(np.float32)
+        if obs is None:
+            # true `All` (reference ray_verificator.cpp:211-314): one ray
+            # per (vertex, in-range observing pose) pair. Ragged lists are
+            # expanded flat on host via repeat arithmetic; the CSR index
+            # build buckets the resulting ray count so compiles stay cached.
+            spans = (hi - lo + 1).astype(np.int64)
+            take = spans
+            if cfg.all_max_observers > 0:
+                take = np.minimum(spans, cfg.all_max_observers)
+            starts = np.cumsum(take) - take
+            total = int(take.sum())
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, take)
+            tk = np.repeat(take, take)
+            sp = np.repeat(spans, take)
+            # evenly strided when capped; identity (pos) when take == span
+            off = np.where(tk > 1, (pos * (sp - 1)) // np.maximum(tk - 1, 1), 0)
+            obs_flat = np.repeat(lo, take) + off
+            vrel_flat = np.repeat(np.arange(nv, dtype=np.int64), take)
+        else:
+            obs_flat = np.concatenate(obs)
+            vrel_flat = np.tile(np.arange(nv, dtype=np.int64), len(obs))
+        origins = agents_t[obs_flat].astype(np.float32)
+        targets = mesh.vertices[sl][vrel_flat].astype(np.float32)
         # float64 ABSOLUTE seconds here; build()/update() rebase to the
         # library time base before the float32 cast (epoch-stamp safety)
-        stamps = np.concatenate(ray_stamp).astype(np.float64)
+        stamps = agent_stamps[obs_flat].astype(np.float64)
         # target VERTEX index per ray: old vertices keep exactly their old
         # rays across passes (append-only mesh + frozen per-vertex stamps),
         # so "rays new since vertex count Vp" === "rays with target >= Vp" —
         # the basis for incremental re-detection (reference
         # ray_verificator.cpp:163-182 updateDsg re-observed reporting)
-        target_idx = np.concatenate(
-            [np.arange(v_lo, V, dtype=np.int32)] * len(obs)
-        )
+        target_idx = (v_lo + vrel_flat).astype(np.int32)
         ok = np.ones(len(origins), bool)
         if cfg.max_ray_length > 0:
             ok &= np.linalg.norm(targets - origins, axis=1) <= cfg.max_ray_length
@@ -326,8 +368,7 @@ class RayVerificator:
             fwd_all = np.stack(
                 [np.asarray(a.R_w_b)[:, 2] for a in dsg.agents]
             ).astype(np.float32)
-            obs_idx = np.concatenate(obs)
-            fwd = fwd_all[obs_idx]
+            fwd = fwd_all[obs_flat]
             d = targets - origins
             dn = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-6)
             cosang = np.einsum("ij,ij->i", dn, fwd)

@@ -69,3 +69,53 @@ def merge(amin, amax, bmin, bmax):
 
 def contains(bmin, bmax, points):
     return ((points >= bmin) & (points <= bmax)).all(axis=-1)
+
+
+class BboxGrid:
+    """Uniform-cell spatial bucket over axis-aligned boxes.
+
+    Neighbor-candidate generation in O(cells touched) per query instead of
+    O(n) — the host-side analog of the reference's spatial_hash Grid used to
+    keep per-object scans flat as object counts grow (the reference avoids
+    all-pairs scans by reporting re-observed objects from the ray hash,
+    ray_verificator.cpp:163-182). Consumers: merge-proposal candidate
+    generation and the twin-presence veto (VERDICT r3 task 9).
+    """
+
+    def __init__(self, mins: np.ndarray, maxs: np.ndarray, cell: float = 0.0):
+        mins = np.asarray(mins, np.float32).reshape(-1, 3)
+        maxs = np.asarray(maxs, np.float32).reshape(-1, 3)
+        self.mins, self.maxs = mins, maxs
+        if cell <= 0.0:
+            # default: median box diagonal (floored) — boxes touch a handful
+            # of cells each regardless of scene scale
+            if len(mins):
+                diag = np.linalg.norm(np.maximum(maxs - mins, 0.0), axis=1)
+                cell = float(max(np.median(diag), 0.5))
+            else:
+                cell = 1.0
+        self.cell = cell
+        self._buckets: dict = {}
+        for i in range(len(mins)):
+            for key in self._cells_of(mins[i], maxs[i]):
+                self._buckets.setdefault(key, []).append(i)
+
+    def _cells_of(self, mn, mx):
+        lo = np.floor(mn / self.cell).astype(np.int64)
+        hi = np.floor(mx / self.cell).astype(np.int64)
+        for x in range(lo[0], hi[0] + 1):
+            for y in range(lo[1], hi[1] + 1):
+                for z in range(lo[2], hi[2] + 1):
+                    yield (x, y, z)
+
+    def candidates(self, qmn, qmx) -> np.ndarray:
+        """Sorted indices of boxes sharing a grid cell with the query box
+        (superset of all boxes intersecting it). Sorted so consumers iterate
+        pairs in the same deterministic order as a row-major all-pairs scan
+        — merge-proposal chains are order-sensitive."""
+        out: set = set()
+        for key in self._cells_of(np.asarray(qmn, np.float32), np.asarray(qmx, np.float32)):
+            b = self._buckets.get(key)
+            if b:
+                out.update(b)
+        return np.sort(np.fromiter(out, np.int64, len(out)))

@@ -119,6 +119,89 @@ def run_once(n_verts: int, n_objects: int) -> dict:
     }
 
 
+def object_scan_scaling(n_objects: int) -> dict:
+    """r4 VERDICT task 9: per-object cost of the twin-presence veto and of
+    merge-proposal candidate generation must stay FLAT as object counts grow
+    to 1,000 (grid-bucketed candidates, not all-pairs scans)."""
+    from khronos_tpu.backend.backend import Backend, BackendConfig
+    from khronos_tpu.changes.change_state import ObjectChange
+    from khronos_tpu.changes.detectors import (
+        SequentialChangeDetector,
+        SequentialChangeDetectorConfig,
+    )
+    from khronos_tpu.geometry.bbox import BboxGrid
+
+    rng = np.random.default_rng(1)
+    # objects spread over a corridor whose length grows with count (constant
+    # spatial density — the production regime; a fixed-size room would pack
+    # all objects into a few grid cells and measure density, not count)
+    length = max(4.0, n_objects * 0.5)
+    dsg = build_dsg(4000, 0, rng)
+    be = Backend(BackendConfig(add_merge_factor=False))
+    from khronos_tpu.stm.scene_graph import KhronosObject
+
+    objs = []
+    for i in range(n_objects):
+        if i % 10 == 9 and objs:
+            # genuine re-extraction twin of the previous object (same class,
+            # coincident box, disjoint observation) so the proposal pair
+            # loop and GNC-free validation path are exercised, not just
+            # candidate generation
+            prev = objs[-1]
+            c = 0.5 * (prev.bbox_min + prev.bbox_max) + 0.02
+            cls = prev.semantic_category
+            t_c = prev.last_observed_ns[-1] * 1e-9 + 60.0
+        else:
+            c = rng.uniform([1, 1, 0.3], [length, 5.0, 1.0]).astype(np.float32)
+            cls = int(rng.integers(2, 6))
+            t_c = float(c[0])
+        o = KhronosObject(
+            node_id=i + 1,
+            semantic_category=cls,
+            bbox_min=c - 0.2,
+            bbox_max=c + 0.2,
+            first_observed_ns=[int(max(t_c - 3.0, 0.0) * 1e9)],
+            last_observed_ns=[int((t_c + 3.0) * 1e9)],
+            mesh_vertices=rng.normal(scale=0.15, size=(30, 3)).astype(np.float32),
+            mesh_faces=np.zeros((0, 3), np.int64),
+            mesh_colors=np.zeros((30, 3), np.float32),
+        )
+        objs.append(o)
+        be.objects[o.node_id] = o
+        dsg.objects[o.node_id] = o
+
+    # merge-proposal candidate generation (grid-bucketed pair scan)
+    t0 = time.perf_counter()
+    be._propose_merges()
+    t_prop = time.perf_counter() - t0
+
+    # twin-presence veto: every object carries an absent claim
+    det = SequentialChangeDetector(SequentialChangeDetectorConfig())
+    cfg = det.config.objects
+    obj_pts = {o.node_id: det._object_points(o, cfg) for o in objs}
+    env = {
+        o.node_id: (o.first_observed_ns[0], o.last_observed_ns[-1]) for o in objs
+    }
+    mns = np.stack([obj_pts[o.node_id].min(axis=0) for o in objs])
+    mxs = np.stack([obj_pts[o.node_id].max(axis=0) for o in objs])
+    t0 = time.perf_counter()
+    grid = BboxGrid(mns, mxs)
+    for o in objs:
+        oc = ObjectChange(o.node_id)
+        oc.last_absent_ns = o.last_observed_ns[-1] + int(5e9)
+        det._veto_identity_splits(o, oc, objs, env, obj_pts, cfg, grid)
+    t_veto = time.perf_counter() - t0
+
+    return {
+        "n_objects": n_objects,
+        "proposals": len(be.proposed_merges),
+        "propose_ms": round(t_prop * 1e3, 1),
+        "propose_us_per_obj": round(t_prop / n_objects * 1e6, 1),
+        "veto_ms": round(t_veto * 1e3, 1),
+        "veto_us_per_obj": round(t_veto / n_objects * 1e6, 1),
+    }
+
+
 def main():
     sizes = [(20000, 10), (40000, 20), (80000, 40), (160000, 80)]
     rows = [run_once(v, o) for v, o in sizes]
@@ -130,6 +213,17 @@ def main():
         f"\nper-kilovertex growth 20k->160k: {growth:.2f}x "
         f"({per_kv[0]:.1f} -> {per_kv[-1]:.1f} ms/kvert) — "
         + ("FLAT (<= 1.5x): no superlinear path" if growth <= 1.5 else "NOT FLAT"),
+        file=sys.stderr,
+    )
+    obj_rows = [object_scan_scaling(n) for n in (100, 300, 1000)]
+    for r in obj_rows:
+        print(json.dumps(r))
+    v0, v1 = obj_rows[0]["veto_us_per_obj"], obj_rows[-1]["veto_us_per_obj"]
+    p0, p1 = obj_rows[0]["propose_us_per_obj"], obj_rows[-1]["propose_us_per_obj"]
+    print(
+        f"per-object growth 100->1000: veto {v1 / max(v0, 1e-9):.2f}x, "
+        f"propose {p1 / max(p0, 1e-9):.2f}x — "
+        + ("FLAT (<= 2x)" if v1 <= 2 * v0 and p1 <= 2 * p0 else "NOT FLAT"),
         file=sys.stderr,
     )
 

@@ -586,3 +586,46 @@ class TestPlacesGate:
                          places=(pos, clr))
         assert det._place_descs[10] is not None
         assert det._place_descs[11] is not None
+
+    def test_keyframe_without_snapshot_described_later(self):
+        """r4 advisor fix: a keyframe arriving while the places snapshot is
+        None still enters the pending queue, so it is described once a later
+        call carries a materialized layer within the horizon."""
+        from khronos_tpu.backend.loop_closure import HybridLoopClosureConfig
+
+        rng = np.random.default_rng(2)
+        H, W = 24, 32
+        depth_pts = rng.random((H, W, 3)).astype(np.float32) * 3.0
+        valid = np.ones((H, W), bool)
+        color = rng.random((12, 16, 3)).astype(np.float32)
+        I, z = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        det = HybridLoopClosureConfig().create()
+        det.add_keyframe(10, int(1e9), depth_pts, valid, color, I, z)  # no kw
+        pos = (rng.random((10, 3)).astype(np.float32) - 0.5) * 6.0
+        clr = np.full(10, 0.8, np.float32)
+        det.add_keyframe(11, int(3e9), depth_pts, valid, color, I, z,
+                         places=(pos, clr))
+        assert det._place_descs.get(10) is not None, (
+            "keyframe stuck undescribed after the layer materialized"
+        )
+
+    def test_zero_histogram_abstains(self):
+        """r4 advisor fix: clearances all outside [hist_min, hist_max] must
+        yield None (abstain), not an unnormalized all-zero vector."""
+        assert self._hist([5.0, 6.0, 7.0, 8.0, 9.0]) is None
+
+    def test_geometry_epoch_invalidates_descriptors(self):
+        """r4 advisor fix: when an optimization moves geometry, stored place
+        descriptors (computed at raw odometry positions) are invalidated —
+        the gate abstains instead of vetoing true loops on stale context."""
+        from khronos_tpu.backend.loop_closure import HybridLoopClosureConfig
+
+        det = HybridLoopClosureConfig().create()
+        det.on_geometry_epoch(0)
+        old_desc = self._hist([0.6, 0.65, 0.7, 0.6, 0.55, 0.62, 0.68, 0.6])
+        det._place_descs = {10: old_desc, 50: old_desc}
+        det.on_geometry_epoch(0)  # same epoch: keep
+        assert det._place_descs[10] is not None
+        det.on_geometry_epoch(1)  # geometry moved: invalidate
+        assert det._place_descs[10] is None and det._place_descs[50] is None
+        assert det._place_gate(10, 50) is True  # abstains, does not veto

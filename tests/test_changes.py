@@ -127,6 +127,62 @@ class TestRayVerificator:
         inc.update(make_dsg(236), had_loop_closure=True)
         assert inc._delta is None
 
+    def test_all_policy_expands_every_observer(self):
+        """r4 task 4: `All` spawns one ray per (vertex, in-range observing
+        pose) pair (reference ray_verificator.cpp:211-314); `SampledAll`'s
+        4-observer set is a subset of it."""
+        dsg = SceneGraph()
+        dsg.agents = make_agents([0, 0, 1], np.arange(0, 101, 2.0))  # 51 poses
+        dsg.mesh = make_mesh([[5, 0, 1], [5, 1, 1]], [0.0, 10.0], [100.0, 60.0])
+
+        def pairs(policy, **kw):
+            ver = RayVerificator(RayVerificatorConfig(ray_policy=policy, **kw))
+            o, t, s, tidx = ver._generate_rays(dsg, 0)
+            return {(float(si), int(vi)) for si, vi in zip(s, tidx)}
+
+        all_pairs = pairs("All")
+        sampled = pairs("SampledAll")
+        # vertex 0: observed [0, 100-3]s -> poses 0..97s span; vertex 1:
+        # [10, 57]s. Every in-range pose spawns exactly one ray per vertex.
+        n_v0 = sum(1 for s, v in all_pairs if v == 0)
+        n_v1 = sum(1 for s, v in all_pairs if v == 1)
+        assert n_v0 > 40 and n_v1 > 20, (n_v0, n_v1)
+        assert sampled <= all_pairs, "SampledAll not a subset of All"
+        assert len(all_pairs) > len(sampled)
+        # capped All: evenly strided subset, bounded per vertex
+        capped = pairs("All", all_max_observers=8)
+        assert capped <= all_pairs
+        assert sum(1 for s, v in capped if v == 0) == 8
+        # evidence sanity: the All library classifies the wall as matched
+        ver = RayVerificator(
+            RayVerificatorConfig(ray_policy="All", num_bins=32,
+                                 temporal_resolution=4.0, max_candidates=512)
+        )
+        ver.build(dsg)
+        ev = ver.query(np.asarray([[5.0, 0, 1], [3.0, 0, 1]], np.float32))
+        assert ev[0, :, 0].sum() > 40  # dense match evidence (many observers)
+        assert ev[1, :, 1].sum() > 40  # dense absent evidence in front
+
+    def test_candidate_overflow_samples_evenly_in_time(self):
+        """When a cell holds more rays than max_candidates, the query must
+        sample evenly across the list (generation order tracks observation
+        time) — prefix truncation silently dropped LATE evidence under the
+        true `All` policy (r4 regression: persistence evidence shrank)."""
+        dsg = SceneGraph()
+        dsg.agents = make_agents([0, 0, 1], np.arange(0, 101, 1.0))  # 101 poses
+        dsg.mesh = make_mesh([[5, 0, 1]], [0.0], [100.0])
+        ver = RayVerificator(
+            RayVerificatorConfig(ray_policy="All", num_bins=32,
+                                 temporal_resolution=4.0, max_candidates=8)
+        )
+        ver.build(dsg)  # ~98 rays through the cells in front of the wall
+        ev = ver.query(np.asarray([[3.0, 0, 1]], np.float32))[0]  # [B, 2]
+        absent_bins = np.nonzero(ev[:, 1])[0]
+        assert len(absent_bins) >= 4, absent_bins
+        # evidence must cover the late end of the sequence (~97 s -> bin 24),
+        # not only the first max_candidates rays (bins 0-1)
+        assert absent_bins.max() >= 20, absent_bins
+
     def test_absent_match_occluded(self):
         ver = self.build_simple()
         ev = ver.query(np.asarray([[3.0, 0, 1], [5.0, 0, 1], [6.5, 0, 1], [3.0, 2.0, 1]], np.float32))
@@ -680,3 +736,87 @@ class TestTwinPresenceVeto:
         oc.last_absent_ns = int(20e9)
         det._veto_identity_splits(a, oc, [a, b], env, obj_pts, cfg)
         assert oc.last_absent_ns == int(20e9)
+
+    def test_stale_twin_does_not_veto_later_appearance(self):
+        """r4 advisor fix: a twin removed long BEFORE the absence evidence
+        carries no information about the space at that time — a genuine
+        later appearance must survive (twin 0-2 s, absence verified at 9 s,
+        new object appears at 20 s)."""
+        det = self._detector()
+        cfg = det.config.objects
+        new = self._obj(1, 0, 0)
+        old = self._obj(2, 0, 0)
+        obj_pts = {
+            1: np.array([[0, 0, 0], [1, 1, 1]], np.float32),
+            2: np.array([[0.1, 0.1, 0.1], [0.9, 0.9, 0.9]], np.float32),
+        }
+        env = {1: (int(20e9), int(24e9)), 2: (0, int(2e9))}
+        oc = ObjectChange(1)
+        oc.first_absent_ns = int(9e9)
+        det._veto_identity_splits(new, oc, [new, old], env, obj_pts, cfg)
+        assert oc.first_absent_ns == int(9e9), "appearance suppressed by a stale twin"
+
+    def test_replacement_appearance_not_suppressed(self):
+        """r4 advisor fix: old object removed at ~11 s, same-class new object
+        placed in the same spot at 20 s. The new object's APPEARANCE is
+        genuine and must survive (the old twin was gone by the absence
+        evidence at 18 s). The old object's removal verdict is suppressed by
+        the later twin — a disappearance claim covers [T, inf), and the
+        same-spot same-class pair is exactly what the merge machinery would
+        union (inherent surface-level ambiguity, mirrored from the
+        reference's merge semantics)."""
+        det = self._detector()
+        cfg = det.config.objects
+        old = self._obj(1, 0, 0)
+        new = self._obj(2, 0, 0)
+        obj_pts = {
+            1: np.array([[0, 0, 0], [1, 1, 1]], np.float32),
+            2: np.array([[0.05, 0.05, 0.05], [0.95, 0.95, 0.95]], np.float32),
+        }
+        env = {1: (0, int(10e9)), 2: (int(20e9), int(24e9))}
+        # appearance: space verified absent at 18 s (after the old was gone)
+        oc2 = ObjectChange(2)
+        oc2.first_absent_ns = int(18e9)
+        det._veto_identity_splits(new, oc2, [old, new], env, obj_pts, cfg)
+        assert oc2.first_absent_ns == int(18e9), "real appearance vetoed by a replacement"
+
+    def test_reextraction_twin_vetoes_phantom_disappearance(self):
+        """A disappearance claim covers [T, inf): a coincident twin observed
+        only at revisit time (AFTER the phantom absence bin) still
+        contradicts it — the fragment case that fails the merge-IoU gate
+        (office e2e obj-2 regression)."""
+        det = self._detector()
+        cfg = det.config.objects
+        frag = self._obj(1, 0, 0)
+        revisit = self._obj(2, 0, 0)
+        obj_pts = {
+            1: np.array([[0, 0, 0], [1, 1, 1]], np.float32),
+            2: np.array([[0.1, 0.1, 0.1], [0.9, 0.9, 0.9]], np.float32),
+        }
+        # fragment seen 0-1 s; phantom absence at 7 s; surface re-extracted
+        # as a new identity only at 11-13 s
+        env = {1: (0, int(1e9)), 2: (int(11e9), int(13e9))}
+        oc = ObjectChange(1)
+        oc.last_absent_ns = int(7e9)
+        det._veto_identity_splits(frag, oc, [frag, revisit], env, obj_pts, cfg)
+        assert oc.last_absent_ns == -1, "phantom disappearance not vetoed"
+
+    def test_adjacent_neighbor_below_overlap_threshold_not_a_twin(self):
+        """r4 advisor fix: the overlap gate was raised 0.3 -> 0.5, so an
+        adjacent same-class neighbor (moderate bbox overlap, genuinely a
+        distinct object) no longer reads as an identity twin — a real
+        removal next to a surviving neighbor is reported."""
+        det = self._detector()
+        cfg = det.config.objects
+        a = self._obj(1, 0, 0)
+        b = self._obj(2, 0, 0)
+        obj_pts = {
+            1: np.array([[0, 0, 0], [1, 1, 1]], np.float32),
+            # 40% overlap of the smaller box: over the old 0.3 gate, under 0.5
+            2: np.array([[0.6, 0, 0], [1.6, 1, 1]], np.float32),
+        }
+        env = {1: (0, int(10e9)), 2: (0, int(30e9))}
+        oc = ObjectChange(1)
+        oc.last_absent_ns = int(15e9)
+        det._veto_identity_splits(a, oc, [a, b], env, obj_pts, cfg)
+        assert oc.last_absent_ns == int(15e9), "removal vetoed by an adjacent neighbor"
