@@ -266,14 +266,45 @@ class DescriptorLoopClosureDetector:
 # ----------------------------------------------------------------------------
 
 
+def _gradient_signature(
+    img: np.ndarray, H: int = 24, W: int = 32, cells=(3, 4), nori: int = 8
+) -> np.ndarray:
+    """Coarse gradient-orientation histogram (HOG-lite): unsigned edge
+    orientations, magnitude-weighted, pooled over a cells grid. Invariant to
+    gain/offset (gradients) and tolerant to small viewpoint shifts (coarse
+    pooling) — the photometric-invariance role of the reference's ORB BoW
+    features (kimera_vio bow_query, khronos.launch.yaml:49)."""
+    g = np.asarray(
+        jax.image.resize(jnp.asarray(img), (H, W, 3), method="linear")
+    ).mean(-1)
+    gy, gx = np.gradient(g)
+    mag = np.hypot(gx, gy)
+    ori = np.mod(np.arctan2(gy, gx), np.pi)
+    ob = np.minimum((ori / np.pi * nori).astype(np.int64), nori - 1)
+    ch, cw = H // cells[0], W // cells[1]
+    rows = np.arange(H)[:, None] // ch
+    cols = np.arange(W)[None, :] // cw
+    flat = (rows * cells[1] + cols) * nori + ob
+    hist = np.zeros(cells[0] * cells[1] * nori, np.float32)
+    np.add.at(hist, flat.reshape(-1), mag.reshape(-1).astype(np.float32))
+    n = np.linalg.norm(hist)
+    return hist / n if n > 0 else hist
+
+
 def _appearance_descriptor(color_small: np.ndarray, features=None) -> np.ndarray:
     """Compact per-keyframe APPEARANCE descriptor — the role of the
     reference's BoW appearance queries (khronos.launch.yaml:49 ->
     kimera_vio bow_query; hydra LCD appearance stream, uHumans2.yaml:254-307).
 
     Open-set path: when per-instance CLIP embeddings are available they are
-    mean-pooled into the descriptor. Otherwise: a 12x16 color thumbnail,
-    per-channel mean-subtracted (illumination-robust) and L2-normalized."""
+    mean-pooled into the descriptor. Otherwise a two-part signature, each
+    half unit-normalized (cosine = mean of the two parts' cosines):
+      * 12x16 color thumbnail, per-channel mean-subtracted + L2-normalized
+        — invariant to global gain and offset;
+      * gradient-orientation histogram — invariant to monotonic photometric
+        shifts (gamma/saturation) and tolerant to small viewpoint offsets.
+    Candidates are ALWAYS verified by GNC depth registration downstream, so
+    the descriptor gates recall/cost, not final precision."""
     if features is not None and len(features):
         f = np.asarray(features, np.float32).mean(axis=0)
         n = np.linalg.norm(f)
@@ -285,14 +316,23 @@ def _appearance_descriptor(color_small: np.ndarray, features=None) -> np.ndarray
     th = th - th.mean(axis=(0, 1), keepdims=True)
     d = th.reshape(-1)
     n = np.linalg.norm(d)
-    return d / n if n > 0 else d
+    d = d / n if n > 0 else d
+    grad = _gradient_signature(img)
+    out = np.concatenate([d, grad]) * np.float32(np.sqrt(0.5))
+    n = np.linalg.norm(out)
+    return out / n if n > 0 else out
 
 
 @register("lcd", "AppearanceLoopClosure")
 @dataclasses.dataclass
 class AppearanceLoopClosureConfig:
     min_time_gap: float = 10.0
-    min_appearance_similarity: float = 0.93
+    # recall/cost dial, not a precision gate: every candidate is verified by
+    # GNC depth registration (+ inlier fraction + odometry distance), so the
+    # threshold is set where PERTURBED true revisits (lighting shift, small
+    # viewpoint offset) still surface in the top-3 (r4 invariance study,
+    # METRICS.md)
+    min_appearance_similarity: float = 0.85
     min_detection_separation: float = 5.0
     max_registration_rms: float = 0.15  # m
     n_icp_points: int = 256
@@ -654,9 +694,13 @@ class PlacesGateConfig:
     hist_bins: int = 30  # (place_histogram_config.bins)
     min_places: int = 4  # below this the tier abstains (gate passes)
     # score = 1 - 0.5 * ||a - b||_1 on sum-normalized histograms, in [0, 1]
-    # (hydra `type: L1`, places min_score 0.2 — we default stricter because
-    # our histograms are radius-local rather than subgraph-extracted)
-    min_score: float = 0.35
+    # (hydra `type: L1`, places min_score 0.2). Chosen from the r4 gate
+    # study (scripts/places_gate_study.py): live true-pair scores ranged
+    # 0.58-0.75 once descriptors freeze on layer MATURITY, but the round-3
+    # 0.35 default false-vetoed premature run-start descriptors — hydra's
+    # 0.2 keeps the measured false-veto rate at 0 while still rejecting
+    # clearance-profile-distinct contexts (corridor vs open room ~= 0.0-0.1).
+    min_score: float = 0.2
 
 
 def _place_layer_descriptor(
@@ -749,6 +793,12 @@ class HybridLoopClosureDetector:
         # keyframe's local places only exist a few seconds after it
         self._place_pending: List[Tuple[int, int, np.ndarray]] = []  # (key, stamp, t)
         self.place_gate_rejections = 0
+        # gate-efficacy audit trail (r4 task 8): every gate decision as
+        # (query_key, cand_key, score, passed, described) — `described` =
+        # both sides had a usable places context (score is real, not an
+        # abstention). Tests join keys against GT positions to assert the
+        # false-veto rate on true loops is zero.
+        self.place_gate_events: List[Tuple[int, int, float, bool, bool]] = []
         self._geom_epoch = None
         if config.places is not None:
             self.constellation.place_gate = self._place_gate
@@ -762,19 +812,22 @@ class HybridLoopClosureDetector:
         fix). Keyframes still inside the pending horizon re-describe on the
         next call that carries a places snapshot."""
         if self._geom_epoch is not None and epoch != self._geom_epoch:
-            pending = {k for k, _, _ in self._place_pending}
+            pending = {p[0] for p in self._place_pending}
             for k in list(self._place_descs):
                 if k not in pending:
                     self._place_descs[k] = None
         self._geom_epoch = epoch
 
     def _place_gate(self, query_key: int, cand_key: int) -> bool:
-        score = _place_descriptor_score(
-            self._place_descs.get(query_key), self._place_descs.get(cand_key)
-        )
+        a = self._place_descs.get(query_key)
+        b = self._place_descs.get(cand_key)
+        score = _place_descriptor_score(a, b)
         ok = score >= self.config.places.min_score
         if not ok:
             self.place_gate_rejections += 1
+        self.place_gate_events.append(
+            (query_key, cand_key, float(score), ok, a is not None and b is not None)
+        )
         return ok
 
     def add_keyframe(
@@ -796,17 +849,37 @@ class HybridLoopClosureDetector:
             # once the layer materializes within the horizon, not abstain
             # forever
             self._place_pending.append(
-                (key, stamp_ns, np.asarray(t_odom, np.float32))
+                (key, stamp_ns, np.asarray(t_odom, np.float32), None, stamp_ns)
             )
             horizon = int((self.config.constellation.obs_window + 2.0) * 1e9)
             keep = []
-            for k, s, t in self._place_pending:
+            for k, s, t, ref_desc, ref_stamp in self._place_pending:
                 if places is not None:
-                    self._place_descs[k] = _place_layer_descriptor(
+                    d = _place_layer_descriptor(
                         places[0], places[1], t, self.config.places
                     )
-                if stamp_ns - s <= horizon:
-                    keep.append((k, s, t))
+                    self._place_descs[k] = d
+                else:
+                    d = self._place_descs.get(k)
+                # maturity freeze (r4 gate-efficacy study): the places layer
+                # materializes behind the frame stream, so a descriptor
+                # frozen on a fixed age can capture a premature local layer
+                # (measured: run-start keyframes scored 0.18-0.2 against
+                # their own revisit and false-vetoed the true loop). Keep
+                # refreshing until the descriptor has been STABLE for a full
+                # horizon, hard-capped at 4x horizon.
+                changed = (
+                    (d is None) != (ref_desc is None)
+                    or (
+                        d is not None and ref_desc is not None
+                        and float(np.abs(d - ref_desc).sum()) >= 0.1
+                    )
+                )
+                if changed:
+                    ref_desc, ref_stamp = d, stamp_ns
+                age, stable_for = stamp_ns - s, stamp_ns - ref_stamp
+                if age <= horizon or (stable_for < horizon and age <= 4 * horizon):
+                    keep.append((k, s, t, ref_desc, ref_stamp))
             self._place_pending = keep
         lcs = self.constellation.add_keyframe(key, stamp_ns, R_odom, t_odom, objects)
         if lcs:

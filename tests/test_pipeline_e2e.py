@@ -192,6 +192,25 @@ class TestOfficePipeline:
         assert all(0.2 <= n.distance <= 6.0 for n in final.places.nodes)
 
 
+def _assert_no_false_place_vetoes(backend, gt_stamps, gt_pos, radius=1.5):
+    """r4 VERDICT task 8: audit the places-gate decision trail — no DESCRIBED
+    rejection may hit a true pair (keyframes within `radius` in GT)."""
+    lcd = backend.lcd
+    stamps = np.asarray(gt_stamps, np.int64)
+    key_pos = {}
+    for i, a in enumerate(backend.agents):
+        fi = int(np.argmin(np.abs(stamps - a.stamp_ns)))
+        key_pos[backend.agent_keys[i]] = np.asarray(gt_pos[fi])
+    assert len(lcd.place_gate_events) >= 1, "places gate never consulted"
+    false_vetoes = [
+        (qk, ck, s)
+        for qk, ck, s, ok, described in lcd.place_gate_events
+        if not ok and described and qk in key_pos and ck in key_pos
+        and float(np.linalg.norm(key_pos[qk] - key_pos[ck])) <= radius
+    ]
+    assert false_vetoes == [], f"places gate vetoed true loops: {false_vetoes}"
+
+
 class TestSceneGraphLcdPipeline:
     @pytest.mark.slow
     def test_drifted_run_closed_by_appearance_stream(self, tmp_path):
@@ -267,8 +286,109 @@ class TestSceneGraphLcdPipeline:
         assert any(d is not None for d in lcd._place_descs.values()), (
             "places feed never described a keyframe"
         )
+        # gate-efficacy audit (r4 task 8): zero false vetoes on true loops
+        _assert_no_false_place_vetoes(pipe.backend, gt_stamps, gt_pos)
         # sigma came from the registration residual, not the config default
         assert all(lc.sigma_trans is not None for lc in pipe.backend.loop_closures)
+        dsg = pipe.backend.get_dsg()
+        est = evaluate_trajectory(
+            np.asarray([a.stamp_ns for a in dsg.agents], np.int64),
+            np.stack([a.t_w_b for a in dsg.agents]),
+            np.asarray(gt_stamps, np.int64), np.stack(gt_pos),
+        )
+        odo = evaluate_trajectory(
+            np.asarray(gt_stamps, np.int64),
+            np.stack([np.asarray(f.t_w_c, np.float64) for f in frames]),
+            np.asarray(gt_stamps, np.int64), np.stack(gt_pos),
+        )
+        assert odo["ate_rmse"] > 0.01, "drift injection broken"
+        assert est["ate_rmse"] < odo["ate_rmse"], (est, odo)
+
+    @pytest.mark.slow
+    def test_appearance_loop_closes_under_photometric_perturbation(self, tmp_path):
+        """r4 VERDICT task 7 (appearance-LCD invariance): the revisit half of
+        the drifted run carries +30% brightness (clipped, i.e. with
+        saturation nonlinearity) AND a small viewpoint offset (3 deg yaw +
+        ~10 cm position). The appearance stream must still close the loop —
+        the invariance the reference gets from ORB BoW features
+        (khronos.launch.yaml:49)."""
+        from khronos_tpu.eval.evaluators import evaluate_trajectory
+
+        duration, fps = 24.0, 3.0
+        scene = syn.office_scene(duration=duration)
+        seq_cfg = syn.SyntheticSequenceConfig(
+            duration=duration, fps=fps, height=60, width=80,
+            fx=50.0, fy=50.0, cx=40.0, cy=30.0, n_loops=2.0,
+            drift_rate=0.06,
+        )
+
+        class PerturbedSequence(syn.SyntheticSequence):
+            def pose_at(self, t):
+                R, pos = super().pose_at(t)
+                if t > duration / 2:  # revisit: small viewpoint offset
+                    ang = np.radians(3.0)
+                    Rz = np.array(
+                        [[np.cos(ang), -np.sin(ang), 0],
+                         [np.sin(ang), np.cos(ang), 0],
+                         [0, 0, 1]], np.float32,
+                    )
+                    R = (Rz @ R).astype(R.dtype)
+                    pos = pos + np.array([0.08, 0.05, 0.05], pos.dtype)
+                return R, pos
+
+        seq = PerturbedSequence(scene, seq_cfg)
+        cfg = build(
+            PipelineConfig,
+            {
+                "active_window": {
+                    "volumetric_map": {"grid_shape": [128, 128, 32], "voxel_size": 0.1},
+                    "tracker": {"type": "MaxIouTracker", "min_num_observations": 3},
+                },
+                "backend": {
+                    "lcd": {
+                        "type": "HybridLoopClosure",
+                        "constellation": {"min_time_gap": 8.0, "min_objects": 3},
+                        "appearance": {
+                            "min_time_gap": 8.0,
+                            "max_registration_rms": 0.3,
+                            "noise_bound": 0.15,
+                        },
+                    }
+                },
+                # empty object layer: only the appearance stream can fire
+                "label_space": {"num_classes": 7, "object_labels": [], "dynamic_labels": [1]},
+                "run_change_detection_every_n_frames": 60,
+            },
+        )
+        pipe = KhronosPipeline(cfg, seq.camera)
+        out_dir = str(tmp_path / "run")
+        mgr = ExperimentManager(ExperimentConfig(output_dir=out_dir), pipe, cfg)
+        frames, gt_stamps, gt_pos = [], [], []
+        for i in range(seq.n_frames):
+            f = seq.render_frame(i)
+            Ro, to = seq.odometry_pose(i)
+            color = np.asarray(f["color"])
+            if i / fps > duration / 2:
+                color = np.clip(color * 1.3, 0.0, 1.0)  # +30% exposure
+            frames.append(
+                FrameData(
+                    stamp_ns=f["stamp_ns"], depth=f["depth"],
+                    color=color.astype(np.float32),
+                    labels=f["labels"],
+                    R_w_c=np.asarray(Ro, np.float32),
+                    t_w_c=np.asarray(to, np.float32),
+                )
+            )
+            gt_stamps.append(int(f["stamp_ns"]))
+            gt_pos.append(np.asarray(f["t_gt"], np.float64))
+        mgr.run(frames, None)
+
+        lcd = pipe.backend.lcd
+        assert lcd.appearance_fires >= 1, (
+            "appearance stream never fired under photometric perturbation"
+        )
+        # gate-efficacy audit (r4 task 8): zero false vetoes on true loops
+        _assert_no_false_place_vetoes(pipe.backend, gt_stamps, gt_pos)
         dsg = pipe.backend.get_dsg()
         est = evaluate_trajectory(
             np.asarray([a.stamp_ns for a in dsg.agents], np.int64),
