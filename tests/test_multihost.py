@@ -62,6 +62,47 @@ def _single_process_reference():
     }
 
 
+def test_two_process_full_pipeline_matches_single_process(tmp_path):
+    """r4 VERDICT task 6: a COMPLETE KhronosPipeline (active window + backend
+    factor graph + change detection + 4D snapshots) on a genuine 2-process
+    global mesh — host-side state (tracker, mesh accumulator, factor graph,
+    CD caches) replicated per process, device state sharded globally — must
+    produce the same end state as a single-process run of the same config."""
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_pipeline_worker.py")
+    env = dict(os.environ)
+    env.update(
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=540)
+        assert p.returncode == 0, f"pipeline worker failed:\n{stderr[-4000:]}"
+        outs.append(json.loads(stdout.strip().splitlines()[-1]))
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from multihost_pipeline_worker import run_pipeline
+
+    ref = run_pipeline(n_devices=4)  # single process, 4 virtual devices
+    for out in outs:
+        assert out["devices"] == 4
+        for k, v in ref.items():
+            got = out[k]
+            if isinstance(v, float):
+                assert abs(got - v) <= 1e-2 * max(abs(v), 1.0), (k, got, v)
+            else:
+                assert got == v, (k, got, v)
+
+
 def test_two_process_sharded_step_matches_single_process(tmp_path):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
