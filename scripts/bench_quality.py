@@ -23,7 +23,7 @@ DURATION = 24.0
 FPS = 10.0
 
 
-def run(stride: int, out_dir: str):
+def run(stride: int, out_dir: str, seed_dynamic: bool = True):
     import jax
 
     from khronos_tpu.active_window.frame_data import FrameData
@@ -53,7 +53,10 @@ def run(stride: int, out_dir: str):
                 # thresholds scaled to the operating point: cluster sizes
                 # follow pixel density (96x128 e2e values x25), confirmation
                 # follows TIME (0.5 s at 10 fps = 5 observations)
-                "motion_detector": {"type": "FreeSpaceMotionDetector", "min_cluster_size": 1500, "grow_iterations": 12},
+                # seed_dynamic_labels: the adopted quality config (r3
+                # semantic motion seeding; re-measured at the bench point in
+                # r4 per VERDICT task 3)
+                "motion_detector": {"type": "FreeSpaceMotionDetector", "min_cluster_size": 1500, "grow_iterations": 12, "seed_dynamic_labels": seed_dynamic},
                 "object_detector": {"type": "ConnectedSemantics", "min_cluster_size": 750},
                 "tracker": {"type": "MaxIouTracker", "min_num_observations": 5},
                 "object_extractor": {
@@ -140,8 +143,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--strides", type=int, nargs="+", default=[2])
     ap.add_argument("--out", default="/tmp/bench_quality")
+    ap.add_argument("--no-seed", action="store_true", help="disable seed_dynamic_labels")
     args = ap.parse_args([a for a in sys.argv[1:] if a != "-c"]) if "__file__" in globals() else ap.parse_args([])
-    rows = [run(s, f"{args.out}_s{s}") for s in args.strides]
+    rows = [run(s, f"{args.out}_s{s}", seed_dynamic=not args.no_seed) for s in args.strides]
     print(json.dumps(rows, indent=1))
 
 

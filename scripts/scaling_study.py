@@ -22,6 +22,46 @@ import sys
 import time
 
 
+_DTYPE_BYTES = {
+    "f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
+    "bf16": 2, "f16": 2, "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1,
+}
+
+
+def collective_stats(hlo_text: str) -> dict:
+    """Count collective ops + bytes moved in a post-partitioning HLO module
+    (r4 VERDICT task 5). Bytes = output buffer sizes of each collective
+    (async `-done` lines excluded; `-start` carries the shape)."""
+    import re
+
+    stats = {}
+    op_re = re.compile(
+        r"(all-reduce|all-gather|collective-permute|reduce-scatter|all-to-all)"
+        r"(?:-start)?\("
+    )
+    shape_re = re.compile(r"(\w+)\[([0-9,]*)\]")
+    for line in hlo_text.splitlines():
+        if "=" not in line:
+            continue
+        m = op_re.search(line)
+        if m is None:
+            continue
+        lhs = line.split("=", 1)[1][: m.start() - line.index("=") - 1]
+        nbytes = 0
+        for dt, dims in shape_re.findall(lhs):
+            if dt not in _DTYPE_BYTES:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            nbytes += n * _DTYPE_BYTES[dt]
+        s = stats.setdefault(m.group(1), {"count": 0, "bytes": 0})
+        s["count"] += 1
+        s["bytes"] += nbytes
+    return stats
+
+
 def child_aot(n_devices: int) -> None:
     """Compile-only partitioning quality at the PRODUCTION operating point
     (480x640 image, 160x160x48 grid): per-device FLOPs of the
@@ -56,14 +96,23 @@ def child_aot(n_devices: int) -> None:
     labels = jnp.zeros((H, W), jnp.int32)
     R = jnp.eye(3, dtype=jnp.float32)
     t = jnp.zeros(3, jnp.float32)
-    cost = jitted.lower(
+    compiled = jitted.lower(
         aw.state, depth, color, labels, R, t, jnp.float32(0.0)
-    ).compile().cost_analysis()
+    ).compile()
+    cost = compiled.cost_analysis()
     if isinstance(cost, list):
         cost = cost[0] if cost else {}
+    # collective inventory of the partitioned module (r4 task 5): what the
+    # FLOPs-partitioning number alone cannot show — halo-exchange and
+    # reshard traffic that would ride ICI on real chips
+    coll = collective_stats(compiled.as_text())
     print(json.dumps({
         "n_devices": n_devices,
         "flops_per_device": float(cost.get("flops", 0.0)),
+        "hbm_bytes_per_device": float(cost.get("bytes accessed", 0.0)),
+        "collectives": coll,
+        "collective_bytes_per_step": int(sum(s["bytes"] for s in coll.values())),
+        "collective_ops_per_step": int(sum(s["count"] for s in coll.values())),
     }))
 
 
@@ -75,7 +124,7 @@ def main_aot() -> None:
         env["PALLAS_AXON_POOL_IPS"] = ""
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
-        env.setdefault("PYTHONPATH", ".")
+        env["PYTHONPATH"] = (env.get("PYTHONPATH", "") + os.pathsep + ".").lstrip(os.pathsep)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--aot-child", str(n)],
             capture_output=True, text=True, env=env, timeout=2400,
@@ -89,6 +138,19 @@ def main_aot() -> None:
             f1 = row["flops_per_device"]
         row["efficiency_partitioning"] = round(f1 / (n * row["flops_per_device"]), 3)
         row["operating_point"] = "480x640_grid160x160x48"
+        # analytic ICI-vs-compute estimate at public v5e rates (r4 task 5):
+        # ~45 GB/s per-direction ICI per link on a 1D ring; ~98 TFLOP/s f32;
+        # ~819 GB/s HBM. This workload is memory-bound (stencils/scatters
+        # over the voxel grid), so the per-device COMPUTE time proxy is the
+        # HBM roofline, not FLOPs. Collective bytes assumed one hop.
+        bytes_step = row.get("collective_bytes_per_step", 0)
+        row["ici_time_us_est"] = round(bytes_step / 45e9 * 1e6, 1)
+        flops_us = row["flops_per_device"] / 98e12 * 1e6
+        hbm_us = row.get("hbm_bytes_per_device", 0.0) / 819e9 * 1e6
+        row["compute_time_us_est"] = round(max(flops_us, hbm_us), 1)
+        row["comm_compute_ratio"] = round(
+            row["ici_time_us_est"] / max(row["compute_time_us_est"], 1e-9), 3
+        )
         rows.append(row)
         print(json.dumps(row), flush=True)
     try:
@@ -194,7 +256,7 @@ def main() -> None:
             f"--xla_force_host_platform_device_count={n} "
             "--xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1"
         )
-        env.setdefault("PYTHONPATH", ".")
+        env["PYTHONPATH"] = (env.get("PYTHONPATH", "") + os.pathsep + ".").lstrip(os.pathsep)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", str(n)],
             capture_output=True, text=True, env=env, timeout=1200,
