@@ -133,6 +133,20 @@ class DeformationGraph:
         ):
             return points
         k = min(self.config.interp_k, self.num_controls)
+        # bucket the CONTROL count (multiples of 32): it grows with every
+        # output, and an exact-size program recompiles on every get_dsg as
+        # the map grows (r4 endurance finding: 7 s/get_dsg on the tunnel,
+        # all compile). Pads sit 1e6 m away with identity corrections — the
+        # k-NN interpolation never selects them while k <= real controls.
+        C = len(g_old)
+        C_pad = ((C + 31) // 32) * 32 - C
+        if C_pad:
+            far = np.full((C_pad, 3), 1e6, np.float32)
+            g_old = np.concatenate([g_old, far])
+            g_new = np.concatenate([g_new, far])
+            corr_R = np.concatenate(
+                [corr_R, np.broadcast_to(eye, (C_pad, 3, 3))]
+            )
         g_old_d = jnp.asarray(g_old, jnp.float32)
         corr_R_d = jnp.asarray(corr_R, jnp.float32)
         g_new_d = jnp.asarray(g_new, jnp.float32)

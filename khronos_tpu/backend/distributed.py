@@ -217,7 +217,7 @@ def _graph_with_nodes(graph: fg.FactorGraphData, node_R, node_t) -> fg.FactorGra
     g2.node_R = [np.asarray(r) for r in np.asarray(node_R)]
     g2.node_t = [np.asarray(t) for t in np.asarray(node_t)]
     for f in ("b_i", "b_j", "b_R", "b_t", "b_sqrt_info", "b_robust",
-              "p_i", "p_R", "p_t", "p_sqrt_info"):
+              "b_shadow", "p_i", "p_R", "p_t", "p_sqrt_info"):
         setattr(g2, f, getattr(graph, f))
     return g2
 
@@ -246,7 +246,8 @@ def optimize_backend_graph(
     g2.b_i = [int(inv[i]) for i in graph.b_i]
     g2.b_j = [int(inv[j]) for j in graph.b_j]
     g2.p_i = [int(inv[i]) for i in graph.p_i]
-    for f in ("b_R", "b_t", "b_sqrt_info", "b_robust", "p_R", "p_t", "p_sqrt_info"):
+    for f in ("b_R", "b_t", "b_sqrt_info", "b_robust", "b_shadow",
+              "p_R", "p_t", "p_sqrt_info"):
         setattr(g2, f, getattr(graph, f))
 
     res = optimize_distributed(g2, mesh=mesh, n_pose_nodes=len(pose_ids), config=config)

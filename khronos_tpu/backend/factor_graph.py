@@ -47,6 +47,14 @@ class FactorGraphData:
     b_t: List[np.ndarray] = dataclasses.field(default_factory=list)
     b_sqrt_info: List[np.ndarray] = dataclasses.field(default_factory=list)
     b_robust: List[bool] = dataclasses.field(default_factory=list)
+    # shadow factors: ZERO weight in the solve (they cannot distort the
+    # solution), classified against the GNC inlier gate at the final
+    # geometry. Used for merge-proposal judging (r4): an in-graph identity
+    # factor stiff enough to separate twins from distinct pairs also bends a
+    # consistent trajectory by centimeters per judging solve, forcing full
+    # CD ray-library rebuilds; a soft one lets the trajectory bend to excuse
+    # wrong merges. Judging at the UNBENT optimum has neither failure.
+    b_shadow: List[bool] = dataclasses.field(default_factory=list)
     # prior factors
     p_i: List[int] = dataclasses.field(default_factory=list)
     p_R: List[np.ndarray] = dataclasses.field(default_factory=list)
@@ -60,7 +68,7 @@ class FactorGraphData:
 
     def add_between(self, i: int, j: int, R: np.ndarray, t: np.ndarray,
                     sigma_rot: float = 0.01, sigma_trans: float = 0.01,
-                    robust: bool = False):
+                    robust: bool = False, shadow: bool = False):
         self.b_i.append(i)
         self.b_j.append(j)
         self.b_R.append(np.asarray(R, np.float32))
@@ -68,6 +76,7 @@ class FactorGraphData:
         info = np.array([1 / sigma_trans] * 3 + [1 / sigma_rot] * 3, np.float32)
         self.b_sqrt_info.append(info)
         self.b_robust.append(robust)
+        self.b_shadow.append(shadow)
 
     def add_prior(self, i: int, R: np.ndarray, t: np.ndarray,
                   sigma_rot: float = 0.001, sigma_trans: float = 0.001):
@@ -256,43 +265,117 @@ def optimize(
     if N == 0:
         return OptimizeResult(np.zeros((0, 3, 3)), np.zeros((0, 3)), 0.0, np.zeros(0, bool))
 
-    node_R = jnp.asarray(np.stack(graph.node_R))
-    node_t = jnp.asarray(np.stack(graph.node_t))
+    def _shape_bucket(n: int, lo: int = 32) -> int:
+        # coarse shape buckets (~12.5% overshoot): node/factor counts grow
+        # every frame, and exact-size programs recompiled the whole GN/GNC
+        # step chain on every solve as the graph grew (r4 endurance finding:
+        # 21 s/optimize on the tunnel, nearly all compile)
+        if n <= lo:
+            return lo
+        step = 1 << max(int(np.log2(n)) - 2, 3)
+        return ((n + step - 1) // step) * step
+
+    # shape bucketing only applies to the dense single-device step; the
+    # distributed step_fn assembles from `graph` directly
+    do_pad = step_fn is None
+
+    node_R_np = np.stack(graph.node_R)
+    node_t_np = np.stack(graph.node_t)
+    n_pad = (_shape_bucket(N) - N) if do_pad else 0
+    if n_pad:
+        node_R_np = np.concatenate(
+            [node_R_np, np.broadcast_to(np.eye(3, dtype=np.float32), (n_pad, 3, 3))]
+        )
+        node_t_np = np.concatenate([node_t_np, np.zeros((n_pad, 3), np.float32)])
+    node_R = jnp.asarray(node_R_np)
+    node_t = jnp.asarray(node_t_np)
     has_between = graph.num_between > 0
     if has_between:
-        b_i = jnp.asarray(graph.b_i, jnp.int32)
-        b_j = jnp.asarray(graph.b_j, jnp.int32)
-        b_R = jnp.asarray(np.stack(graph.b_R))
-        b_t = jnp.asarray(np.stack(graph.b_t))
-        b_info = jnp.asarray(np.stack(graph.b_sqrt_info))
+        F_real = graph.num_between
+        b_i_np = np.asarray(graph.b_i, np.int32)
+        b_j_np = np.asarray(graph.b_j, np.int32)
+        b_R_np = np.stack(graph.b_R)
+        b_t_np = np.stack(graph.b_t)
+        b_info_np = np.stack(graph.b_sqrt_info)
         robust = np.asarray(graph.b_robust, bool)
+        shadow = (
+            np.asarray(graph.b_shadow, bool)
+            if len(graph.b_shadow) == graph.num_between
+            else np.zeros(graph.num_between, bool)
+        )
+        f_pad = (_shape_bucket(F_real) - F_real) if do_pad else 0
+        if f_pad:
+            # zero-information self-factors on node 0: residual 0, no H rows
+            b_i_np = np.concatenate([b_i_np, np.zeros(f_pad, np.int32)])
+            b_j_np = np.concatenate([b_j_np, np.zeros(f_pad, np.int32)])
+            b_R_np = np.concatenate(
+                [b_R_np, np.broadcast_to(np.eye(3, dtype=np.float32), (f_pad, 3, 3))]
+            )
+            b_t_np = np.concatenate([b_t_np, np.zeros((f_pad, 3), np.float32)])
+            b_info_np = np.concatenate([b_info_np, np.zeros((f_pad, 6), np.float32)])
+            robust = np.concatenate([robust, np.zeros(f_pad, bool)])
+            shadow = np.concatenate([shadow, np.zeros(f_pad, bool)])
+        b_i = jnp.asarray(b_i_np)
+        b_j = jnp.asarray(b_j_np)
+        b_R = jnp.asarray(b_R_np)
+        b_t = jnp.asarray(b_t_np)
+        b_info = jnp.asarray(b_info_np)
     else:
+        F_real = 0
         b_i = jnp.zeros((1,), jnp.int32)
         b_j = jnp.zeros((1,), jnp.int32)
         b_R = jnp.eye(3)[None]
         b_t = jnp.zeros((1, 3))
         b_info = jnp.zeros((1, 6))
         robust = np.zeros(1, bool)
+        shadow = np.zeros(1, bool)
     if graph.p_i:
-        p_i = jnp.asarray(graph.p_i, jnp.int32)
-        p_R = jnp.asarray(np.stack(graph.p_R))
-        p_t = jnp.asarray(np.stack(graph.p_t))
-        p_info = jnp.asarray(np.stack(graph.p_sqrt_info))
+        p_i_np = np.asarray(graph.p_i, np.int32)
+        p_R_np = np.stack(graph.p_R)
+        p_t_np = np.stack(graph.p_t)
+        p_info_np = np.stack(graph.p_sqrt_info)
     else:
-        p_i = jnp.zeros((1,), jnp.int32)
-        p_R = jnp.eye(3)[None]
-        p_t = jnp.zeros((1, 3))
-        p_info = jnp.zeros((1, 6))
+        p_i_np = np.zeros((1,), np.int32)
+        p_R_np = np.eye(3, dtype=np.float32)[None]
+        p_t_np = np.zeros((1, 3), np.float32)
+        p_info_np = np.zeros((1, 6), np.float32)
+    if n_pad:
+        # anchor every pad node with a unit prior so H stays well-conditioned
+        p_i_np = np.concatenate([p_i_np, np.arange(N, N + n_pad, dtype=np.int32)])
+        p_R_np = np.concatenate(
+            [p_R_np, np.broadcast_to(np.eye(3, dtype=np.float32), (n_pad, 3, 3))]
+        )
+        p_t_np = np.concatenate([p_t_np, np.zeros((n_pad, 3), np.float32)])
+        p_info_np = np.concatenate([p_info_np, np.ones((n_pad, 6), np.float32)])
+    if do_pad:
+        P_real = len(p_i_np)
+        pp = _shape_bucket(P_real) - P_real
+        if pp:
+            # zero-information priors on node 0
+            p_i_np = np.concatenate([p_i_np, np.zeros(pp, np.int32)])
+            p_R_np = np.concatenate(
+                [p_R_np, np.broadcast_to(np.eye(3, dtype=np.float32), (pp, 3, 3))]
+            )
+            p_t_np = np.concatenate([p_t_np, np.zeros((pp, 3), np.float32)])
+            p_info_np = np.concatenate([p_info_np, np.zeros((pp, 6), np.float32)])
+    p_i = jnp.asarray(p_i_np)
+    p_R = jnp.asarray(p_R_np)
+    p_t = jnp.asarray(p_t_np)
+    p_info = jnp.asarray(p_info_np)
 
     F = int(b_i.shape[0])
-    weights = jnp.ones((F,), jnp.float32)
-    robust_j = jnp.asarray(robust)
+    shadow_j = jnp.asarray(shadow)
+    # shadow factors never influence the solution (weight 0 throughout);
+    # they are classified against the GNC gate at the final geometry
+    weights = jnp.where(shadow_j, 0.0, 1.0)
+    robust_j = jnp.asarray(robust) & ~shadow_j
 
+    N_solve = int(node_R.shape[0])  # padded node count (= N when no padding)
     if step_fn is None:
         def step_fn(node_R, node_t, weights, damping):
             return _linearize_and_solve(
                 node_R, node_t, b_i, b_j, b_R, b_t, b_info, weights,
-                p_i, p_R, p_t, p_info, jnp.float32(damping), N,
+                p_i, p_R, p_t, p_info, jnp.float32(damping), N_solve,
             )
 
     def run_gn(node_R, node_t, weights, iters):
@@ -319,7 +402,7 @@ def optimize(
         return node_R, node_t, prev_err, it
 
     total_iters = 0
-    any_robust = bool(robust.any())
+    any_robust = bool((robust & ~shadow).any())
     if config.gnc_enabled and any_robust and has_between:
         # GNC-GM annealing over robust factors
         node_R, node_t, err, it = run_gn(node_R, node_t, weights, config.inner_iterations)
@@ -327,11 +410,19 @@ def optimize(
         errs0 = _between_errors(node_R, node_t, b_i, b_j, b_R, b_t, b_info)
         r2_max = float(jnp.max(jnp.where(robust_j, errs0, 0.0)))
         mu = max(2 * r2_max / max(config.gnc_barc2, 1e-9), config.gnc_mu_init)
+        if r2_max <= config.gnc_barc2:
+            # every robust factor is already an inlier at the plain-GN
+            # optimum: annealing mu from 64 -> 1 would run ~12 more outer
+            # rounds of solves to reach the same weights (~1). On a clean
+            # graph (consistent odometry + true LCs) this was most of the
+            # solve cost (r4 endurance finding: one optimize per return-leg
+            # LC at 10-30 s each collapsed the frame loop to <1 fps).
+            mu = 1.0
         for _ in range(config.gnc_outer_iterations):
             errs = _between_errors(node_R, node_t, b_i, b_j, b_R, b_t, b_info)
             c2 = config.gnc_barc2
             w_gm = (mu * c2 / (errs + mu * c2)) ** 2
-            weights = jnp.where(robust_j, w_gm, 1.0)
+            weights = jnp.where(shadow_j, 0.0, jnp.where(robust_j, w_gm, 1.0))
             node_R, node_t, err, it = run_gn(node_R, node_t, weights, config.inner_iterations)
             total_iters += it
             mu = max(mu / config.gnc_mu_step, 1.0)
@@ -344,13 +435,20 @@ def optimize(
         total_iters += it
         outliers = np.zeros(F, bool)
 
-    # final error
+    # final error + shadow classification: a shadow factor is an outlier iff
+    # its residual at the UNBENT optimum exceeds the GNC inlier gate (the
+    # solve never mitigated it, so the raw gate applies — no 4x slack)
     errs = _between_errors(node_R, node_t, b_i, b_j, b_R, b_t, b_info)
-    final = float(jnp.sum(jnp.where(robust_j, jnp.minimum(errs, config.gnc_barc2), errs)))
+    if bool(shadow.any()):
+        outliers = outliers | np.asarray(shadow_j & (errs > config.gnc_barc2))
+    final = float(jnp.sum(jnp.where(
+        shadow_j, 0.0,
+        jnp.where(robust_j, jnp.minimum(errs, config.gnc_barc2), errs),
+    )))
     return OptimizeResult(
-        node_R=np.asarray(node_R),
-        node_t=np.asarray(node_t),
+        node_R=np.asarray(node_R)[:N],
+        node_t=np.asarray(node_t)[:N],
         final_error=final,
-        outlier_mask=outliers if has_between else np.zeros(0, bool),
+        outlier_mask=(outliers[:F_real] if has_between else np.zeros(0, bool)),
         iterations=total_iters,
     )

@@ -81,7 +81,6 @@ def _scan_device(
         is_present = enough & (match > presence_conf)
 
     bins = jnp.arange(B)
-    big = B + 1
 
     def first_true(mask):
         return jnp.where(mask.any(axis=1), jnp.argmax(mask, axis=1), -1)
@@ -91,11 +90,24 @@ def _scan_device(
         idx = jnp.where(rev.any(axis=1), B - 1 - jnp.argmax(rev, axis=1), -1)
         return idx
 
+    fa = first_true(is_absent)
+    la = last_true(is_absent)
+    # order-constrained persistence (reference ObjectChange ordering,
+    # change_state.h:76-103: ... last_seen -> last_persistent -> last_absent):
+    # persistence may only EXTEND an interval up to where absence begins —
+    # spurious matches AFTER a confident absence (grazing rays off nearby
+    # surfaces) must not drag last_persistent past first_absent, or the
+    # reconciler's minimum-expected-risk midpoint collapses onto the absence
+    # time (r4 hard-scene moved-box diagnosis).
+    before_absent = bins[None, :] < jnp.where(fa < 0, B, fa)[:, None]
+    after_absent = bins[None, :] > la[:, None]  # la = -1 -> all bins
     return (
-        first_true(is_absent),
-        last_true(is_absent),
+        fa,
+        la,
         first_true(is_present),
         last_true(is_present),
+        first_true(is_present & after_absent),
+        last_true(is_present & before_absent),
     )
 
 
@@ -136,7 +148,7 @@ class RayChangeDetector:
         )
         if valid.shape[0] == 1:
             valid = np.broadcast_to(valid, (P, B))
-        fa, la, fp, lp = _scan_device(
+        fa, la, fp, lp, fp_after, lp_before = _scan_device(
             jnp.asarray(evidence),
             jnp.asarray(valid),
             cfg.absence_confidence,
@@ -146,7 +158,9 @@ class RayChangeDetector:
             cfg.window_size,
             cfg.use_relative_confidence,
         )
-        fa, la, fp, lp = (np.asarray(x) for x in (fa, la, fp, lp))
+        fa, la, fp, lp, fp_after, lp_before = (
+            np.asarray(x) for x in (fa, la, fp, lp, fp_after, lp_before)
+        )
 
         def to_time(idx):
             t = origin_s + (idx + 0.5) * self.bin_size_s
@@ -157,8 +171,14 @@ class RayChangeDetector:
             "last_absent_bin": la,
             "first_persistent_bin": fp,
             "last_persistent_bin": lp,
+            # order-constrained variants (reference ObjectChange ordering):
+            # persistence after the last absence / before the first absence
+            "first_persistent_after_absent_bin": fp_after,
+            "last_persistent_before_absent_bin": lp_before,
             "first_absent_s": to_time(fa),
             "last_absent_s": to_time(la),
             "first_persistent_s": to_time(fp),
             "last_persistent_s": to_time(lp),
+            "first_persistent_after_absent_s": to_time(fp_after),
+            "last_persistent_before_absent_s": to_time(lp_before),
         }

@@ -58,6 +58,12 @@ class ObjectChangeDetectionConfig:
     # adjacent same-class neighbors do not read as identity twins.
     twin_presence_veto: bool = True
     twin_overlap_threshold: float = 0.5
+    # per-object radial tolerance bounded by the object's own thinnest
+    # extent (floor 3 cm): with the global tolerance (0.1 m) alone, rays
+    # that genuinely MISS a 5 cm pole or shelf board but pass within 0.1 m
+    # of its surface points read phantom absence through PRESENT geometry
+    # (r4 hard-scene lamp/shelf finding)
+    adaptive_radial_tolerance: bool = True
 
 
 @dataclasses.dataclass
@@ -123,8 +129,10 @@ class SequentialChangeDetector:
             if self.config.detect_object_changes:
                 with Timer("change_detection/objects"):
                     self._adopt_merges(merges)
+                    # LC is advisory: the geometry epoch is the real
+                    # "geometry moved" signal (see ray_verificator.update)
                     full_obj = (
-                        had_loop_closure
+                        (had_loop_closure and epoch is None)
                         or self._obj_prev_V is None
                         or epoch is None
                         or epoch != self._obj_epoch
@@ -233,7 +241,23 @@ class SequentialChangeDetector:
             [np.full(len(p), k) for k, p in enumerate(pts_all)]
         )
         points = np.concatenate(pts_all).astype(np.float32)
-        ev = self.verificator.query(points)  # [P, B, 2]
+        tol = None
+        if cfg.adaptive_radial_tolerance:
+            base = self.verificator.config.radial_tolerance
+            tol = np.concatenate([
+                np.full(
+                    len(p),
+                    np.clip(
+                        0.5 * float(
+                            np.min(np.asarray(o.bbox_max) - np.asarray(o.bbox_min))
+                        ),
+                        0.03, base,
+                    ),
+                    np.float32,
+                )
+                for o, p in zip(scan, pts_all)
+            ])
+        ev = self.verificator.query(points, radial_tol=tol)  # [P, B, 2]
         B = ev.shape[1]
         # per-object evidence: each query POINT casts at most one vote per
         # bin and class, and the scan thresholds are fractions of VOTING
@@ -282,16 +306,27 @@ class SequentialChangeDetector:
             oc = ObjectChange(o.node_id)
             if prev is not None:
                 oc.merged_id = prev.merged_id
-            # BEFORE window: latest absent window before first seen
+            # BEFORE window: latest absent window before first seen; the
+            # persistent time must come AFTER it (reference ObjectChange
+            # ordering first_absent -> first_persistent -> first_seen,
+            # change_state.h:76-103)
             if not np.isnan(pre["last_absent_s"][k]):
                 oc.first_absent_ns = int(pre["last_absent_s"][k] * 1e9)
-            if not np.isnan(pre["first_persistent_s"][k]):
-                oc.first_persistent_ns = int(pre["first_persistent_s"][k] * 1e9)
-            # AFTER window: earliest absent window after last seen
+            if not np.isnan(pre["first_persistent_after_absent_s"][k]):
+                oc.first_persistent_ns = int(
+                    pre["first_persistent_after_absent_s"][k] * 1e9
+                )
+            # AFTER window: earliest absent window after last seen; the
+            # persistent time must come BEFORE it (... last_seen ->
+            # last_persistent -> last_absent) — spurious matches after a
+            # confident absence must not drag the reconciler's midpoint
+            # estimate onto the absence time
             if not np.isnan(post["first_absent_s"][k]):
                 oc.last_absent_ns = int(post["first_absent_s"][k] * 1e9)
-            if not np.isnan(post["last_persistent_s"][k]):
-                oc.last_persistent_ns = int(post["last_persistent_s"][k] * 1e9)
+            if not np.isnan(post["last_persistent_before_absent_s"][k]):
+                oc.last_persistent_ns = int(
+                    post["last_persistent_before_absent_s"][k] * 1e9
+                )
             if cfg.twin_presence_veto and (
                 oc.first_absent_ns >= 0 or oc.last_absent_ns >= 0
             ):
@@ -360,7 +395,7 @@ class SequentialChangeDetector:
         prev = self._bg_states
         full = (
             not self.config.incremental_background
-            or had_loop_closure
+            or (had_loop_closure and epoch is None)
             or prev is None
             or epoch is None
             or epoch != self._bg_epoch

@@ -232,7 +232,12 @@ def _query_device(
     depth = jnp.einsum("pkc,pkc->pk", rel, dir_)
     radial = jnp.linalg.norm(rel - depth[..., None] * dir_, axis=-1)
 
-    overlap = cand_valid & (radial <= radial_tol) & (depth > 0.0)
+    # radial_tol broadcasts per point ([P] or scalar): thin structures use a
+    # tolerance bounded by their own half-extent, else rays that genuinely
+    # MISS a 5 cm pole but pass within the global tolerance read phantom
+    # absence through present geometry (r4 hard-scene lamp/shelf finding)
+    radial_tol = jnp.broadcast_to(jnp.asarray(radial_tol), (points.shape[0],))
+    overlap = cand_valid & (radial <= radial_tol[:, None]) & (depth > 0.0)
     match = overlap & (jnp.abs(ray_len - depth) <= depth_tol)
     absent = overlap & (ray_len > depth + depth_tol)
 
@@ -402,17 +407,22 @@ class RayVerificator:
 
     def update(self, dsg, had_loop_closure: bool = True) -> None:
         """Incremental library update (reference updateDsg,
-        ray_verificator.cpp:163-182): between loop closures / optimizations
-        the backend mesh is append-only, so only rays targeting NEW vertices
-        are added — into a small DELTA index sharing the main index's grid.
-        A loop closure, optimization epoch change, out-of-grid growth, or a
-        delta outgrowing ~25% of the main index triggers the full rebuild
-        (recomputeHash semantics)."""
+        ray_verificator.cpp:163-182): between optimizations that MOVE
+        geometry the backend mesh is append-only, so only rays targeting NEW
+        vertices are added — into a small DELTA index sharing the main
+        index's grid. A geometry-epoch change, vertex-count shrink,
+        out-of-grid growth, or a delta outgrowing ~25% of the main index
+        triggers the full rebuild (recomputeHash semantics). A loop closure
+        is ADVISORY only: the reference wipes the hash on LC because it has
+        no better signal for "geometry moved" (sequential_change_detector
+        .cpp:76-102); the backend's geometry epoch IS that signal, and an
+        identity LC solve over consistent odometry (r4 fps-2 hard-scene
+        finding: every pass was a 30 s full rebuild) moves nothing."""
         epoch = getattr(dsg, "opt_epoch", None)
         V = dsg.mesh.num_vertices
         if (
             not self._built
-            or had_loop_closure
+            or (had_loop_closure and epoch is None)
             or epoch != self._epoch
             or V < self._V_covered
         ):
@@ -591,24 +601,36 @@ class RayVerificator:
     # and gives ONE compiled program reused across all chunks.
     QUERY_CHUNK = 8192
 
-    def query(self, points: np.ndarray) -> np.ndarray:
+    def query(self, points: np.ndarray, radial_tol=None) -> np.ndarray:
         """points [P,3] -> evidence histogram [P, B, 2] (match, absent).
         B = active_num_bins; bin b covers library-relative time
         [b, b+1) * temporal_resolution, i.e. absolute time offset by
-        `bin_origin_s` (consumers must use the same origin)."""
+        `bin_origin_s` (consumers must use the same origin).
+
+        `radial_tol`: optional per-point radial tolerance [P] (defaults to
+        the config scalar) — the object pass bounds it by each object's own
+        thinnest extent so thin structures don't read phantom absence."""
         cfg = self.config
         num_bins = self.active_num_bins if self._built else cfg.num_bins
         if not self._built or len(points) == 0:
             return np.zeros((len(points), num_bins, 2), np.int32)
         points = np.asarray(points, np.float32)
         P = len(points)
+        if radial_tol is None:
+            tol = np.full(P, cfg.radial_tolerance, np.float32)
+        else:
+            tol = np.broadcast_to(
+                np.asarray(radial_tol, np.float32), (P,)
+            ).copy()
         chunk = self.QUERY_CHUNK
         pad = (-P) % chunk
         if pad:
             points = np.concatenate([points, np.zeros((pad, 3), np.float32)])
+            tol = np.concatenate([tol, np.zeros(pad, np.float32)])
         outs = []
         for s in range(0, len(points), chunk):
             pts_dev = jnp.asarray(points[s : s + chunk])
+            tol_dev = jnp.asarray(tol[s : s + chunk])
             ev = None
             for idx in self._indexes():  # main + (incremental) delta
                 e = _query_device(
@@ -619,7 +641,7 @@ class RayVerificator:
                     jnp.asarray(idx["origin_cell"]),
                     jnp.asarray(idx["dims"]),
                     cfg.block_size,
-                    cfg.radial_tolerance,
+                    tol_dev,
                     cfg.depth_tolerance,
                     cfg.temporal_resolution,
                     num_bins,

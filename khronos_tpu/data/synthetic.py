@@ -49,6 +49,14 @@ class Primitive:
     # dynamic motion: waypoints [K,3] visited at times waypoint_times [K]
     waypoints: Optional[np.ndarray] = None
     waypoint_times: Optional[np.ndarray] = None
+    # building structure (interior walls, pillars): rendered + part of the
+    # background cloud, but NOT a GT object instance (the reference's GT
+    # builder clusters object-labeled scene points only,
+    # tesse_ground_truth_builder.h:37-110)
+    structure: bool = False
+    # compound shapes: primitives sharing a non-empty `group` are ONE GT
+    # object instance (bbox/center of the union)
+    group: str = ""
 
     @property
     def is_dynamic(self) -> bool:
@@ -445,6 +453,211 @@ def default_label_space():
         object_labels=(TABLE, CHAIR, COOLER, BOXLBL, SHELF),
         dynamic_labels=(HUMAN,),
     )
+
+
+# ----------------------------------------------------------------------------
+# Hard-mode multi-room scene + waypoint tour (r4 VERDICT task 2: the
+# uHumans2-office-class difficulty tier — the reference's quality numbers are
+# low BECAUSE tesse_cd is multi-room and cluttered, khronos_eval/README.md:13-16)
+# ----------------------------------------------------------------------------
+
+
+def hard_scene(duration: float = 60.0) -> Scene:
+    """Four-room flat (16 x 12 m) with interior walls + doorways, 32 object
+    instances including compound (multi-primitive) and spherical shapes,
+    near-duplicate same-class neighbors, occluding clutter (pillars, stacked
+    boxes, under-desk boxes), SIX long-term changes (removals, additions, a
+    MOVED object = disappear at A + appear at B, and a removal in a
+    partially-viewed corner), and four humans on crossing waypoint paths
+    through the doorways. GT protocol mirrors the tesse GT builder
+    (tesse_ground_truth_builder.h:37-110): structure primitives belong to the
+    background; `group`ed primitives are one instance."""
+    half = np.array([8.0, 6.0, 1.5], np.float32)
+    center = np.array([0.0, 0.0, 1.5], np.float32)
+    t1, t2, t3 = 0.42 * duration, 0.50 * duration, 0.58 * duration
+
+    def box(name, label, cx, cy, cz, hx, hy, hz, color, **kw):
+        return Primitive(
+            kind=BOX, center=np.array([cx, cy, cz], np.float32),
+            half_extents=np.array([hx, hy, hz], np.float32),
+            label=label, color=np.asarray(color, np.float32), name=name, **kw,
+        )
+
+    def sphere(name, label, cx, cy, cz, r, color, **kw):
+        return Primitive(
+            kind=SPHERE, center=np.array([cx, cy, cz], np.float32),
+            half_extents=np.array([r, r, r], np.float32),
+            label=label, color=np.asarray(color, np.float32), name=name, **kw,
+        )
+
+    wallc = [0.75, 0.73, 0.7]
+    prims = [
+        # interior walls: x=0 spine (doorways at y ~ +-3), y=0 spine
+        # (doorways at x ~ +-4), all structure (background)
+        box("wall_x_s", 0, 0.0, -4.85, 1.5, 0.1, 1.15, 1.5, wallc, structure=True),
+        box("wall_x_m", 0, 0.0, 0.0, 1.5, 0.1, 2.3, 1.5, wallc, structure=True),
+        box("wall_x_n", 0, 0.0, 4.85, 1.5, 0.1, 1.15, 1.5, wallc, structure=True),
+        box("wall_y_w", 0, -6.35, 0.0, 1.5, 1.65, 0.1, 1.5, wallc, structure=True),
+        box("wall_y_e", 0, 6.35, 0.0, 1.5, 1.65, 0.1, 1.5, wallc, structure=True),
+        # occluding pillars
+        box("pillar_nw", 0, -2.0, 4.0, 1.5, 0.22, 0.22, 1.5, wallc, structure=True),
+        box("pillar_se", 0, 2.0, -4.0, 1.5, 0.22, 0.22, 1.5, wallc, structure=True),
+
+        # ---- SW room (x<0, y<0): 9 instances -------------------------------
+        # compound table: top + 2 legs (one GT instance)
+        box("sw_table_top", TABLE, -5.5, -3.0, 0.72, 0.7, 0.45, 0.05, [0.6, 0.4, 0.2], group="sw_table"),
+        box("sw_table_leg1", TABLE, -6.1, -3.0, 0.34, 0.06, 0.4, 0.34, [0.5, 0.35, 0.18], group="sw_table"),
+        box("sw_table_leg2", TABLE, -4.9, -3.0, 0.34, 0.06, 0.4, 0.34, [0.5, 0.35, 0.18], group="sw_table"),
+        # near-duplicate chairs, adjacent
+        box("sw_chair_a", CHAIR, -5.8, -2.1, 0.35, 0.25, 0.25, 0.35, [0.2, 0.3, 0.8]),
+        box("sw_chair_b", CHAIR, -5.15, -2.1, 0.35, 0.25, 0.25, 0.35, [0.22, 0.32, 0.78]),
+        box("sw_chair_removed", CHAIR, -6.6, -4.6, 0.35, 0.28, 0.28, 0.35, [0.2, 0.35, 0.75],
+            t_disappear=t1),
+        box("sw_shelf", SHELF, -7.6, -1.2, 0.9, 0.3, 0.8, 0.9, [0.4, 0.3, 0.2]),
+        # stacked box clutter (2 instances, stacked -> segmentation stress)
+        box("sw_box_lo", BOXLBL, -2.6, -4.9, 0.3, 0.3, 0.3, 0.3, [0.8, 0.7, 0.2]),
+        box("sw_box_hi", BOXLBL, -2.6, -4.9, 0.84, 0.22, 0.22, 0.22, [0.75, 0.65, 0.25]),
+        sphere("sw_ball", BOXLBL, -2.0, -2.6, 0.28, 0.28, [0.85, 0.5, 0.2]),
+
+        # ---- NW room (x<0, y>0): 6 instances -------------------------------
+        box("nw_desk_top", TABLE, -6.0, 3.5, 0.72, 0.8, 0.4, 0.05, [0.55, 0.4, 0.25], group="nw_desk"),
+        box("nw_desk_leg1", TABLE, -6.7, 3.5, 0.34, 0.06, 0.35, 0.34, [0.5, 0.35, 0.2], group="nw_desk"),
+        box("nw_desk_leg2", TABLE, -5.3, 3.5, 0.34, 0.06, 0.35, 0.34, [0.5, 0.35, 0.2], group="nw_desk"),
+        box("nw_chair", CHAIR, -6.0, 2.6, 0.35, 0.25, 0.25, 0.35, [0.25, 0.3, 0.7]),
+        # near-duplicate coolers
+        box("nw_cooler_a", COOLER, -3.1, 5.2, 0.45, 0.25, 0.25, 0.45, [0.2, 0.7, 0.8]),
+        box("nw_cooler_b", COOLER, -2.3, 5.2, 0.45, 0.25, 0.25, 0.45, [0.22, 0.68, 0.82]),
+        # removal in a PARTIALLY-VIEWED corner (behind the tour's gaze, near
+        # the NW corner; the pillar occludes it from part of the pass)
+        box("nw_shelf_removed", SHELF, -7.5, 5.3, 0.9, 0.3, 0.6, 0.9, [0.38, 0.28, 0.22],
+            t_disappear=t2),
+        # under-desk clutter
+        box("nw_underdesk_box", BOXLBL, -6.0, 3.5, 0.22, 0.2, 0.2, 0.22, [0.8, 0.72, 0.3]),
+
+        # ---- NE room (x>0, y>0): 8 instances -------------------------------
+        # compound shelf unit: two boards + back panel (one instance)
+        box("ne_shelf_b1", SHELF, 7.55, 1.5, 0.5, 0.3, 0.8, 0.05, [0.42, 0.3, 0.2], group="ne_shelf"),
+        box("ne_shelf_b2", SHELF, 7.55, 1.5, 1.05, 0.3, 0.8, 0.05, [0.42, 0.3, 0.2], group="ne_shelf"),
+        box("ne_shelf_back", SHELF, 7.85, 1.5, 0.78, 0.05, 0.8, 0.78, [0.38, 0.27, 0.18], group="ne_shelf"),
+        box("ne_cooler_added", COOLER, 5.0, 5.0, 0.45, 0.28, 0.28, 0.45, [0.2, 0.72, 0.78],
+            t_appear=t1),
+        # compound lamp: pole + sphere head (non-box, one instance), removed
+        box("ne_lamp_pole", BOXLBL, 2.8, 4.5, 0.75, 0.05, 0.05, 0.75, [0.3, 0.3, 0.3],
+            group="ne_lamp", t_disappear=t3),
+        sphere("ne_lamp_head", BOXLBL, 2.8, 4.5, 1.62, 0.2, [0.9, 0.85, 0.5],
+               group="ne_lamp", t_disappear=t3),
+        box("ne_table", TABLE, 4.5, 2.0, 0.4, 0.6, 0.4, 0.4, [0.6, 0.42, 0.22]),
+        box("ne_chair_a", CHAIR, 4.2, 1.1, 0.35, 0.25, 0.25, 0.35, [0.2, 0.28, 0.8]),
+        box("ne_chair_b", CHAIR, 4.9, 1.1, 0.35, 0.25, 0.25, 0.35, [0.21, 0.3, 0.79]),
+        box("ne_box_a", BOXLBL, 6.6, 4.6, 0.3, 0.3, 0.3, 0.3, [0.82, 0.7, 0.25]),
+        box("ne_box_b", BOXLBL, 6.6, 3.8, 0.25, 0.25, 0.25, 0.25, [0.78, 0.68, 0.28]),
+
+        # ---- SE room (x>0, y<0): 9 instances -------------------------------
+        # MOVED object: disappears at A (t2), an identical box appears at B
+        box("se_box_moved_a", BOXLBL, 6.0, -4.6, 0.3, 0.3, 0.3, 0.3, [0.85, 0.68, 0.2],
+            t_disappear=t2),
+        box("se_box_moved_b", BOXLBL, 3.2, -5.2, 0.3, 0.3, 0.3, 0.3, [0.85, 0.68, 0.2],
+            t_appear=t2),
+        box("se_box_added", BOXLBL, 6.8, -2.0, 0.3, 0.3, 0.3, 0.3, [0.8, 0.66, 0.3],
+            t_appear=t3),
+        box("se_table_top", TABLE, 5.5, -3.2, 0.72, 0.7, 0.4, 0.05, [0.58, 0.4, 0.22], group="se_table"),
+        box("se_table_leg1", TABLE, 6.1, -3.2, 0.34, 0.06, 0.35, 0.34, [0.5, 0.36, 0.2], group="se_table"),
+        box("se_table_leg2", TABLE, 4.9, -3.2, 0.34, 0.06, 0.35, 0.34, [0.5, 0.36, 0.2], group="se_table"),
+        box("se_chair", CHAIR, 5.5, -2.3, 0.35, 0.25, 0.25, 0.35, [0.24, 0.3, 0.76]),
+        box("se_shelf", SHELF, 7.7, -3.6, 0.9, 0.25, 0.7, 0.9, [0.4, 0.29, 0.21]),
+        sphere("se_ball", BOXLBL, 2.5, -2.6, 0.3, 0.3, [0.3, 0.8, 0.4]),
+        # near-duplicate chairs along the south wall
+        box("se_chair_dup_a", CHAIR, 5.4, -5.3, 0.35, 0.25, 0.25, 0.35, [0.2, 0.3, 0.8]),
+        box("se_chair_dup_b", CHAIR, 6.05, -5.3, 0.35, 0.25, 0.25, 0.35, [0.2, 0.31, 0.79]),
+    ]
+
+    # four humans on crossing paths through the doorways
+    def human(name, path, color, hx=0.24, hz=0.85):
+        k = len(path)
+        wt = np.linspace(0, duration, k)
+        return Primitive(
+            kind=BOX, center=np.asarray(path[0], np.float32),
+            half_extents=np.array([hx, hx, hz], np.float32),
+            label=HUMAN, color=np.asarray(color, np.float32), name=name,
+            waypoints=np.asarray(path, np.float32), waypoint_times=wt,
+        )
+
+    # paths run 0.6 m laterally off the camera tour lines (so the camera is
+    # never INSIDE a human) but cross it at the doorways
+    z = 0.85
+    p1 = [[-4.6, -3.6, z], [-4.6, 0, z], [-4.6, 3.6, z], [0, 3.6, z], [4.6, 3.6, z],
+          [0, 3.6, z], [-4.6, 3.6, z], [-4.6, 0, z], [-4.6, -3.6, z]] * 2
+    p2 = [[4.6, 3.6, z], [0, 3.6, z], [-4.6, 3.6, z], [-4.6, 0, z], [-4.6, -3.6, z],
+          [-4.6, 0, z], [-4.6, 3.6, z], [0, 3.6, z], [4.6, 3.6, z]] * 2
+    p3 = [[4.6, -3.6, z], [0, -3.6, z], [-4.6, -3.6, z], [0, -3.6, z], [4.6, -3.6, z],
+          [4.6, 0, z], [4.6, 3.6, z], [4.6, 0, z], [4.6, -3.6, z]] * 2
+    p4 = [[5.5, 4.5, z], [3.0, 2.5, z], [6.5, 2.0, z], [5.5, 4.5, z]] * 4
+    prims.append(human("human_1", p1[:17], [0.9, 0.3, 0.3]))
+    prims.append(human("human_2", p2[:17], [0.3, 0.9, 0.3]))
+    prims.append(human("human_3", p3[:17], [0.3, 0.3, 0.9]))
+    prims.append(human("human_4", p4[:13], [0.9, 0.8, 0.3]))
+    return Scene(room_half_extents=half, room_center=center, primitives=prims)
+
+
+def hard_scene_tour_waypoints() -> np.ndarray:
+    """Closed tour through all four rooms of `hard_scene` via the doorways."""
+    return np.array(
+        [
+            [-4.0, -3.0, 0.0], [-4.0, 0.0, 0.0], [-4.0, 3.0, 0.0],
+            [0.0, 3.0, 0.0], [4.0, 3.0, 0.0], [4.0, 0.0, 0.0],
+            [4.0, -3.0, 0.0], [0.0, -3.0, 0.0],
+        ],
+        np.float64,
+    )
+
+
+class TourSequence(SyntheticSequence):
+    """Waypoint-tour camera for multi-room scenes: constant-speed traversal
+    of a closed polyline (`n_loops` times over `duration`), gaze at a
+    look-ahead point on the path (slightly downward) — the analog of the
+    uHumans2 robot's multi-room sweep."""
+
+    def __init__(self, scene: Scene, config: SyntheticSequenceConfig,
+                 waypoints: Optional[np.ndarray] = None, look_ahead: float = 1.8):
+        self.waypoints = np.asarray(
+            waypoints if waypoints is not None else hard_scene_tour_waypoints(),
+            np.float64,
+        )
+        closed = np.vstack([self.waypoints, self.waypoints[:1]])
+        seg = np.diff(closed, axis=0)
+        self._closed = closed
+        self._seg_len = np.linalg.norm(seg[:, :2], axis=1)
+        self._cum = np.concatenate([[0.0], np.cumsum(self._seg_len)])
+        self._perimeter = float(self._cum[-1])
+        self._look_ahead = look_ahead
+        super().__init__(scene, config)
+
+    def _point_at_arc(self, s: float) -> np.ndarray:
+        s = s % self._perimeter
+        k = int(np.searchsorted(self._cum, s, side="right") - 1)
+        k = min(max(k, 0), len(self._seg_len) - 1)
+        a = (s - self._cum[k]) / max(self._seg_len[k], 1e-9)
+        return (1 - a) * self._closed[k] + a * self._closed[k + 1]
+
+    def pose_at(self, t: float):
+        cfg = self.config
+        speed = self._perimeter * cfg.n_loops / cfg.duration
+        s = t * speed
+        pos = np.asarray(self._point_at_arc(s), np.float64)
+        tgt = np.asarray(self._point_at_arc(s + self._look_ahead), np.float64)
+        pos[2] = cfg.camera_height
+        tgt[2] = cfg.camera_height
+        look = tgt - pos
+        horiz = max(np.linalg.norm(look[:2]), 1e-6)
+        look = look / horiz
+        look[2] = -0.12  # slight downward pitch: floor + low furniture in view
+        up = np.array([0.0, 0.0, 1.0])
+        zax = look / np.linalg.norm(look)
+        xax = np.cross(zax, up)
+        xax /= max(np.linalg.norm(xax), 1e-6)
+        yax = np.cross(zax, xax)
+        R = np.stack([xax, yax, zax], axis=1)
+        return R.astype(np.float32), pos.astype(np.float32)
 
 
 def sample_scene_surface(scene: Scene, t: float, n_points: int = 20000, seed: int = 0):

@@ -69,9 +69,21 @@ class SceneGroundTruth:
         return pts.astype(np.float32)
 
     def gt_objects(self) -> List[GtObject]:
+        """One GT instance per standalone primitive or per `group` of
+        primitives (compound shapes -> union bbox); building structure
+        (walls/pillars) and background-labeled primitives are excluded —
+        they belong to the background cloud, matching the reference GT
+        builder's object-labeled clustering
+        (tesse_ground_truth_builder.h:37-110)."""
         out = []
+        groups: Dict[str, List[Tuple[int, "object"]]] = {}
         for i, p in enumerate(self.scene.primitives):
-            if p.is_dynamic:
+            if p.is_dynamic or getattr(p, "structure", False):
+                continue
+            if p.label == self.scene.room_label:
+                continue
+            if getattr(p, "group", ""):
+                groups.setdefault(p.group, []).append((i, p))
                 continue
             c = p.center
             h = p.half_extents
@@ -90,6 +102,26 @@ class SceneGroundTruth:
                     else (1 << 62),
                 )
             )
+        for members in groups.values():
+            idx, p0 = members[0]
+            mn = np.min(np.stack([np.asarray(p.center) - np.asarray(p.half_extents) for _, p in members]), axis=0)
+            mx = np.max(np.stack([np.asarray(p.center) + np.asarray(p.half_extents) for _, p in members]), axis=0)
+            out.append(
+                GtObject(
+                    gt_id=idx,
+                    label=p0.label,
+                    center=(0.5 * (mn + mx)).astype(np.float32),
+                    bbox_min=mn.astype(np.float32),
+                    bbox_max=mx.astype(np.float32),
+                    t_appear_ns=int(max(p0.t_appear, 0.0) * 1e9)
+                    if np.isfinite(p0.t_appear)
+                    else -(1 << 62),
+                    t_disappear_ns=int(p0.t_disappear * 1e9)
+                    if np.isfinite(p0.t_disappear)
+                    else (1 << 62),
+                )
+            )
+        out.sort(key=lambda g: g.gt_id)
         return out
 
     def gt_dynamic_trajectories(self, dt_s: float = 0.5):

@@ -123,6 +123,13 @@ class KhronosPipeline:
         self._places_due: Optional[np.ndarray] = None
         self._last_frame: Optional[FrameData] = None
         self._change_sinks: List = []
+        # adaptive CD cadence (r4 endurance, the reference's busy-guarded
+        # detached thread, backend.cpp:189-216): an optional callable; when
+        # it returns False on a periodic (non-LC) trigger, the pass is
+        # DEFERRED — frames_since_cd keeps counting, so it re-triggers on the
+        # next frame once the gate opens. LC-triggered passes always run.
+        self.cd_gate = None
+        self.cd_deferred_triggers = 0
 
     def add_change_sink(self, sink) -> None:
         """Register sink(dsg, changes, stamp_ns) called after every change-
@@ -193,9 +200,14 @@ class KhronosPipeline:
 
             n = self.config.run_change_detection_every_n_frames
             if n >= 0 and (had_lc or (n > 0 and self._frames_since_cd >= n)):
-                if defer_cd:
+                if not had_lc and self.cd_gate is not None and not self.cd_gate():
+                    # adaptive cadence: detached CD still busy — defer, and
+                    # re-trigger on the next frame once the gate opens
+                    self.cd_deferred_triggers += 1
+                elif defer_cd:
                     return self.make_cd_request(had_loop_closure=had_lc)
-                self.run_change_detection(had_loop_closure=had_lc)
+                else:
+                    self.run_change_detection(had_loop_closure=had_lc)
         return None
 
     def take_places_update(self):

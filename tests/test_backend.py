@@ -310,6 +310,47 @@ class TestGeometryEpoch:
         raw = be.mesh_acc.build()
         assert np.array_equal(dsg.mesh.vertices, raw.vertices)
 
+    def test_merge_solve_moving_only_object_nodes_keeps_epoch(self):
+        """r4 hard-scene finding: GNC pulling a merge pair's OBJECT nodes
+        together moves those nodes on every merge-proposal solve — but the
+        ray library and 4D-map sharing depend only on agents + mesh, so the
+        epoch must not bump (it forced a full ray-library rebuild per CD
+        pass)."""
+        n = 20
+        gt, _ = make_orbit(n)
+        cfg = build(BackendConfig, {"lcd": None})
+        be = Backend(cfg)
+
+        def mkobj(center, t0_s, t1_s):
+            c = np.asarray(center, np.float32)
+            return KhronosObject(
+                node_id=0, semantic_category=3,
+                bbox_min=c - 0.3, bbox_max=c + 0.3,
+                first_observed_ns=[int(t0_s * 1e9)],
+                last_observed_ns=[int(t1_s * 1e9)],
+                mesh_vertices=np.zeros((0, 3), np.float32),
+                mesh_faces=np.zeros((0, 3), np.int64),
+                mesh_colors=np.zeros((0, 3), np.float32),
+            )
+
+        for k in range(n):
+            objects = []
+            if k == 2:
+                objects = [mkobj([2, 1, 0.3], 2, 3)]
+            elif k == 12:
+                # same spot, disjoint time -> merge proposal + identity factor
+                objects = [mkobj([2.1, 1.05, 0.3], 12, 13)]
+            be.add_output(make_output(int(k * 1e9), gt[k], gt[k],
+                                      with_mesh=False, objects=objects),
+                          gt_pose=gt[k])
+        be.optimize()   # proposes the merge, adds object nodes + factor
+        be.optimize()   # judges it: object nodes move toward each other
+        assert be.proposed_merges, "merge proposal expected"
+        dsg = be.get_dsg()
+        assert dsg.opt_epoch == 0, (
+            "object-node-only motion must not invalidate CD/4D state"
+        )
+
     def test_moving_solve_bumps_epoch(self):
         n = 40
         gt, odom = make_orbit(n)

@@ -123,9 +123,36 @@ class TestRayVerificator:
         touched = inc.touched_cells_for_new_targets(200)
         cells = inc.point_cells(np.asarray([[5.0, 1.9, 1]], np.float32))
         assert touched[cells[0]], "new-vertex ray cell not marked touched"
-        # a loop closure forces the full rebuild (delta folded in)
+        # an LC whose solve did NOT move geometry (same epoch) keeps the
+        # delta (r4: LC is advisory; the epoch is the real signal) ...
         inc.update(make_dsg(236), had_loop_closure=True)
+        assert inc._delta is not None
+        # ... while a geometry-epoch change forces the full rebuild
+        moved = make_dsg(236)
+        moved.opt_epoch = 2
+        inc.update(moved, had_loop_closure=False)
         assert inc._delta is None
+
+    def test_per_point_radial_tolerance(self):
+        """r4 hard-scene fix: a ray passing 5 cm BESIDE a thin structure
+        (within the global 0.1 m tolerance, but outside the structure's own
+        half-extent) must not read phantom absence once the per-point
+        tolerance is bounded by the structure's thinness."""
+        dsg = SceneGraph()
+        dsg.agents = make_agents([0, 0, 1], [10.0])
+        # single ray to a wall point 6 m out, passing ~5 cm beside the pole
+        dsg.mesh = make_mesh([[6.0, 0.06, 1.0]], [0.0], [100.0])
+        ver = RayVerificator(
+            RayVerificatorConfig(ray_policy="First", num_bins=32,
+                                 temporal_resolution=4.0,
+                                 active_window_duration=0.0)
+        )
+        ver.build(dsg)
+        pole_pt = np.asarray([[5.0, 0.0, 1.0]], np.float32)
+        ev_default = ver.query(pole_pt)  # tol 0.1: phantom absent vote
+        assert ev_default[0, :, 1].sum() > 0
+        ev_thin = ver.query(pole_pt, radial_tol=np.asarray([0.025], np.float32))
+        assert ev_thin.sum() == 0, "thin-structure tolerance still saw the ray"
 
     def test_all_policy_expands_every_observer(self):
         """r4 task 4: `All` spawns one ray per (vertex, in-range observing
@@ -210,6 +237,32 @@ class TestChangeScan:
         res2 = det.scan(ev, t_min_s=30.0)
         assert res2["first_persistent_bin"][0] == -1
         assert res2["first_absent_bin"][0] >= 7
+
+    def test_order_constrained_persistence(self):
+        """r4 fix: spurious matches AFTER a confident absence (grazing rays
+        off nearby surfaces) must not extend last_persistent past
+        first_absent — reference ObjectChange ordering (change_state.h:76-103)
+        ... last_seen -> last_persistent -> last_absent; the reconciler's
+        midpoint estimate depends on it."""
+        det = RayChangeDetector(
+            RayChangeDetectorConfig(window_size=1, min_rays_per_window=1),
+            bin_size_s=5.0,
+        )
+        ev = np.zeros((1, 16, 2), np.int64)
+        ev[0, 2, 0] = 4   # genuine presence around t=12.5
+        ev[0, 8, 1] = 4   # confident absence around t=42.5
+        ev[0, 12, 0] = 3  # SPURIOUS late match around t=62.5
+        res = det.scan(ev)
+        assert res["last_persistent_bin"][0] == 12  # unconstrained: late
+        assert res["last_persistent_before_absent_bin"][0] == 2
+        # appearance direction: persistence after the last absence
+        ev2 = np.zeros((1, 16, 2), np.int64)
+        ev2[0, 2, 0] = 3   # spurious early match
+        ev2[0, 5, 1] = 4   # absence (space empty before the object arrived)
+        ev2[0, 9, 0] = 4   # genuine presence after appearance
+        res2 = det.scan(ev2)
+        assert res2["first_persistent_bin"][0] == 2
+        assert res2["first_persistent_after_absent_bin"][0] == 9
 
 
 class TestSequentialChangeDetection:
@@ -614,7 +667,7 @@ class TestIncrementalBackground:
         # count queried points on the second (incremental) pass
         calls = []
         orig_query = inc.verificator.query
-        inc.verificator.query = lambda pts: (calls.append(len(pts)), orig_query(pts))[1]
+        inc.verificator.query = lambda pts, **kw: (calls.append(len(pts)), orig_query(pts, **kw))[1]
         ch_inc = inc.detect_changes(build_dsg(3), had_loop_closure=False)
 
         full = SequentialChangeDetector(cfg)

@@ -119,3 +119,40 @@ class TestFactorGraph:
         res = optimize(g, OptimizerConfig(gnc_enabled=False, max_iterations=5))
         gt_t = np.stack([t for _, t in gt])
         assert ate(res.node_t, gt_t) < 1e-3
+
+
+class TestShadowFactors:
+    """Shadow factors (r4): zero weight in the solve, classified against the
+    GNC inlier gate at the final (unbent) geometry — merge-proposal judging
+    without trajectory distortion."""
+
+    def test_shadow_does_not_move_solution_but_is_classified(self):
+        n = 8
+        gt = circle_poses(n)
+        g = FactorGraphData()
+        for k in range(n):
+            g.add_node(*gt[k])
+        g.add_prior(0, *gt[0])
+        for k in range(1, n):
+            g.add_between(k - 1, k, *relative(*gt[k - 1], *gt[k]),
+                          sigma_trans=0.05)
+        # shadow identity factor between nodes ~far apart: must be judged
+        # OUTLIER and must NOT bend the consistent chain
+        i_far = len(g.b_i)
+        g.add_between(0, n // 2, np.eye(3), np.zeros(3),
+                      sigma_trans=0.2, sigma_rot=0.2, robust=True, shadow=True)
+        # shadow identity between two coincident virtual nodes: INLIER
+        a = g.add_node(np.eye(3), np.array([9.0, 0, 0]))
+        b = g.add_node(np.eye(3), np.array([9.1, 0, 0]))
+        g.add_between(0, a, *relative(*gt[0], np.eye(3), np.array([9.0, 0, 0])),
+                      sigma_trans=0.01)
+        g.add_between(0, b, *relative(*gt[0], np.eye(3), np.array([9.1, 0, 0])),
+                      sigma_trans=0.01)
+        i_near = len(g.b_i)
+        g.add_between(a, b, np.eye(3), np.zeros(3),
+                      sigma_trans=0.2, sigma_rot=0.2, robust=True, shadow=True)
+        res = optimize(g, OptimizerConfig())
+        gt_t = np.stack([t for _, t in gt])
+        assert ate(res.node_t[:n], gt_t) < 1e-3, "shadow factor bent the chain"
+        assert res.outlier_mask[i_far], "far shadow pair not judged outlier"
+        assert not res.outlier_mask[i_near], "coincident shadow pair judged outlier"

@@ -85,7 +85,7 @@ def test_two_process_full_pipeline_matches_single_process(tmp_path):
     ]
     outs = []
     for p in procs:
-        stdout, stderr = p.communicate(timeout=540)
+        stdout, stderr = p.communicate(timeout=900)
         assert p.returncode == 0, f"pipeline worker failed:\n{stderr[-4000:]}"
         outs.append(json.loads(stdout.strip().splitlines()[-1]))
 
