@@ -114,6 +114,11 @@ class ActiveWindowOutput:
     mesh_labels: np.ndarray
     # objects extracted from tracks that left the window
     objects: List[KhronosObject] = dataclasses.field(default_factory=list)
+    # deferred-extraction mode (async backend stage): tracks whose object
+    # extraction the backend worker runs via finalize_output — keeps the
+    # 0.5 s batched device scan off the frame loop (reference: extraction
+    # happens on the backend thread's input, active_window.cpp worker pool)
+    pending_tracks: Optional[List] = None
 
 
 @jax.jit
@@ -172,6 +177,12 @@ class ActiveWindow:
         # ~128 s in float32, breaking ever-free timing and mesh stamps. Host
         # int64 ns stamps stay absolute; emitted mesh stamps re-add t0.
         self._t0_ns: Optional[int] = None
+        # async backend stage: when True, _build_output attaches the pending
+        # tracks instead of extracting objects inline; the backend worker
+        # calls finalize_output. _inflight_tracks keeps their frames alive
+        # across the trim until extraction runs.
+        self.defer_object_extraction = False
+        self._inflight_tracks: List[List] = []
         self._pending_mesh: List[dict] = []
         self._pending_mesh_dev: List = []  # in-flight device emission buffers
         self._pending_tracks = []
@@ -447,6 +458,11 @@ class ActiveWindow:
                 # trim (timing-dependent object recall)
                 for t in self._pending_tracks:
                     referenced.update(o.stamp_ns for o in t.observations)
+                # tracks handed to the async backend stage but not yet
+                # extracted keep their frames alive too (same contract)
+                for tl in list(self._inflight_tracks):
+                    for t in tl:
+                        referenced.update(o.stamp_ns for o in t.observations)
                 self.frame_buffer.trim(referenced)
 
             self.frame_count += 1
@@ -747,11 +763,16 @@ class ActiveWindow:
         self._pending_mesh = []
 
         objects: List[KhronosObject] = []
+        pending: Optional[List] = None
         if self.object_extractor is not None and self._pending_tracks:
-            with Timer("object_extraction/all", stamp_ns):
-                objects = self.object_extractor.extract_all(
-                    self._pending_tracks, self.frame_buffer
-                )
+            if self.defer_object_extraction and not flush_async:
+                pending = self._pending_tracks
+                self._inflight_tracks.append(pending)
+            else:
+                with Timer("object_extraction/all", stamp_ns):
+                    objects = self.object_extractor.extract_all(
+                        self._pending_tracks, self.frame_buffer
+                    )
         self._pending_tracks = []
 
         return ActiveWindowOutput(
@@ -759,5 +780,23 @@ class ActiveWindow:
             R_w_b=R,
             t_w_b=t,
             objects=objects,
+            pending_tracks=pending,
             **delta,
         )
+
+    def finalize_output(self, out: ActiveWindowOutput) -> ActiveWindowOutput:
+        """Run the deferred object extraction for `out` (async backend
+        stage). Safe off the frame loop: the tracks' frames are pinned via
+        _inflight_tracks until this completes, and extraction only reads
+        the frame buffer."""
+        if out.pending_tracks:
+            with Timer("object_extraction/all", out.stamp_ns):
+                out.objects = self.object_extractor.extract_all(
+                    out.pending_tracks, self.frame_buffer
+                )
+            try:
+                self._inflight_tracks.remove(out.pending_tracks)
+            except ValueError:
+                pass
+            out.pending_tracks = None
+        return out

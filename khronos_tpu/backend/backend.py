@@ -92,6 +92,20 @@ class BackendConfig:
     # mesh) shard factor linearization — the production solve when control
     # nodes dominate (backend/distributed.py).
     solver: str = "dense"
+    # LC consistency gate (r4 endurance finding): on a drift-free stretch
+    # every return-leg loop closure triggered a full solve that moved
+    # nothing — 8 x 57 s inline in the frame loop collapsed sustained fps
+    # to 2. A new LC whose weighted chi2 residual at the CURRENT estimates
+    # is already below the GNC inlier gate (gnc_barc2) cannot change the
+    # optimum: the factor enters the graph (it still stiffens future
+    # solves) but the solve is deferred until an LC actually disagrees
+    # with the trajectory. Mirrors incremental RPGO semantics (solve on
+    # new information, not on every factor).
+    lc_consistency_gate: bool = True
+    # with every LC-solve gated away, pending merge proposals would only be
+    # GNC-judged at finish_processing; run a judging solve at most this
+    # often (s) while unjudged proposals exist
+    merge_judging_interval_s: float = 30.0
     # agent/control motion below this (m) does not bump the geometry epoch:
     # judging a merge factor perturbs even a consistent trajectory by a few
     # cm (soft factors distribute the residual), and a 1e-6 gate forced full
@@ -132,6 +146,8 @@ class Backend:
         self._orig_t: List[np.ndarray] = []
         self._next_object_id = 1
         self.num_optimizations = 0
+        self.optimizes_skipped_consistent = 0
+        self._last_judge_ns = -(1 << 62)
 
     # ------------------------------------------------------------------
     def add_output(
@@ -253,9 +269,40 @@ class Backend:
                 )
             _t_lc.__exit__(None, None, None)
             if lcs and cfg.optimize_on_lc:
-                self.optimize()
+                new_fidx = range(self.graph.num_between - len(lcs), self.graph.num_between)
+                if cfg.lc_consistency_gate and all(
+                    self._between_chi2(k) <= cfg.optimizer.gnc_barc2 for k in new_fidx
+                ):
+                    # consistent LCs cannot move the optimum — defer the
+                    # solve, but keep the merge machinery alive
+                    self.optimizes_skipped_consistent += 1
+                    if cfg.enable_node_merging:
+                        self._propose_merges()
+                    if any(not p.validated for p in self.proposed_merges) and (
+                        out.stamp_ns - self._last_judge_ns
+                        >= int(cfg.merge_judging_interval_s * 1e9)
+                    ):
+                        self._last_judge_ns = out.stamp_ns
+                        self.optimize()
+                else:
+                    self._last_judge_ns = out.stamp_ns
+                    self.optimize()
                 return True
         return False
+
+    def _between_chi2(self, k: int) -> float:
+        """Weighted chi2 of between factor k at the current node estimates
+        (same formula as fg._between_errors, host-side for a single factor)."""
+        g = self.graph
+        r = np.asarray(
+            fg._between_residual(
+                np.zeros(6, np.float32), np.zeros(6, np.float32),
+                np.asarray(g.node_R[g.b_i[k]]), np.asarray(g.node_t[g.b_i[k]]),
+                np.asarray(g.node_R[g.b_j[k]]), np.asarray(g.node_t[g.b_j[k]]),
+                np.asarray(g.b_R[k]), np.asarray(g.b_t[k]),
+            )
+        )
+        return float(np.sum((r * np.asarray(g.b_sqrt_info[k])) ** 2))
 
     def add_loop_closure(self, lc: LoopClosure, optimize_now: bool = True) -> None:
         cfg = self.config
@@ -266,7 +313,12 @@ class Backend:
             sigma_trans=lc.sigma_trans if lc.sigma_trans is not None else cfg.sigma_lc_trans, robust=True,
         )
         if optimize_now and cfg.optimize_on_lc:
-            self.optimize()
+            if cfg.lc_consistency_gate and self._between_chi2(
+                self.graph.num_between - 1
+            ) <= cfg.optimizer.gnc_barc2:
+                self.optimizes_skipped_consistent += 1
+            else:
+                self.optimize()
 
     # ------------------------------------------------------------------
     def _add_node(self, R, t, orig=None) -> int:

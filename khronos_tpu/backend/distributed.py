@@ -232,32 +232,86 @@ def optimize_backend_graph(
     and deformation-control nodes are interleaved in insertion order: permute
     nodes to [poses | controls], Schur-eliminate the control block, unpermute.
 
-    Returns the result in the ORIGINAL node order."""
+    Returns the result in the ORIGINAL node order.
+
+    Shapes are BUCKET-PADDED (factor_graph._shape_bucket, ~12.5% overshoot):
+    pose count, control count, between-factor count, and prior count each pad
+    to a coarse bucket so the jitted assembly + Schur chain re-hits the
+    compile cache as the graph grows. Without this, every solve on a growing
+    graph recompiled the whole step chain (r4 endurance finding: 57 s per
+    optimize at 3,000 frames, inline in the frame loop — most of it compile).
+    Pad layout: [poses | pose-pads | controls | control-pads]; pad nodes are
+    identity poses anchored by unit priors (well-conditioned H), pad factors
+    are zero-information self-factors on node 0 (exactly zero H/g rows)."""
     N = graph.num_nodes
     pose_ids = list(pose_node_ids)
     pose_set = set(pose_ids)
-    perm = pose_ids + [i for i in range(N) if i not in pose_set]
-    inv = np.empty(N, np.int32)
-    inv[np.asarray(perm, np.int32)] = np.arange(N, dtype=np.int32)
+    ctrl_ids = [i for i in range(N) if i not in pose_set]
+    nA, nC = len(pose_ids), len(ctrl_ids)
+    bA = fg._shape_bucket(max(nA, 1))
+    bC = fg._shape_bucket(nC) if nC else 0
+    padA, padC = bA - nA, (bC - nC if nC else 0)
 
+    eye = np.eye(3, dtype=np.float32)
+    zero3 = np.zeros(3, np.float32)
     g2 = fg.FactorGraphData()
-    g2.node_R = [graph.node_R[i] for i in perm]
-    g2.node_t = [graph.node_t[i] for i in perm]
+    g2.node_R = (
+        [graph.node_R[i] for i in pose_ids] + [eye] * padA
+        + [graph.node_R[i] for i in ctrl_ids] + [eye] * padC
+    )
+    g2.node_t = (
+        [graph.node_t[i] for i in pose_ids] + [zero3] * padA
+        + [graph.node_t[i] for i in ctrl_ids] + [zero3] * padC
+    )
+    # old node id -> padded-order id (poses first, controls offset past pads)
+    inv = np.empty(N, np.int32)
+    inv[np.asarray(pose_ids, np.int32)] = np.arange(nA, dtype=np.int32)
+    if nC:
+        inv[np.asarray(ctrl_ids, np.int32)] = nA + padA + np.arange(nC, dtype=np.int32)
     g2.b_i = [int(inv[i]) for i in graph.b_i]
     g2.b_j = [int(inv[j]) for j in graph.b_j]
     g2.p_i = [int(inv[i]) for i in graph.p_i]
     for f in ("b_R", "b_t", "b_sqrt_info", "b_robust", "b_shadow",
               "p_R", "p_t", "p_sqrt_info"):
-        setattr(g2, f, getattr(graph, f))
+        setattr(g2, f, list(getattr(graph, f)))
 
-    res = optimize_distributed(g2, mesh=mesh, n_pose_nodes=len(pose_ids), config=config)
-    back = np.asarray(perm, np.int32)
-    node_R = np.empty_like(res.node_R)
-    node_t = np.empty_like(res.node_t)
-    node_R[back] = res.node_R
-    node_t[back] = res.node_t
+    # unit priors anchor every pad node
+    pad_node_ids = list(range(nA, nA + padA)) + list(
+        range(nA + padA + nC, nA + padA + nC + padC)
+    )
+    for k in pad_node_ids:
+        g2.p_i.append(k)
+        g2.p_R.append(eye)
+        g2.p_t.append(zero3)
+        g2.p_sqrt_info.append(np.ones(6, np.float32))
+    # bucket the factor axes: zero-information pads contribute nothing
+    fB = fg._shape_bucket(max(g2.num_between, 1)) - g2.num_between
+    for _ in range(fB):
+        g2.b_i.append(0)
+        g2.b_j.append(0)
+        g2.b_R.append(eye)
+        g2.b_t.append(zero3)
+        g2.b_sqrt_info.append(np.zeros(6, np.float32))
+        g2.b_robust.append(False)
+        g2.b_shadow.append(False)
+    pB = fg._shape_bucket(max(len(g2.p_i), 1)) - len(g2.p_i)
+    for _ in range(pB):
+        g2.p_i.append(0)
+        g2.p_R.append(eye)
+        g2.p_t.append(zero3)
+        g2.p_sqrt_info.append(np.zeros(6, np.float32))
+
+    res = optimize_distributed(g2, mesh=mesh, n_pose_nodes=nA + padA, config=config)
+    node_R = np.empty((N, 3, 3), np.float32)
+    node_t = np.empty((N, 3), np.float32)
+    node_R[np.asarray(pose_ids, np.int32)] = res.node_R[:nA]
+    node_t[np.asarray(pose_ids, np.int32)] = res.node_t[:nA]
+    if nC:
+        node_R[np.asarray(ctrl_ids, np.int32)] = res.node_R[nA + padA : nA + padA + nC]
+        node_t[np.asarray(ctrl_ids, np.int32)] = res.node_t[nA + padA : nA + padA + nC]
     return fg.OptimizeResult(
         node_R=node_R, node_t=node_t,
-        final_error=res.final_error, outlier_mask=res.outlier_mask,
+        final_error=res.final_error,
+        outlier_mask=res.outlier_mask[: graph.num_between],
         iterations=res.iterations,
     )

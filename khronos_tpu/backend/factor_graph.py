@@ -249,6 +249,17 @@ class OptimizeResult:
     iterations: int = 0
 
 
+def _shape_bucket(n: int, lo: int = 32) -> int:
+    # coarse shape buckets (~12.5% overshoot): node/factor counts grow
+    # every frame, and exact-size programs recompiled the whole GN/GNC
+    # step chain on every solve as the graph grew (r4 endurance finding:
+    # 21 s/optimize on the tunnel, nearly all compile)
+    if n <= lo:
+        return lo
+    step = 1 << max(int(np.log2(n)) - 2, 3)
+    return ((n + step - 1) // step) * step
+
+
 def optimize(
     graph: FactorGraphData,
     config: OptimizerConfig = None,
@@ -264,16 +275,6 @@ def optimize(
     N = graph.num_nodes
     if N == 0:
         return OptimizeResult(np.zeros((0, 3, 3)), np.zeros((0, 3)), 0.0, np.zeros(0, bool))
-
-    def _shape_bucket(n: int, lo: int = 32) -> int:
-        # coarse shape buckets (~12.5% overshoot): node/factor counts grow
-        # every frame, and exact-size programs recompiled the whole GN/GNC
-        # step chain on every solve as the graph grew (r4 endurance finding:
-        # 21 s/optimize on the tunnel, nearly all compile)
-        if n <= lo:
-            return lo
-        step = 1 << max(int(np.log2(n)) - 2, 3)
-        return ((n + step - 1) // step) * step
 
     # shape bucketing only applies to the dense single-device step; the
     # distributed step_fn assembles from `graph` directly

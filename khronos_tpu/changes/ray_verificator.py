@@ -42,6 +42,10 @@ from khronos_tpu.config import check_gt, check_in
 @dataclasses.dataclass
 class RayVerificatorConfig:
     block_size: float = 0.5  # m coarse hash cell
+    # hash-grid headroom (cells per axis, each side) beyond the current ray
+    # bbox so delta updates on a GROWING map stay in-grid (see _make_index);
+    # 24 cells = 12 m of exploration before a growth-forced full rebuild
+    grid_margin_blocks: int = 24
     radial_tolerance: float = 0.1  # m (point-to-ray distance)
     depth_tolerance: float = 0.15  # m (along-ray)
     # First | Last | FirstAndLast | Middle | All | SampledAll | Random |
@@ -454,6 +458,14 @@ class RayVerificator:
         self._V_covered = V
         self.n_delta_updates += 1
 
+    @property
+    def total_rays(self) -> int:
+        """Rays across main + delta index (num_rays covers the main only)."""
+        n = int(getattr(self, "num_rays", 0) or 0)
+        if self._delta is not None:
+            n += len(self._delta["raw"][0])
+        return n
+
     def _points_in_grid(self, pts: np.ndarray) -> bool:
         cfg = self.config
         pc = np.floor(pts / cfg.block_size).astype(np.int64) - self.origin_cell
@@ -478,8 +490,16 @@ class RayVerificator:
         cfg = self.config
         if grid is None:
             all_pts = np.concatenate([origins, targets])
-            lo = all_pts.min(axis=0) - cfg.block_size
-            hi = all_pts.max(axis=0) + cfg.block_size
+            # growth margin: the grid must also cover geometry the robot has
+            # NOT YET mapped, or every delta update on a growing map falls
+            # out-of-grid and forces a full rebuild (r4 endurance finding:
+            # 14 full rebuilds, zero delta updates on the outbound corridor
+            # leg — 30-140 s each). Margin = grid_margin_blocks hash cells
+            # of headroom per axis; the 25% delta-size bound still triggers
+            # rebuilds before candidate lists degrade.
+            margin = cfg.block_size * cfg.grid_margin_blocks
+            lo = all_pts.min(axis=0) - cfg.block_size - margin
+            hi = all_pts.max(axis=0) + cfg.block_size + margin
             origin_cell = np.floor(lo / cfg.block_size).astype(np.int32)
             dims = np.floor(hi / cfg.block_size).astype(np.int32) - origin_cell + 2
             # dims rounded up per axis: cell_start has shape prod(dims)+1,

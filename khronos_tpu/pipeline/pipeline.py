@@ -159,19 +159,7 @@ class KhronosPipeline:
             out = self.active_window.spin_once(frame)
             had_lc = False
             if out is not None:
-                lcd_frame = None
-                if getattr(self.backend.lcd, "needs_frame", False):
-                    # descriptor LCD (real-data path): camera-frame vertex
-                    # image at stride 4 — enough structure for the place
-                    # descriptor at 1/16 the pixels
-                    depth = np.asarray(frame.depth)[::4, ::4]
-                    pts = np.asarray(self.camera.back_project(frame.depth))[::4, ::4]
-                    valid = (depth > 0.1) & (depth < self.camera.max_range)
-                    lcd_frame = (pts.astype(np.float32), valid)
-                    if getattr(self.backend.lcd, "needs_color", False):
-                        # appearance stream: downsampled color rides along
-                        color = np.asarray(frame.color)[::4, ::4]
-                        lcd_frame = lcd_frame + (color.astype(np.float32),)
+                lcd_frame = self._prepare_lcd_frame(frame)
                 had_lc = self.backend.add_output(out, gt_pose=gt_pose, lcd_frame=lcd_frame)
                 if (
                     self.places_extractor is not None
@@ -209,6 +197,21 @@ class KhronosPipeline:
                 else:
                     self.run_change_detection(had_loop_closure=had_lc)
         return None
+
+    def _prepare_lcd_frame(self, frame: FrameData):
+        """Sensor-frame payload for LCDs with needs_frame: camera-frame
+        vertex image at stride 4 — enough structure for the place descriptor
+        at 1/16 the pixels (+ downsampled color for the appearance stream)."""
+        if not getattr(self.backend.lcd, "needs_frame", False):
+            return None
+        depth = np.asarray(frame.depth)[::4, ::4]
+        pts = np.asarray(self.camera.back_project(frame.depth))[::4, ::4]
+        valid = (depth > 0.1) & (depth < self.camera.max_range)
+        lcd_frame = (pts.astype(np.float32), valid)
+        if getattr(self.backend.lcd, "needs_color", False):
+            color = np.asarray(frame.color)[::4, ::4]
+            lcd_frame = lcd_frame + (color.astype(np.float32),)
+        return lcd_frame
 
     def take_places_update(self):
         """Deferred incremental places work (set by process_frame under
@@ -276,6 +279,113 @@ class KhronosPipeline:
         self.run_change_detection_on(*req)
 
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # Async stage mode: the reference's thread topology (SURVEY.md §2.7).
+    # Frame loop = active window ONLY; a backend worker consumes outputs
+    # (deferred object extraction, mesh accumulation, LCD + gated optimize,
+    # incremental places) behind a bounded queue; a CD worker runs detached
+    # change detection with snapshot isolation and adaptive cadence
+    # (reference: frontend/backend threads + busy-guarded detached CD,
+    # backend.cpp:189-216). Ownership: the backend worker owns all backend
+    # state (including CD snapshots); the CD worker owns change_detector +
+    # map; the frame loop owns the active window minus deferred extraction.
+    # ------------------------------------------------------------------
+    def start_async(self, backend_queue: int = 8) -> None:
+        import queue as _queue
+        import threading
+
+        self.active_window.defer_object_extraction = True
+        self._bq: "_queue.Queue" = _queue.Queue(maxsize=backend_queue)
+        self._cdq: "_queue.Queue" = _queue.Queue(maxsize=1)
+        self._cd_busy = False
+        self._cd_pending = False
+        self._async_errors: List[BaseException] = []
+        self._backend_thread = threading.Thread(target=self._backend_worker, daemon=True)
+        self._cd_thread = threading.Thread(target=self._cd_worker, daemon=True)
+        self._backend_thread.start()
+        self._cd_thread.start()
+
+    def submit_frame(self, frame: FrameData, gt_pose=None) -> None:
+        """Async-mode frame entry: active window + handoff. Blocks only when
+        the backend queue is full (bounded-queue backpressure)."""
+        if self.t0_ns is None:
+            self.t0_ns = frame.stamp_ns
+            self.active_window.set_time_base(self.t0_ns)
+        with Timer("pipeline/frame", frame.stamp_ns):
+            out = self.active_window.spin_once(frame)
+            self.frame_count += 1
+            self._frames_since_cd += 1
+            self._last_stamp_ns = frame.stamp_ns
+            self._last_frame = frame
+            n = self.config.run_change_detection_every_n_frames
+            if n > 0 and self._frames_since_cd >= n:
+                self._frames_since_cd = 0
+                self._cd_pending = True
+            if out is not None:
+                self._bq.put((out, frame, gt_pose))
+        if self._async_errors:
+            raise self._async_errors[0]
+
+    def _backend_worker(self) -> None:
+        while True:
+            item = self._bq.get()
+            if item is None:
+                return
+            out, frame, gt_pose = item
+            try:
+                with Timer("backend/stage", out.stamp_ns):
+                    self.active_window.finalize_output(out)
+                    lcd_frame = self._prepare_lcd_frame(frame)
+                    had_lc = self.backend.add_output(
+                        out, gt_pose=gt_pose, lcd_frame=lcd_frame
+                    )
+                    if (
+                        self.places_extractor is not None
+                        and self.config.places_mode == "output"
+                    ):
+                        with Timer("pipeline/places_incremental"):
+                            self.places_extractor.add_mesh_delta(out.mesh_vertices)
+                            gap = self.config.places.min_update_interval_s
+                            if out.stamp_ns - self._last_places_ns >= int(gap * 1e9):
+                                self._last_places_ns = out.stamp_ns
+                                self.places_extractor.update_local(out.t_w_b)
+                    if had_lc or self._cd_pending:
+                        if not self._cd_busy and self._cdq.empty():
+                            self._cd_pending = False
+                            self._cdq.put(self.make_cd_request(had_loop_closure=had_lc))
+                        else:
+                            # adaptive cadence: CD still busy — fold this
+                            # trigger into the next one (an LC trigger stays
+                            # pending so its pass eventually runs)
+                            self._cd_pending = True
+                            self.cd_deferred_triggers += 1
+            except BaseException as e:  # surfaced on the next submit_frame
+                self._async_errors.append(e)
+
+    def _cd_worker(self) -> None:
+        while True:
+            req = self._cdq.get()
+            if req is None:
+                return
+            self._cd_busy = True
+            try:
+                self.run_change_detection_on(*req)
+            except BaseException as e:
+                self._async_errors.append(e)
+            finally:
+                self._cd_busy = False
+
+    def finish_async(self) -> None:
+        """Drain both stages, then run the standard finish flush inline."""
+        self._bq.put(None)
+        self._backend_thread.join(timeout=3600)
+        self._cdq.put(None)
+        self._cd_thread.join(timeout=3600)
+        self.active_window.defer_object_extraction = False
+        if self._async_errors:
+            raise self._async_errors[0]
+        self.finish()
+
     def finish(self) -> None:
         """Flush everything (finishMapping + finishProcessing + final CD)."""
         self._finishing = True
