@@ -250,14 +250,16 @@ class OptimizeResult:
 
 
 def _shape_bucket(n: int, lo: int = 32) -> int:
-    # coarse shape buckets (~12.5% overshoot): node/factor counts grow
-    # every frame, and exact-size programs recompiled the whole GN/GNC
-    # step chain on every solve as the graph grew (r4 endurance finding:
-    # 21 s/optimize on the tunnel, nearly all compile)
+    # POW2 shape buckets: node/factor counts grow every frame, and
+    # exact-size programs recompiled the whole GN/GNC step chain on every
+    # solve as the graph grew (r4 endurance finding: 21-28 s/optimize on
+    # the tunnel, nearly all compile). The earlier ~12.5% buckets still
+    # stepped finer than the inter-optimize growth on a long run, so each
+    # LC-triggered solve recompiled anyway; pow2 bounds compiles to one
+    # per doubling, and padded nodes/factors are identity/zero-weight.
     if n <= lo:
         return lo
-    step = 1 << max(int(np.log2(n)) - 2, 3)
-    return ((n + step - 1) // step) * step
+    return 1 << int(np.ceil(np.log2(n)))
 
 
 def optimize(

@@ -112,6 +112,10 @@ def _scan_device(
 
 
 class RayChangeDetector:
+    # fixed device-call row count (see scan): bounds the padded evidence
+    # temporary to chunk x B x 2 ints and gives one compiled program per B
+    SCAN_CHUNK = 8192
+
     def __init__(self, config: RayChangeDetectorConfig, bin_size_s: float):
         self.config = config
         self.bin_size_s = bin_size_s
@@ -148,18 +152,34 @@ class RayChangeDetector:
         )
         if valid.shape[0] == 1:
             valid = np.broadcast_to(valid, (P, B))
-        fa, la, fp, lp, fp_after, lp_before = _scan_device(
-            jnp.asarray(evidence),
-            jnp.asarray(valid),
-            cfg.absence_confidence,
-            cfg.presence_confidence,
-            cfg.min_rays_per_window,
-            cfg.evidence_prior,
-            cfg.window_size,
-            cfg.use_relative_confidence,
-        )
+        # fixed-chunk device calls: P varies every CD pass (it is the
+        # incremental-selection count), and an exact-shape program would
+        # recompile per pass (~5 s each on the dev tunnel — the r4 endurance
+        # background_scan hot spot). Pad to SCAN_CHUNK rows (padding rows
+        # carry valid=False, so they scan to -1) and loop; one compile per
+        # (chunk, B).
+        chunk = self.SCAN_CHUNK
+        Pp = P + ((-P) % chunk)
+        if Pp != P:
+            evidence = np.concatenate(
+                [evidence, np.zeros((Pp - P,) + evidence.shape[1:], evidence.dtype)]
+            )
+            valid = np.concatenate([valid, np.zeros((Pp - P, B), bool)])
+        parts = []
+        for s in range(0, Pp, chunk):
+            parts.append(_scan_device(
+                jnp.asarray(evidence[s : s + chunk]),
+                jnp.asarray(valid[s : s + chunk]),
+                cfg.absence_confidence,
+                cfg.presence_confidence,
+                cfg.min_rays_per_window,
+                cfg.evidence_prior,
+                cfg.window_size,
+                cfg.use_relative_confidence,
+            ))
         fa, la, fp, lp, fp_after, lp_before = (
-            np.asarray(x) for x in (fa, la, fp, lp, fp_after, lp_before)
+            np.concatenate([np.asarray(p[i]) for p in parts])[:P]
+            for i in range(6)
         )
 
         def to_time(idx):

@@ -287,7 +287,12 @@ class RayVerificator:
         scan programs re-hit the compile cache as the sequence grows)."""
         cfg = self.config
         need = int(np.ceil(self._max_rel_s / cfg.temporal_resolution)) + 2
-        return max(cfg.num_bins, ((need + 31) // 32) * 32)
+        # pow2 bucket (min num_bins): B is a traced dim of the query AND
+        # scan programs; multiple-of-32 steps recompiled both every ~64 s
+        # of sequence growth on a long run (r4 endurance finding)
+        if need <= cfg.num_bins:
+            return cfg.num_bins
+        return 1 << int(np.ceil(np.log2(need)))
 
     # ------------------------------------------------------------------
     def _generate_rays(self, dsg, v_lo: int = 0):
@@ -473,15 +478,17 @@ class RayVerificator:
 
     @staticmethod
     def _bucket(n: int) -> int:
-        """Round n up to a coarse bucket (~12.5% overshoot max) so device
-        programs compile once per bucket, not once per exact ray count —
-        an unbucketed build recompiles EVERY change-detection pass as the
-        mesh grows (measured ~90 s/compile for 300k rays on the dev tunnel
-        vs 0.09 s cached)."""
+        """Round n up to the next POWER OF TWO (min 4096) so device programs
+        compile once per doubling, not once per growth increment. The r4
+        endurance run grew ~20-30k rays per CD pass; the previous ~12.5%
+        buckets stepped finer than that, so EVERY pass landed in a fresh
+        bucket and recompiled the build+query programs (~10-30 s each on the
+        dev tunnel vs <0.1 s cached). Pow2 buckets bound total compiles to
+        log2(final/initial) across the whole run; the padded rays are
+        degenerate and cost only device FLOPs, which are cheap."""
         if n <= 4096:
             return 4096
-        step = 1 << max(int(np.log2(n)) - 2, 10)
-        return ((n + step - 1) // step) * step
+        return 1 << int(np.ceil(np.log2(n)))
 
     def _make_index(self, origins, targets, stamps, target_idx, grid=None):
         """Build one CSR index dict. `grid=(origin_cell, dims)` reuses an
@@ -502,9 +509,13 @@ class RayVerificator:
             hi = all_pts.max(axis=0) + cfg.block_size + margin
             origin_cell = np.floor(lo / cfg.block_size).astype(np.int32)
             dims = np.floor(hi / cfg.block_size).astype(np.int32) - origin_cell + 2
-            # dims rounded up per axis: cell_start has shape prod(dims)+1,
-            # which must re-hit the compile cache as the scene bbox creeps
-            dims = (((dims + 7) // 8) * 8).astype(np.int32)
+            # dims rounded up per axis to the next power of two (min 8):
+            # cell_start has shape prod(dims)+1, so any per-axis creep
+            # changes the query program's traced shape and recompiles it.
+            # Multiple-of-8 rounding (r3) still bumped every ~8 blocks of
+            # corridor growth; pow2 bounds rebuild-shape changes to one per
+            # doubling per axis. Padded cells are empty (no candidate rays).
+            dims = (1 << np.ceil(np.log2(np.maximum(dims, 8))).astype(np.int32)).astype(np.int32)
         else:
             origin_cell, dims = grid
             lo = origin_cell.astype(np.float32) * cfg.block_size

@@ -42,16 +42,31 @@ def _min_dists_chunk(a, b):
 
 
 def min_distances(a: np.ndarray, b: np.ndarray, chunk: int = 4096) -> np.ndarray:
-    """Nearest-neighbor distances from each point in a to the set b."""
+    """Nearest-neighbor distances from each point in a to the set b.
+
+    Both operands are shape-stabilized so repeated calls with growing point
+    sets re-hit the compile cache (the reconciler calls this every CD pass
+    with a growing mesh/object set — exact shapes recompiled per pass):
+    `a` is padded to a whole number of chunks, `b` to a pow2 bucket with
+    far-away sentinels (distance ~1e9, never the minimum)."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
     if len(a) == 0:
         return np.zeros((0,), np.float32)
     if len(b) == 0:
         return np.full((len(a),), np.inf, np.float32)
-    bj = jnp.asarray(b, jnp.float32)
+    nb = max(256, 1 << int(np.ceil(np.log2(len(b)))))
+    if nb != len(b):
+        b = np.concatenate([b, np.full((nb - len(b), 3), 1e6, np.float32)])
+    P = len(a)
+    pad = (-P) % chunk
+    if pad:
+        a = np.concatenate([a, np.zeros((pad, 3), np.float32)])
+    bj = jnp.asarray(b)
     out = []
     for s in range(0, len(a), chunk):
-        out.append(np.asarray(_min_dists_chunk(jnp.asarray(a[s : s + chunk], jnp.float32), bj)))
-    return np.concatenate(out)
+        out.append(np.asarray(_min_dists_chunk(jnp.asarray(a[s : s + chunk]), bj)))
+    return np.concatenate(out)[:P]
 
 
 # ----------------------------------------------------------------------------

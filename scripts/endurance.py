@@ -26,10 +26,8 @@ as bench.py).
 import argparse
 import json
 import os
-import queue
 import resource
 import sys
-import threading
 import time
 
 import numpy as np
@@ -139,39 +137,32 @@ def main():
     })
     pipe = KhronosPipeline(cfg, seq.camera)
 
-    # detached CD stage with ADAPTIVE cadence: capacity-1 queue + pipeline
-    # cd_gate — a periodic trigger while the previous pass runs is deferred
-    cd_queue: "queue.Queue" = queue.Queue(maxsize=1)
-    cd_busy = [False]
+    # the pipeline's REAL async stage topology (SURVEY.md §2.7): frame loop
+    # = active window only; backend worker consumes outputs (deferred object
+    # extraction, LCD, optimize, CD snapshots); CD worker runs detached
+    # passes with adaptive cadence. The r4 hand-rolled variant kept object
+    # extraction + backend + CD snapshots ON the frame loop (378 ms/frame
+    # measured of which extract/add_output were ~75%).
     cd_rows = []
+    _cd_inner = pipe.run_change_detection_on
 
-    def cd_worker():
-        while True:
-            item = cd_queue.get()
-            if item is None:
-                return
-            kind, payload, t_enq, frame_i = item
-            cd_busy[0] = True
-            t0 = time.perf_counter()
-            if kind == "cd":
-                pipe.run_change_detection_on(*payload)
-                ver = pipe.change_detector.verificator
-                cd_rows.append({
-                    "frame": frame_i,
-                    "lag_s": round(t0 - t_enq, 2),
-                    "cd_s": round(time.perf_counter() - t0, 2),
-                    "rays": int(getattr(ver, "num_rays", 0)),
-                    "full_builds": ver.n_full_builds,
-                    "delta_updates": ver.n_delta_updates,
-                    "rss_mb": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024,
-                })
-            else:
-                payload()
-            cd_busy[0] = False
+    def _instrumented_cd(*req):
+        t0 = time.perf_counter()
+        frame_i = pipe.frame_count
+        _cd_inner(*req)
+        ver = pipe.change_detector.verificator
+        cd_rows.append({
+            "frame": frame_i,
+            "cd_s": round(time.perf_counter() - t0, 2),
+            "rays": int(ver.total_rays),
+            "full_builds": ver.n_full_builds,
+            "delta_updates": ver.n_delta_updates,
+            "rss_mb": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024,
+        })
+        print(f"  cd pass @frame {frame_i}: {cd_rows[-1]}", file=sys.stderr, flush=True)
 
-    worker = threading.Thread(target=cd_worker, daemon=True)
-    worker.start()
-    pipe.cd_gate = lambda: not cd_busy[0] and cd_queue.empty()
+    pipe.run_change_detection_on = _instrumented_cd
+    pipe.start_async()
 
     chunk_fps = []
     n_done = 0
@@ -185,20 +176,11 @@ def main():
             frames.append(f)
         t0 = time.perf_counter()
         for f in frames:
-            req = pipe.process_frame(FrameData(
+            pipe.submit_frame(FrameData(
                 stamp_ns=f["stamp_ns"], depth=f["depth"], color=f["color"],
                 labels=f["labels"], R_w_c=f["R_w_c"], t_w_c=f["t_w_c"],
-            ), gt_pose=(f["R_gt"], f["t_gt"]), defer_cd=True)
-            if req is not None:
-                cd_queue.put(("cd", req, time.perf_counter(), pipe.frame_count))
-            pu = pipe.take_places_update()
-            if pu is not None:
-                try:
-                    cd_queue.put_nowait(("places", pu, time.perf_counter(), 0))
-                except queue.Full:
-                    pu()  # run inline rather than drop
-        import jax as _jax
-        _jax.block_until_ready(pipe.active_window.state.tsdf)
+            ), gt_pose=(f["R_gt"], f["t_gt"]))
+        jax.block_until_ready(pipe.active_window.state.tsdf)
         dt = time.perf_counter() - t0
         fps = len(frames) / dt
         chunk_fps.append(round(fps, 2))
@@ -207,8 +189,10 @@ def main():
               f"(deferred CD triggers so far: {pipe.cd_deferred_triggers})",
               file=sys.stderr, flush=True)
 
-    cd_queue.put(None)
-    worker.join(timeout=1200)
+    t_drain = time.perf_counter()
+    pipe.finish_async()
+    drain_s = time.perf_counter() - t_drain
+    print(f"finish_async drain: {drain_s:.1f}s", file=sys.stderr, flush=True)
     wall = time.perf_counter() - t_begin
 
     med = float(np.median(chunk_fps))
@@ -228,6 +212,7 @@ def main():
         "cd_passes": len(cd_rows),
         "cd_deferred_triggers": pipe.cd_deferred_triggers,
         "cd_max_s": max((r["cd_s"] for r in cd_rows), default=0.0),
+        "finish_drain_s": round(drain_s, 1),
         "cd_median_s": float(np.median([r["cd_s"] for r in cd_rows])) if cd_rows else 0.0,
         "cd_rows": cd_rows,
         "chunk_fps": chunk_fps,
