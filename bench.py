@@ -48,6 +48,12 @@ def main():
     args.full_pipeline = not args.aw_only
 
     import jax
+
+    try:  # persistent compile cache (same rationale as scripts/endurance.py)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from khronos_tpu.active_window.active_window import ActiveWindow, ActiveWindowConfig

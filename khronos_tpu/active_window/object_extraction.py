@@ -62,7 +62,8 @@ class MeshObjectExtractorConfig:
 @functools.partial(jax.jit, static_argnames=("G",))
 def _reconstruct_device(
     depths,  # [K, H, W]
-    fg_masks,  # [K, H, W] bool: pixel belongs to this object
+    object_images,  # [K, H, W] int: per-pixel semantic cluster id
+    cluster_ids,  # [K] int: this object's cluster id in each frame
     frame_valid,  # [K] bool (padding)
     Rs,  # [K, 3, 3]
     ts,  # [K, 3]
@@ -70,11 +71,19 @@ def _reconstruct_device(
     origin,  # [3] grid corner world position (m)
     voxel,  # scalar voxel size
     trunc,  # scalar truncation
+    min_conf,  # scalar: prune tsdf<0 voxels below this fg-confidence
     G: int,
 ):
     """Binary-semantic TSDF fusion over K frames into a [G,G,G] grid.
 
-    Returns (tsdf, weight, confidence) where confidence = w_fg/(w_fg+w_bg)."""
+    The foreground test (object_image == cluster_id) happens INSIDE this
+    program: as K eager device ops per extraction it cost one dispatch
+    round trip each on the dev tunnel (~2.4 s/extract measured in the r4
+    endurance profile — the backend stage's dominant term).
+
+    Returns (tsdf, weight, confidence) where confidence = w_fg/(w_fg+w_bg);
+    tsdf<0 voxels with confidence < min_conf are pruned to +trunc with
+    their weight kept (mesh_object_extractor.cpp:245-264 semantics)."""
     ix = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 0)
     iy = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 1)
     iz = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), 2)
@@ -82,7 +91,8 @@ def _reconstruct_device(
 
     def body(carry, inputs):
         tsdf, w, w_fg, w_bg = carry
-        depth, fg, ok, R, t = inputs
+        depth, obj_img, cid, ok, R, t = inputs
+        fg = obj_img == cid
         pc = jnp.einsum("ji,xyzj->xyzi", R, centers - t)
         z = pc[..., 2]
         safe_z = jnp.where(z > 1e-6, z, 1e-6)
@@ -117,8 +127,12 @@ def _reconstruct_device(
         jnp.zeros(G3, jnp.float32),
         jnp.zeros(G3, jnp.float32),
     )
-    (tsdf, w, w_fg, w_bg), _ = jax.lax.scan(body, init, (depths, fg_masks, frame_valid, Rs, ts))
+    (tsdf, w, w_fg, w_bg), _ = jax.lax.scan(
+        body, init, (depths, object_images, cluster_ids, frame_valid, Rs, ts)
+    )
     conf = w_fg / jnp.maximum(w_fg + w_bg, 1.0)
+    prune = (tsdf < 0.0) & (conf < min_conf)
+    tsdf = jnp.where(prune, trunc, tsdf)
     return tsdf, w, conf
 
 
@@ -279,10 +293,13 @@ class MeshObjectExtractor:
 
         K = cfg.max_frames
         H, W = cam.height, cam.width
-        # stack directly from device-resident buffered frames (no host pulls)
+        # stack directly from device-resident buffered frames (no host
+        # pulls, no eager per-frame ops — the fg test and low-confidence
+        # prune live inside _reconstruct_device)
         zero_depth = jnp.zeros((H, W), jnp.float32)
-        zero_fg = jnp.zeros((H, W), jnp.bool_)
-        depth_list, fg_list = [], []
+        zero_obj = jnp.zeros((H, W), jnp.int32)
+        depth_list, obj_list = [], []
+        cids = np.zeros((K,), np.int32)
         Rs = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
         ts = np.zeros((K, 3), np.float32)
         ok = np.zeros((K,), np.bool_)
@@ -291,17 +308,19 @@ class MeshObjectExtractor:
                 o = obs[k]
                 fd = frame_buffer.get(o.stamp_ns)
                 depth_list.append(fd.depth)
-                fg_list.append(fd.object_image == o.semantic_cluster_id)
+                obj_list.append(fd.object_image)
+                cids[k] = o.semantic_cluster_id
                 Rs[k] = np.asarray(fd.R_w_c)
                 ts[k] = np.asarray(fd.t_w_c)
                 ok[k] = True
             else:
                 depth_list.append(zero_depth)
-                fg_list.append(zero_fg)
+                obj_list.append(zero_obj)
 
         tsdf, weight, conf = _reconstruct_device(
             jnp.stack(depth_list),
-            jnp.stack(fg_list),
+            jnp.stack(obj_list),  # already int32 device arrays (fused_step)
+            jnp.asarray(cids),
             jnp.asarray(ok),
             jnp.asarray(Rs),
             jnp.asarray(ts),
@@ -309,17 +328,9 @@ class MeshObjectExtractor:
             jnp.asarray(origin, jnp.float32),
             jnp.float32(voxel),
             jnp.float32(trunc),
+            jnp.float32(cfg.min_object_reconstruction_confidence),
             G,
         )
-        # prune low-confidence voxels: only voxels INSIDE the surface
-        # (tsdf < 0) are confidence-gated, and pruning pushes them to
-        # +truncation while keeping their weight — free space around the
-        # object stays "observed" so boundary cells still mesh
-        # (mesh_object_extractor.cpp:245-264: `if (distance > 0) continue;
-        # ... distance = truncation_distance`)
-        prune = (tsdf < 0.0) & (conf < cfg.min_object_reconstruction_confidence)
-        tsdf = jnp.where(prune, trunc, tsdf)
-
         packed = np.asarray(
             _mesh_small_grid(tsdf, weight, jnp.asarray(origin, jnp.float32), jnp.float32(voxel), G)
         )

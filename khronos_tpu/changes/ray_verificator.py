@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from khronos_tpu.config import check_gt, check_in
+from khronos_tpu.utils.timing import Timer
 
 
 @dataclasses.dataclass
@@ -397,7 +398,8 @@ class RayVerificator:
     def build(self, dsg) -> None:
         """(Re)build the full ray library from scratch (recomputeHash path —
         after loop closures the geometry moved, cpp:316-325)."""
-        rays = self._generate_rays(dsg, 0)
+        with Timer("ray_verificator/generate_rays"):
+            rays = self._generate_rays(dsg, 0)
         self._delta = None
         self._epoch = getattr(dsg, "opt_epoch", None)
         if rays is None:
@@ -437,7 +439,8 @@ class RayVerificator:
         ):
             self.build(dsg)
             return
-        rays = self._generate_rays(dsg, self._V_covered)
+        with Timer("ray_verificator/generate_rays_delta"):
+            rays = self._generate_rays(dsg, self._V_covered)
         if rays is None:
             return
         origins, targets, stamps, target_idx = rays

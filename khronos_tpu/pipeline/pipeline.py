@@ -204,12 +204,16 @@ class KhronosPipeline:
         at 1/16 the pixels (+ downsampled color for the appearance stream)."""
         if not getattr(self.backend.lcd, "needs_frame", False):
             return None
-        depth = np.asarray(frame.depth)[::4, ::4]
-        pts = np.asarray(self.camera.back_project(frame.depth))[::4, ::4]
+        # stride ON DEVICE before pulling: np.asarray(full)[::4] pulls the
+        # full-resolution array over the host link first (~5 MB/frame at
+        # 480x640 — ~190 ms/output of the r4 endurance backend stage on the
+        # dev tunnel); slicing the jax array pulls 1/16 of the bytes
+        depth = np.asarray(frame.depth[::4, ::4])
+        pts = np.asarray(self.camera.back_project(frame.depth)[::4, ::4])
         valid = (depth > 0.1) & (depth < self.camera.max_range)
         lcd_frame = (pts.astype(np.float32), valid)
         if getattr(self.backend.lcd, "needs_color", False):
-            color = np.asarray(frame.color)[::4, ::4]
+            color = np.asarray(frame.color[::4, ::4])
             lcd_frame = lcd_frame + (color.astype(np.float32),)
         return lcd_frame
 

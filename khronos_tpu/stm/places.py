@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from khronos_tpu.utils.timing import Timer
+
 
 @dataclasses.dataclass
 class PlacesConfig:
@@ -58,6 +60,12 @@ class PlacesConfig:
     # furniture clutter cannot split a room but a doorway narrower than
     # 2*room_clearance does (role of hydra's room finder)
     room_voxel_size: float = 0.4
+    # min seconds between full room re-segmentations in update_local: rooms
+    # are a map-wide connected-components pass over ALL occupancy, the one
+    # O(map)-per-update term of the incremental path (r4 endurance profile:
+    # places_incremental 2.4 s/output on a grown corridor). Node room ids
+    # persist between refreshes; snapshot/finish always refresh.
+    room_update_interval_s: float = 15.0
 
 
 @dataclasses.dataclass
@@ -184,6 +192,9 @@ class PlacesExtractor:
         # update_local may run on a detached stage (the reference runs its
         # frontend on its own thread) while the frame loop feeds deltas
         self._lock = threading.RLock()
+        # last full room re-segmentation (see room_update_interval_s);
+        # -inf so the FIRST update always labels rooms
+        self._last_room_update_s = float("-inf")
 
     def __getstate__(self):
         state = self.__dict__.copy()
@@ -195,6 +206,7 @@ class PlacesExtractor:
 
         self.__dict__.update(state)
         self._lock = threading.RLock()
+        self.__dict__.setdefault("_last_room_update_s", float("-inf"))
 
     def snapshot_layer(self) -> PlacesLayer:
         import copy
@@ -369,10 +381,12 @@ class PlacesExtractor:
         hi = lo + dims * vs
 
         with self._lock:
-            idx = self._window_cells(lo_cell, dims)
+            with Timer("places/window_cells"):
+                idx = self._window_cells(lo_cell, dims)
         if len(idx) < 10:
             return self.layer
-        d_np, new_pos, new_dist = self._candidates(idx, lo, dims)
+        with Timer("places/candidates"):
+            d_np, new_pos, new_dist = self._candidates(idx, lo, dims)
 
         inner_lo = lo + cfg.window_margin
         inner_hi = hi - cfg.window_margin
@@ -428,7 +442,8 @@ class PlacesExtractor:
                     pairs_in.append((a, b))
                 elif in_window[a] or in_window[b]:
                     pairs_cross.append((a, b))
-        merged.edges.extend(self._edges_from_field(P, pairs_in, d_np, lo, dims))
+        with Timer("places/edges"):
+            merged.edges.extend(self._edges_from_field(P, pairs_in, d_np, lo, dims))
         # cross-window pairs: sample only the in-window part of the segment;
         # the out-of-window part is bounded by the outside node's own
         # clearance (conservative — without this the place graph fragments
@@ -450,9 +465,44 @@ class PlacesExtractor:
             clear = min(clear_in, out_node.distance)
             if clear >= cfg.min_edge_clearance:
                 merged.edges.append((a, b, clear))
-        with self._lock:
-            occ_pts = self._occupied_cell_centers()
-        self._assign_rooms(merged, occupied_points=occ_pts)
+        now_s = __import__("time").monotonic()
+        if now_s - self._last_room_update_s >= cfg.room_update_interval_s:
+            self._last_room_update_s = now_s
+            with self._lock:
+                occ_pts = self._occupied_cell_centers()
+            with Timer("places/rooms"):
+                self._assign_rooms(merged, occupied_points=occ_pts)
+        else:
+            # between refreshes, label rooms from the place GRAPH: union-find
+            # over wide edges (clearance >= room_clearance — a doorway
+            # narrower than that separates, matching _assign_rooms_graph and
+            # the eroded-free-space refresh). Components holding surviving
+            # labelled nodes adopt their label; brand-new components get
+            # fresh ids. The next timed refresh re-labels exactly.
+            parent = list(range(len(merged.nodes)))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b, clear in merged.edges:
+                if clear >= cfg.room_clearance:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[ra] = rb
+            root_label: Dict[int, int] = {}
+            for i, n in enumerate(merged.nodes):
+                if n.room_id >= 0:
+                    root_label.setdefault(find(i), n.room_id)
+            next_id = max((n.room_id for n in merged.nodes), default=-1) + 1
+            for i, n in enumerate(merged.nodes):
+                r = find(i)
+                if r not in root_label:
+                    root_label[r] = next_id
+                    next_id += 1
+                n.room_id = root_label[r]
         with self._lock:
             self.layer = merged
         return merged

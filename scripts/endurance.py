@@ -80,6 +80,15 @@ def main():
 
     import jax
 
+    # persistent compile cache: the pow2-bucket ladder still pays one
+    # ~30-55 s tunnel compile per doubling the first time a shape appears;
+    # caching across runs makes repeat benches pay ~none
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from khronos_tpu.active_window.frame_data import FrameData
     from khronos_tpu.config import build
     from khronos_tpu.data import synthetic as syn
