@@ -154,6 +154,19 @@ def _room_blobs(occ_idx, zmask, dims, voxel: float, clearance: float):
     return labels
 
 
+
+def _pad_idx_pow2(idx: np.ndarray) -> np.ndarray:
+    """Pad an [N,3] scatter-index array to a pow2 row count by repeating its
+    first row (idempotent scatter of True). N is a TRACED shape of the
+    occupancy-scatter programs; unpadded, every distinct window occupancy
+    count recompiled the chamfer/room programs (r4 endurance profile:
+    places/candidates 3.45 s/call, all compile)."""
+    n = len(idx)
+    m = max(64, 1 << int(np.ceil(np.log2(max(n, 1)))))
+    if m == n:
+        return idx
+    return np.concatenate([idx, np.repeat(idx[:1], m - n, axis=0)])
+
 _KEY_OFF = 1 << 20  # packed-cell offset: 21 bits/axis, +-1M cells
 
 
@@ -287,6 +300,7 @@ class PlacesExtractor:
         Returns (d_np, positions [N,3], dists [N])."""
         cfg = self.config
         vs = cfg.voxel_size
+        idx = _pad_idx_pow2(idx)
         occ = (
             jnp.zeros(tuple(int(x) for x in dims), jnp.bool_)
             .at[idx[:, 0], idx[:, 1], idx[:, 2]]
@@ -429,19 +443,27 @@ class PlacesExtractor:
                 na, nb = remap[a], remap[b]
                 if not (in_window[na] or in_window[nb]):
                     merged.edges.append((min(na, nb), max(na, nb), c))
-        close = (
-            np.linalg.norm(P[:, None, :] - P[None, :, :], axis=-1)
-            <= cfg.edge_radius
-        )
+        # only pairs touching the window need re-sampling (outside-outside
+        # edges were carried over above), so scan from in-window nodes only:
+        # O(|window| * N) instead of O(N^2) — N grows with every explored
+        # metre while |window| stays bounded
         pairs_in, pairs_cross = [], []
-        for a in range(len(P)):
-            for b in range(a + 1, len(P)):
-                if not close[a, b]:
+        seen_pairs = set()
+        for a in np.nonzero(in_window)[0]:
+            nb = np.nonzero(
+                np.linalg.norm(P - P[a], axis=1) <= cfg.edge_radius
+            )[0]
+            for b in nb:
+                if b == a:
                     continue
-                if in_window[a] and in_window[b]:
-                    pairs_in.append((a, b))
-                elif in_window[a] or in_window[b]:
-                    pairs_cross.append((a, b))
+                key = (min(a, b), max(a, b))
+                if key in seen_pairs:
+                    continue
+                seen_pairs.add(key)
+                if in_window[b]:
+                    pairs_in.append(key)
+                else:
+                    pairs_cross.append(key)
         with Timer("places/edges"):
             merged.edges.extend(self._edges_from_field(P, pairs_in, d_np, lo, dims))
         # cross-window pairs: sample only the in-window part of the segment;
@@ -559,7 +581,7 @@ class PlacesExtractor:
         zmask = (zs >= cfg.z_slab[0]) & (zs <= cfg.z_slab[1])
         labels = np.asarray(
             _room_blobs(
-                jnp.asarray(idx[ok]),
+                jnp.asarray(_pad_idx_pow2(idx[ok])),
                 jnp.asarray(zmask),
                 tuple(int(x) for x in dims),
                 vs2,
