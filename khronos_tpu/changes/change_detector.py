@@ -40,7 +40,9 @@ class RayChangeDetectorConfig:
 @functools.partial(jax.jit, static_argnames=("window_size", "use_relative"))
 def _scan_device(
     evidence,  # [P, B, 2] int (match, absent)
-    bin_valid,  # [P, B] bool: bins inside each point's queried time range
+    rel_tmin,  # [P] f32: window lower bound, seconds RELATIVE to bin 0
+    rel_tmax,  # [P] f32: window upper bound (relative)
+    bin_size,  # f32 seconds/bin
     absence_conf,
     presence_conf,
     min_rays,
@@ -49,8 +51,16 @@ def _scan_device(
     use_relative: bool,
 ):
     """Returns per point (first_absent_bin, last_absent_bin,
-    first_persistent_bin, last_persistent_bin), -1 where none."""
+    first_persistent_bin, last_persistent_bin), -1 where none.
+
+    Bin validity is computed HERE from per-point relative bounds: a host
+    [P, B] bool mask cost an H2D upload per pass, and times are kept
+    library-relative so float32 never sees epoch-scale values."""
     P, B, _ = evidence.shape
+    bin_t = (jnp.arange(B, dtype=jnp.float32) + 0.5) * bin_size  # [B]
+    bin_valid = (bin_t[None, :] >= rel_tmin[:, None]) & (
+        bin_t[None, :] <= rel_tmax[:, None]
+    )
     ev = evidence * bin_valid[:, :, None]
     # windowed sums via cumsum
     cs = jnp.cumsum(ev, axis=1)
@@ -122,12 +132,19 @@ class RayChangeDetector:
 
     def scan(
         self,
-        evidence: np.ndarray,
+        evidence,
         t_min_s: float = 0.0,
         t_max_s: float = np.inf,
         origin_s: float = 0.0,
+        n_valid: int = None,
     ):
-        """evidence [P, B, 2] -> dict of per-point bin indices and times (s).
+        """evidence -> dict of per-point bin indices and times (s).
+
+        `evidence` is either a host [P, B, 2] array or a LIST of fixed-shape
+        [SCAN_CHUNK, B, 2] DEVICE arrays (the verificator's chunked-query
+        output — kept on device end-to-end; pulling per-point histograms to
+        host and re-uploading them cost ~16 MB/chunk of tunnel traffic per
+        CD pass). With a chunk list, `n_valid` gives the real row count.
 
         Semantics per point (reference cpp:66-133):
           first/last_absent: window starts where absence dominates
@@ -136,40 +153,50 @@ class RayChangeDetector:
 
         `origin_s` is the absolute time of bin 0 (the verificator's
         bin_origin_s): t_min/t_max are absolute, returned *_s times too.
-        Evidence binned over the library's own range keeps float32 away from
-        epoch-scale values (reference bins over the evidence range,
+        Bounds are converted to library-RELATIVE seconds on host (float64)
+        before the float32 device compare, so epoch-scale stamps never meet
+        float32 (reference bins over the evidence range,
         ray_change_detector.cpp:66-133).
         """
         cfg = self.config
-        P, B, _ = evidence.shape
-        bin_t = origin_s + (np.arange(B) + 0.5) * self.bin_size_s
-        # t_min/t_max may be scalars or per-point arrays [P] (the object
-        # pass batches every object's windowed scan into ONE device call)
-        t_min_s = np.asarray(t_min_s)
-        t_max_s = np.asarray(t_max_s)
-        valid = (bin_t[None, :] >= t_min_s.reshape(-1, 1)) & (
-            bin_t[None, :] <= t_max_s.reshape(-1, 1)
-        )
-        if valid.shape[0] == 1:
-            valid = np.broadcast_to(valid, (P, B))
-        # fixed-chunk device calls: P varies every CD pass (it is the
-        # incremental-selection count), and an exact-shape program would
-        # recompile per pass (~5 s each on the dev tunnel — the r4 endurance
-        # background_scan hot spot). Pad to SCAN_CHUNK rows (padding rows
-        # carry valid=False, so they scan to -1) and loop; one compile per
-        # (chunk, B).
         chunk = self.SCAN_CHUNK
-        Pp = P + ((-P) % chunk)
-        if Pp != P:
-            evidence = np.concatenate(
-                [evidence, np.zeros((Pp - P,) + evidence.shape[1:], evidence.dtype)]
-            )
-            valid = np.concatenate([valid, np.zeros((Pp - P, B), bool)])
+        if isinstance(evidence, (list, tuple)):
+            chunks = list(evidence)
+            assert all(c.shape[0] == chunk for c in chunks)
+            B = chunks[0].shape[1]
+            P = int(n_valid)
+            Pp = chunk * len(chunks)
+        else:
+            evidence = np.asarray(evidence)
+            P, B, _ = evidence.shape
+            Pp = P + ((-P) % chunk)
+            if Pp != P:
+                evidence = np.concatenate(
+                    [evidence, np.zeros((Pp - P,) + evidence.shape[1:], evidence.dtype)]
+                )
+            chunks = [jnp.asarray(evidence[s : s + chunk]) for s in range(0, Pp, chunk)]
+        BIG = np.float32(3e38)
+        rel_tmin = (
+            np.broadcast_to(np.asarray(t_min_s, np.float64).reshape(-1), (P,))
+            - origin_s
+        )
+        rel_tmax = (
+            np.broadcast_to(np.asarray(t_max_s, np.float64).reshape(-1), (P,))
+            - origin_s
+        )
+        # inf - origin stays inf; clip to float32 range
+        rel_tmin = np.clip(rel_tmin, -BIG, BIG).astype(np.float32)
+        rel_tmax = np.clip(rel_tmax, -BIG, BIG).astype(np.float32)
+        # padding rows: empty window -> every output -1
+        rel_tmin = np.concatenate([rel_tmin, np.full(Pp - P, BIG, np.float32)])
+        rel_tmax = np.concatenate([rel_tmax, np.full(Pp - P, -BIG, np.float32)])
         parts = []
-        for s in range(0, Pp, chunk):
+        for k, ev_c in enumerate(chunks):
             parts.append(_scan_device(
-                jnp.asarray(evidence[s : s + chunk]),
-                jnp.asarray(valid[s : s + chunk]),
+                ev_c,
+                jnp.asarray(rel_tmin[k * chunk : (k + 1) * chunk]),
+                jnp.asarray(rel_tmax[k * chunk : (k + 1) * chunk]),
+                np.float32(self.bin_size_s),
                 cfg.absence_confidence,
                 cfg.presence_confidence,
                 cfg.min_rays_per_window,

@@ -20,8 +20,11 @@ all background vertices at once.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from khronos_tpu.changes.change_detector import RayChangeDetector, RayChangeDetectorConfig
@@ -69,6 +72,16 @@ class ObjectChangeDetectionConfig:
 @dataclasses.dataclass
 class BackgroundChangeDetectionConfig:
     time_filtering_threshold: float = 1.0  # s after last_seen
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def _votes_device(ev, seg, num_segments: int):
+    """Per-object vote aggregation on device: [chunk, B, 2] evidence ->
+    [num_segments, B, 2] point-vote counts (a point votes once per bin/class
+    when it has ANY evidence there). Padding rows carry segment id
+    num_segments-1 and are dropped by the caller."""
+    votes = (ev > 0).astype(jnp.int32)
+    return jax.ops.segment_sum(votes, seg, num_segments=num_segments)
 
 
 @dataclasses.dataclass
@@ -257,17 +270,32 @@ class SequentialChangeDetector:
                 )
                 for o, p in zip(scan, pts_all)
             ])
-        ev = self.verificator.query(points, radial_tol=tol)  # [P, B, 2]
-        B = ev.shape[1]
+        ev_chunks, n_pts = self.verificator.query(
+            points, radial_tol=tol, as_chunks=True
+        )
+        if not ev_chunks:
+            return
+        B = ev_chunks[0].shape[1]
         # per-object evidence: each query POINT casts at most one vote per
         # bin and class, and the scan thresholds are fractions of VOTING
         # POINTS. Summing raw ray counts lets a couple of silhouette-grazing
         # rays through one edge point dominate (background near objects is
         # stripped at reconciliation, so a present object produces little
         # match evidence to outvote them); a true removal puts through-rays
-        # on most of the object's points.
+        # on most of the object's points. Aggregation runs ON DEVICE per
+        # chunk (segment-sum over a pow2-bucketed object count) — pulling
+        # the raw [P, B, 2] histograms to host cost ~8 MB/chunk of tunnel
+        # traffic per pass.
+        n_bucket = max(64, 1 << int(np.ceil(np.log2(max(len(scan), 1)))))
+        chunk = self.verificator.QUERY_CHUNK
+        seg_pad = np.full(len(ev_chunks) * chunk, n_bucket, np.int32)
+        seg_pad[:n_pts] = seg
         obj_ev = np.zeros((len(scan), B, 2), np.int64)
-        np.add.at(obj_ev, seg, (ev > 0).astype(np.int64))
+        for k, ev_c in enumerate(ev_chunks):
+            part = np.asarray(_votes_device(
+                ev_c, jnp.asarray(seg_pad[k * chunk : (k + 1) * chunk]), n_bucket + 1
+            ))
+            obj_ev += part[: len(scan)]
 
         origin = self.verificator.bin_origin_s
         thr = cfg.time_filtering_threshold
@@ -421,17 +449,26 @@ class SequentialChangeDetector:
                 self._bg_states = states
                 return
         with Timer("change_detection/background_query"):
-            ev = self.verificator.query(mesh.vertices[sel])  # [S, B, 2]
+            # evidence stays ON DEVICE between query and scan (chunk lists)
+            ev_chunks, n_pts = self.verificator.query(
+                mesh.vertices[sel], as_chunks=True
+            )
+        if not ev_chunks:
+            self.changes.background_states = states
+            self._bg_states = states
+            self._bg_epoch = epoch
+            return
         origin = self.verificator.bin_origin_s
         last_seen_s = mesh.last_seen_ns[sel].astype(np.float64) * 1e-9
         # per-vertex window: only bins after each vertex's last_seen (+
         # slack) — expressed as per-row scan bounds (one device call)
         with Timer("change_detection/background_scan"):
             res = self.detector.scan(
-                ev,
+                ev_chunks,
                 last_seen_s + cfg.time_filtering_threshold,
                 np.inf,
                 origin_s=origin,
+                n_valid=n_pts,
             )
         sel_states = np.full(len(sel), UNOBSERVED, np.int8)
         has_absent = res["first_absent_bin"] >= 0

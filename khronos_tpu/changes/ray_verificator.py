@@ -635,7 +635,7 @@ class RayVerificator:
     # and gives ONE compiled program reused across all chunks.
     QUERY_CHUNK = 8192
 
-    def query(self, points: np.ndarray, radial_tol=None) -> np.ndarray:
+    def query(self, points: np.ndarray, radial_tol=None, as_chunks: bool = False):
         """points [P,3] -> evidence histogram [P, B, 2] (match, absent).
         B = active_num_bins; bin b covers library-relative time
         [b, b+1) * temporal_resolution, i.e. absolute time offset by
@@ -643,10 +643,18 @@ class RayVerificator:
 
         `radial_tol`: optional per-point radial tolerance [P] (defaults to
         the config scalar) — the object pass bounds it by each object's own
-        thinnest extent so thin structures don't read phantom absence."""
+        thinnest extent so thin structures don't read phantom absence.
+
+        `as_chunks=True` returns the raw per-chunk DEVICE arrays
+        ([QUERY_CHUNK, B, 2] each; rows past P are padding) for consumers
+        that keep the evidence on device (RayChangeDetector.scan chunk
+        mode) — pulling [P, B, 2] histograms to host cost ~8 MB/chunk of
+        tunnel bandwidth per CD pass, twice (pull + scan re-upload)."""
         cfg = self.config
         num_bins = self.active_num_bins if self._built else cfg.num_bins
         if not self._built or len(points) == 0:
+            if as_chunks:
+                return [], 0
             return np.zeros((len(points), num_bins, 2), np.int32)
         points = np.asarray(points, np.float32)
         P = len(points)
@@ -683,4 +691,6 @@ class RayVerificator:
                 )
                 ev = e if ev is None else ev + e
             outs.append(ev)
+        if as_chunks:
+            return outs, P
         return np.concatenate([np.asarray(o) for o in outs])[:P]
