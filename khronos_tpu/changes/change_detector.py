@@ -122,13 +122,21 @@ def _scan_device(
 
 
 class RayChangeDetector:
-    # fixed device-call row count (see scan): bounds the padded evidence
-    # temporary to chunk x B x 2 ints and gives one compiled program per B
-    SCAN_CHUNK = 8192
-
     def __init__(self, config: RayChangeDetectorConfig, bin_size_s: float):
         self.config = config
         self.bin_size_s = bin_size_s
+
+    _KEYS = (
+        "first_absent_bin", "last_absent_bin", "first_persistent_bin",
+        "last_persistent_bin", "first_persistent_after_absent_bin",
+        "last_persistent_before_absent_bin",
+    )
+
+    def _empty_result(self):
+        out = {k: np.zeros(0, np.int64) for k in self._KEYS}
+        for k in self._KEYS:
+            out[k.replace("_bin", "_s")] = np.zeros(0, np.float64)
+        return out
 
     def scan(
         self,
@@ -141,7 +149,7 @@ class RayChangeDetector:
         """evidence -> dict of per-point bin indices and times (s).
 
         `evidence` is either a host [P, B, 2] array or a LIST of fixed-shape
-        [SCAN_CHUNK, B, 2] DEVICE arrays (the verificator's chunked-query
+        [QUERY_CHUNK, B, 2] DEVICE arrays (the verificator's chunked-query
         output — kept on device end-to-end; pulling per-point histograms to
         host and re-uploading them cost ~16 MB/chunk of tunnel traffic per
         CD pass). With a chunk list, `n_valid` gives the real row count.
@@ -159,22 +167,39 @@ class RayChangeDetector:
         ray_change_detector.cpp:66-133).
         """
         cfg = self.config
-        chunk = self.SCAN_CHUNK
         if isinstance(evidence, (list, tuple)):
             chunks = list(evidence)
-            assert all(c.shape[0] == chunk for c in chunks)
+            if not chunks:
+                return self._empty_result()
+            if n_valid is None:
+                raise ValueError(
+                    "scan() with a chunk list needs n_valid (the real row "
+                    "count; rows past it are query padding)"
+                )
+            # chunk size comes from the producer (RayVerificator.QUERY_CHUNK)
+            chunk = int(chunks[0].shape[0])
+            assert all(c.shape[0] == chunk for c in chunks), (
+                [c.shape for c in chunks]
+            )
             B = chunks[0].shape[1]
             P = int(n_valid)
             Pp = chunk * len(chunks)
         else:
             evidence = np.asarray(evidence)
             P, B, _ = evidence.shape
-            Pp = P + ((-P) % chunk)
+            if P == 0:
+                return self._empty_result()
+            # host evidence (object pass: tens of rows) pads to a pow2
+            # bucket, NOT the fixed device chunk — a full 8192-row chunk
+            # allocated+uploaded ~134 MB per pass for a handful of objects
+            # (r4 advisor finding); pow2 buckets still bound recompiles
+            chunk = max(64, 1 << int(np.ceil(np.log2(P))))
+            Pp = chunk
             if Pp != P:
                 evidence = np.concatenate(
                     [evidence, np.zeros((Pp - P,) + evidence.shape[1:], evidence.dtype)]
                 )
-            chunks = [jnp.asarray(evidence[s : s + chunk]) for s in range(0, Pp, chunk)]
+            chunks = [jnp.asarray(evidence)]
         BIG = np.float32(3e38)
         rel_tmin = (
             np.broadcast_to(np.asarray(t_min_s, np.float64).reshape(-1), (P,))

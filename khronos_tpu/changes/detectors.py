@@ -274,6 +274,17 @@ class SequentialChangeDetector:
             points, radial_tol=tol, as_chunks=True
         )
         if not ev_chunks:
+            # zero evidence (library unbuilt): still RECORD fresh empty
+            # records + envelopes, mirroring the zero-evidence recompute of a
+            # populated pass — an early return would preserve stale decisions
+            # (r4 advisor finding; see the recompute note below)
+            for o in scan:
+                self._obj_known[o.node_id] = env[o.node_id]
+                prev = self.changes.object_changes.get(o.node_id)
+                oc = ObjectChange(o.node_id)
+                if prev is not None:
+                    oc.merged_id = prev.merged_id
+                self.changes.object_changes[o.node_id] = oc
             return
         B = ev_chunks[0].shape[1]
         # per-object evidence: each query POINT casts at most one vote per

@@ -24,6 +24,20 @@ table) and reduces evidence into per-point time-bin counters [P, B, 2] via
 masked per-bin reductions — the variable-length timestamp lists of the
 reference collapse into fixed histograms that the change detector consumes
 directly.
+
+The cell index is a WORLD-ANCHORED spatial hash (fixed table of
+`hash_cells` buckets over absolute cell coordinates), not a bbox-derived
+dense grid: map growth can never fall "out of grid", so an exploring robot
+never forces a full library rebuild (the r4 endurance run hit 9/10
+growth-forced rebuilds of 30-240 s each against a 1.9 s CD cadence), and
+every device program keeps ONE compiled shape for the whole run. Hash
+collisions merely add candidate rays from an unrelated far-away cell; they
+fail the radial test and contribute no evidence. Incremental updates go to
+a small delta index sharing the same hash; when the delta outgrows ~25% of
+the main index it is MERGED (device re-sort of the already-generated rays,
+no ray regeneration) — a full rebuild happens only when the optimized
+geometry actually moves (reference recomputeHash-on-loop-closure semantics,
+ray_verificator.cpp:316-325).
 """
 
 from __future__ import annotations
@@ -43,10 +57,11 @@ from khronos_tpu.utils.timing import Timer
 @dataclasses.dataclass
 class RayVerificatorConfig:
     block_size: float = 0.5  # m coarse hash cell
-    # hash-grid headroom (cells per axis, each side) beyond the current ray
-    # bbox so delta updates on a GROWING map stay in-grid (see _make_index);
-    # 24 cells = 12 m of exploration before a growth-forced full rebuild
-    grid_margin_blocks: int = 24
+    # fixed spatial-hash table size (power of two). World-anchored: any cell
+    # coordinate hashes in-table, so map growth never voids the index. 2^18
+    # buckets vs ~20-40k occupied cells on the largest scenes keeps the
+    # collision rate (irrelevant-candidate overhead) per-mille level.
+    hash_cells: int = 1 << 18
     radial_tolerance: float = 0.1  # m (point-to-ray distance)
     depth_tolerance: float = 0.15  # m (along-ray)
     # First | Last | FirstAndLast | Middle | All | SampledAll | Random |
@@ -86,6 +101,9 @@ class RayVerificatorConfig:
 
     def check(self):
         check_gt(self.block_size, 0.0, "block_size")
+        assert self.hash_cells > 0 and (self.hash_cells & (self.hash_cells - 1)) == 0, (
+            f"hash_cells must be a power of two, got {self.hash_cells}"
+        )
         check_in(
             self.ray_policy,
             ("First", "Last", "FirstAndLast", "Middle", "All", "SampledAll",
@@ -95,53 +113,65 @@ class RayVerificatorConfig:
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps",))
-def _ray_cells(origins, targets, origin_cell, block_size, max_steps: int):
-    """March each ray origin->target; returns int32 cell ids [R, S, 3].
+def _ray_cells(origins, targets, block_size, max_steps: int):
+    """March each ray origin->target; returns ABSOLUTE int32 cell ids
+    [R, S, 3] (floor(p / block_size), world-anchored).
 
     Fixed step = block_size/4 (reference ray_verificator.cpp:327-349), so
     sample spacing never exceeds a quarter hash cell REGARDLESS of ray
     length — the caller sizes `max_steps` from the longest real ray at
     build time. Samples past the target clamp onto the target and collapse
-    into consecutive duplicates that the index builder drops.
-
-    Cells are linearized relative to `origin_cell` (int32[3]) over a virtual
-    grid — the caller guarantees queries use the same linearization."""
+    into consecutive duplicates that the index builder drops."""
     delta = targets - origins
     length = jnp.linalg.norm(delta, axis=-1, keepdims=True)  # [R, 1]
     step_len = block_size * 0.25
     dist = jnp.arange(max_steps, dtype=jnp.float32)[None, :] * step_len  # [1,S]
     frac = jnp.minimum(dist, length) / jnp.maximum(length, 1e-6)  # [R, S]
     pts = origins[:, None, :] + delta[:, None, :] * frac[:, :, None]
-    cell = jnp.floor(pts / block_size).astype(jnp.int32) - origin_cell
-    return cell  # [R, S, 3]
+    return jnp.floor(pts / block_size).astype(jnp.int32)  # [R, S, 3]
 
 
-def _linearize(cells, dims):
-    cx = jnp.clip(cells[..., 0], 0, dims[0] - 1)
-    cy = jnp.clip(cells[..., 1], 0, dims[1] - 1)
-    cz = jnp.clip(cells[..., 2], 0, dims[2] - 1)
-    inb = (
-        (cells[..., 0] >= 0) & (cells[..., 0] < dims[0])
-        & (cells[..., 1] >= 0) & (cells[..., 1] < dims[1])
-        & (cells[..., 2] >= 0) & (cells[..., 2] < dims[2])
+# standard 3D spatial-hash primes (Teschner et al.); int32 wraparound is the
+# modulo. Identical math on host (numpy) and device so both sides agree on
+# every cell id.
+_HP = (73856093, 19349663, 83492791)
+
+
+def _hash_cells_dev(cells, num_cells: int):
+    """Absolute int32 cell coords [..., 3] -> bucket id in [0, num_cells)."""
+    h = (
+        cells[..., 0] * jnp.int32(_HP[0])
+        ^ cells[..., 1] * jnp.int32(_HP[1])
+        ^ cells[..., 2] * jnp.int32(_HP[2])
     )
-    lin = (cx * dims[1] + cy) * dims[2] + cz
-    return jnp.where(inb, lin, -1)
+    return h & jnp.int32(num_cells - 1)
 
 
-@functools.partial(jax.jit, static_argnames=("dims_t", "block_size", "max_steps"))
-def _build_index_device(origins, targets, stamps, origin_cell, dims_t, block_size, max_steps):
-    """March rays into the coarse cell hash and build the CSR index:
-    (sorted_cells, sorted_rays, cell_start[prod(dims)+1])."""
-    dims = jnp.asarray(dims_t, jnp.int32)
-    C = int(np.prod(dims_t))
-    cells = _ray_cells(origins, targets, origin_cell, block_size, max_steps)  # [R,S,3]
-    lin = _linearize(cells, dims)  # [R, S]
+def _hash_cells_np(cells, num_cells: int):
+    cells = np.asarray(cells, np.int64)
+    h = (
+        (cells[..., 0] * _HP[0]).astype(np.int64)
+        ^ (cells[..., 1] * _HP[1]).astype(np.int64)
+        ^ (cells[..., 2] * _HP[2]).astype(np.int64)
+    )
+    # match int32 wraparound on device before masking
+    return (h.astype(np.int32) & np.int32(num_cells - 1)).astype(np.int64)
+
+
+@functools.partial(jax.jit, static_argnames=("num_cells", "block_size", "max_steps"))
+def _build_index_device(origins, targets, valid, num_cells, block_size, max_steps):
+    """March rays into the hashed cell table and build the CSR index:
+    (sorted_cells, sorted_rays, cell_start[num_cells+1]). `valid` masks out
+    padding rays (their marched cells would otherwise hash into real
+    buckets)."""
+    C = num_cells
+    cells = _ray_cells(origins, targets, block_size, max_steps)  # [R,S,3]
+    lin = _hash_cells_dev(cells, C)  # [R, S]
     R, S = lin.shape
     ray_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, S))
     # dedup consecutive duplicates (same cell repeated along the march)
     prev = jnp.concatenate([jnp.full((R, 1), -2, jnp.int32), lin[:, :-1]], axis=1)
-    keep = (lin != prev) & (lin >= 0)
+    keep = (lin != prev) & valid[:, None]
     flat_cells = jnp.where(keep.reshape(-1), lin.reshape(-1), C)  # C = sentinel end
     order = jnp.argsort(flat_cells, stable=True)
     sorted_cells = flat_cells[order]
@@ -176,14 +206,15 @@ def _pack_ray_table(origins, targets, stamps_s):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_bins", "max_candidates"))
+@functools.partial(
+    jax.jit, static_argnames=("num_cells", "num_bins", "max_candidates")
+)
 def _query_device(
     points,  # [P, 3]
     sorted_rays,  # [E] int32 ray index per (ray, step) entry, cell-sorted
     cell_start,  # [C+1] CSR offsets into sorted_rays
     ray_table,  # [R, 8] packed origin/target/stamp records
-    origin_cell,  # [3]
-    dims,  # [3]
+    num_cells,
     block_size,
     radial_tol,
     depth_tol,
@@ -200,12 +231,10 @@ def _query_device(
     bins); the single scatter-add runs the same stream once (measured
     91 -> ~3 ms for the 8192x256 query, bit-identical counts)."""
     P = points.shape[0]
-    pc = jnp.floor(points / block_size).astype(jnp.int32) - origin_cell
-    lin = _linearize(pc[:, None, :], dims)[:, 0]  # [P]
-    lin_ok = lin >= 0
-    lin_safe = jnp.maximum(lin, 0)
-    start = cell_start[lin_safe]
-    end = cell_start[lin_safe + 1]
+    pc = jnp.floor(points / block_size).astype(jnp.int32)
+    lin = _hash_cells_dev(pc, num_cells)  # [P]
+    start = cell_start[lin]
+    end = cell_start[lin + 1]
     count_full = end - start
     count = jnp.minimum(count_full, max_candidates)
     offs = jnp.arange(max_candidates)[None, :]
@@ -223,7 +252,7 @@ def _query_device(
         offs,
     )
     entry_idx = jnp.minimum(start[:, None] + sel, sorted_rays.shape[0] - 1)
-    cand_valid = (offs < count[:, None]) & lin_ok[:, None]
+    cand_valid = offs < count[:, None]
     rays = sorted_rays[entry_idx]  # [P, K]
 
     rec = ray_table[rays]  # [P, K, 8] single gather
@@ -272,9 +301,10 @@ class RayVerificator:
         self._t0_s: float = 0.0
         self._max_rel_s: float = 0.0
         # observability counters (soak/scaling harnesses): full rebuilds vs
-        # incremental delta updates
+        # incremental delta updates vs delta-into-main merges
         self.n_full_builds = 0
         self.n_delta_updates = 0
+        self.n_merges = 0
 
     @property
     def bin_origin_s(self) -> float:
@@ -421,14 +451,17 @@ class RayVerificator:
         ray_verificator.cpp:163-182): between optimizations that MOVE
         geometry the backend mesh is append-only, so only rays targeting NEW
         vertices are added — into a small DELTA index sharing the main
-        index's grid. A geometry-epoch change, vertex-count shrink,
-        out-of-grid growth, or a delta outgrowing ~25% of the main index
-        triggers the full rebuild (recomputeHash semantics). A loop closure
-        is ADVISORY only: the reference wipes the hash on LC because it has
-        no better signal for "geometry moved" (sequential_change_detector
-        .cpp:76-102); the backend's geometry epoch IS that signal, and an
-        identity LC solve over consistent odometry (r4 fps-2 hard-scene
-        finding: every pass was a 30 s full rebuild) moves nothing."""
+        index's world-anchored hash. When the delta outgrows ~25% of the
+        main index it is MERGED into the main (device re-sort of the
+        already-generated rays — map growth never regenerates or rebuilds
+        the library). Only a geometry-epoch change or a vertex-count shrink
+        forces the full rebuild (recomputeHash semantics,
+        ray_verificator.cpp:316-325). A loop closure is ADVISORY only: the
+        reference wipes the hash on LC because it has no better signal for
+        "geometry moved" (sequential_change_detector.cpp:76-102); the
+        backend's geometry epoch IS that signal, and an identity LC solve
+        over consistent odometry (r4 fps-2 hard-scene finding: every pass
+        was a 30 s full rebuild) moves nothing."""
         epoch = getattr(dsg, "opt_epoch", None)
         V = dsg.mesh.num_vertices
         if (
@@ -454,17 +487,29 @@ class RayVerificator:
             targets = np.concatenate([self._delta["raw"][1], targets])
             stamps = np.concatenate([self._delta["raw"][2], stamps])
             target_idx = np.concatenate([self._delta["raw"][3], target_idx])
-        in_grid = self._points_in_grid(origins) and self._points_in_grid(targets)
-        if not in_grid or len(origins) > 0.25 * max(self.num_rays, 1):
-            self.build(dsg)
-            return
-        self._delta = self._make_index(
-            origins, targets, stamps, target_idx,
-            grid=(self.origin_cell, self.dims),
-        )
-        self._delta["raw"] = (origins, targets, stamps, target_idx)
+        if len(origins) > 0.25 * max(self.num_rays, 1):
+            self._merge_delta(origins, targets, stamps, target_idx)
+        else:
+            self._delta = self._make_index(origins, targets, stamps, target_idx)
+            self._delta["raw"] = (origins, targets, stamps, target_idx)
         self._V_covered = V
         self.n_delta_updates += 1
+
+    def _merge_delta(self, origins, targets, stamps, target_idx) -> None:
+        """Fold pending delta rays into the main index: concat the main's
+        real rays (device slices pulled once; ~17 MB at the largest scenes,
+        vs an O(whole-mesh) ray regeneration) and re-sort the CSR. The time
+        base is unchanged, so stored relative stamps stay valid."""
+        n = self.num_rays
+        with Timer("ray_verificator/merge_delta"):
+            merged = self._make_index(
+                np.concatenate([np.asarray(self.origins[:n]), origins]),
+                np.concatenate([np.asarray(self.targets[:n]), targets]),
+                np.concatenate([np.asarray(self.stamps_s[:n]), stamps]),
+                np.concatenate([np.asarray(self.target_idx[:n]), target_idx]),
+            )
+        self._set_main(merged)
+        self.n_merges += 1
 
     @property
     def total_rays(self) -> int:
@@ -473,11 +518,6 @@ class RayVerificator:
         if self._delta is not None:
             n += len(self._delta["raw"][0])
         return n
-
-    def _points_in_grid(self, pts: np.ndarray) -> bool:
-        cfg = self.config
-        pc = np.floor(pts / cfg.block_size).astype(np.int64) - self.origin_cell
-        return bool(np.all((pc >= 0) & (pc < self.dims[None, :])))
 
     @staticmethod
     def _bucket(n: int) -> int:
@@ -493,45 +533,19 @@ class RayVerificator:
             return 4096
         return 1 << int(np.ceil(np.log2(n)))
 
-    def _make_index(self, origins, targets, stamps, target_idx, grid=None):
-        """Build one CSR index dict. `grid=(origin_cell, dims)` reuses an
-        existing linearization (delta indexes share the main grid so cell
-        masks compose); None derives the grid from the ray bbox."""
+    def _make_index(self, origins, targets, stamps, target_idx):
+        """Build one CSR index dict over the fixed world-anchored hash (all
+        indexes share the hash by construction, so cell masks compose)."""
         cfg = self.config
-        if grid is None:
-            all_pts = np.concatenate([origins, targets])
-            # growth margin: the grid must also cover geometry the robot has
-            # NOT YET mapped, or every delta update on a growing map falls
-            # out-of-grid and forces a full rebuild (r4 endurance finding:
-            # 14 full rebuilds, zero delta updates on the outbound corridor
-            # leg — 30-140 s each). Margin = grid_margin_blocks hash cells
-            # of headroom per axis; the 25% delta-size bound still triggers
-            # rebuilds before candidate lists degrade.
-            margin = cfg.block_size * cfg.grid_margin_blocks
-            lo = all_pts.min(axis=0) - cfg.block_size - margin
-            hi = all_pts.max(axis=0) + cfg.block_size + margin
-            origin_cell = np.floor(lo / cfg.block_size).astype(np.int32)
-            dims = np.floor(hi / cfg.block_size).astype(np.int32) - origin_cell + 2
-            # dims rounded up per axis to the next power of two (min 8):
-            # cell_start has shape prod(dims)+1, so any per-axis creep
-            # changes the query program's traced shape and recompiles it.
-            # Multiple-of-8 rounding (r3) still bumped every ~8 blocks of
-            # corridor growth; pow2 bounds rebuild-shape changes to one per
-            # doubling per axis. Padded cells are empty (no candidate rays).
-            dims = (1 << np.ceil(np.log2(np.maximum(dims, 8))).astype(np.int32)).astype(np.int32)
-        else:
-            origin_cell, dims = grid
-            lo = origin_cell.astype(np.float32) * cfg.block_size
 
-        # pad rays to the bucket with degenerate far-outside rays: their
-        # marched cells linearize to -1 and are dropped, so they never
-        # appear in any cell's candidate list
+        # pad rays to the bucket; padding rows carry target_idx -1 and are
+        # masked out of the CSR build, so they never appear in any cell's
+        # candidate list
         R_real = len(origins)
         pad = self._bucket(R_real) - R_real
         if pad:
-            far = (lo - 10.0 * cfg.block_size).astype(np.float32)
-            origins = np.concatenate([origins, np.broadcast_to(far, (pad, 3))])
-            targets = np.concatenate([targets, np.broadcast_to(far, (pad, 3))])
+            origins = np.concatenate([origins, np.zeros((pad, 3), np.float32)])
+            targets = np.concatenate([targets, np.zeros((pad, 3), np.float32)])
             stamps = np.concatenate([stamps, np.zeros(pad, np.float32)])
             target_idx = np.concatenate([target_idx, np.full(pad, -1, np.int32)])
 
@@ -548,9 +562,8 @@ class RayVerificator:
         sorted_cells, sorted_rays, cell_start = _build_index_device(
             jnp.asarray(origins),
             jnp.asarray(targets),
-            jnp.asarray(stamps),
-            jnp.asarray(origin_cell),
-            tuple(int(d) for d in dims),
+            jnp.asarray(target_idx >= 0),
+            cfg.hash_cells,
             cfg.block_size,
             steps,
         )
@@ -567,16 +580,17 @@ class RayVerificator:
             ray_table=_pack_ray_table(origins_dev, targets_dev, stamps_dev),
             target_idx=jnp.asarray(target_idx),
             num_rays=R_real,
-            origin_cell=origin_cell,
-            dims=dims,
         )
 
     def _build_index(self, origins, targets, stamps, target_idx=None):
-        """Full (main) index build; mirrors the index fields as attributes
-        for existing consumers (sharded query, tests)."""
+        """Full (main) index build."""
         if target_idx is None:
             target_idx = np.arange(len(origins), dtype=np.int32)
-        idx = self._make_index(origins, targets, stamps, target_idx)
+        self._set_main(self._make_index(origins, targets, stamps, target_idx))
+
+    def _set_main(self, idx) -> None:
+        """Install `idx` as the main index; mirrors the index fields as
+        attributes for existing consumers (sharded query, tests)."""
         self.sorted_cells = idx["sorted_cells"]
         self.sorted_rays = idx["sorted_rays"]
         self.cell_start = idx["cell_start"]
@@ -586,8 +600,6 @@ class RayVerificator:
         self.ray_table = idx["ray_table"]
         self.target_idx = idx["target_idx"]
         self.num_rays = idx["num_rays"]
-        self.origin_cell = idx["origin_cell"]
-        self.dims = idx["dims"]
         self._main = idx
         self._delta = None
         self._built = True
@@ -601,12 +613,12 @@ class RayVerificator:
 
     def touched_cells_for_new_targets(self, min_target_idx: int) -> np.ndarray:
         """Bool [C]: hash cells traversed by rays targeting vertex indices
-        >= min_target_idx (across main + delta indexes — both share the main
-        linearization). Basis for incremental change detection: only query
-        points in touched cells can have gained evidence."""
+        >= min_target_idx (across main + delta indexes — all share the
+        world-anchored hash). Basis for incremental change detection: only
+        query points in touched cells can have gained evidence."""
         if not self._built:
             return np.zeros((0,), bool)
-        C = int(np.prod(self.dims))
+        C = self.config.hash_cells
         mask = np.zeros((C,), bool)
         for idx in self._indexes():
             mask |= np.asarray(
@@ -618,16 +630,12 @@ class RayVerificator:
         return mask
 
     def point_cells(self, points: np.ndarray) -> np.ndarray:
-        """Linear hash-cell index per point (host math), -1 if outside."""
+        """Hash-bucket index per point (host math; world-anchored, so every
+        point is in-table)."""
         if not self._built:
             return np.full((len(points),), -1, np.int64)
-        pc = np.floor(np.asarray(points) / self.config.block_size).astype(
-            np.int64
-        ) - self.origin_cell.astype(np.int64)
-        dims = self.dims.astype(np.int64)
-        ok = np.all((pc >= 0) & (pc < dims[None, :]), axis=1)
-        lin = (pc[:, 0] * dims[1] + pc[:, 1]) * dims[2] + pc[:, 2]
-        return np.where(ok, lin, -1)
+        pc = np.floor(np.asarray(points) / self.config.block_size).astype(np.int32)
+        return _hash_cells_np(pc, self.config.hash_cells)
 
     # ------------------------------------------------------------------
     # fixed device chunk: bounds the [chunk, max_candidates, 3] geometry
@@ -680,8 +688,7 @@ class RayVerificator:
                     idx["sorted_rays"],
                     idx["cell_start"],
                     idx["ray_table"],
-                    jnp.asarray(idx["origin_cell"]),
-                    jnp.asarray(idx["dims"]),
+                    cfg.hash_cells,
                     cfg.block_size,
                     tol_dev,
                     cfg.depth_tolerance,

@@ -206,11 +206,7 @@ def inspect_point(verificator, point: np.ndarray) -> List[dict]:
     origins = np.asarray(verificator.origins)
     targets = np.asarray(verificator.targets)
     stamps = np.asarray(verificator.stamps_s)
-    dims = np.asarray(verificator.dims)
-    pc = np.floor(point / cfg.block_size).astype(np.int32) - verificator.origin_cell
-    if np.any(pc < 0) or np.any(pc >= dims):
-        return []
-    lin = (pc[0] * dims[1] + pc[1]) * dims[2] + pc[2]
+    lin = int(verificator.point_cells(point[None])[0])
     cand = rays_idx[cell_start[lin] : cell_start[lin + 1]]
     out = []
     for r in np.unique(cand):

@@ -155,8 +155,7 @@ def make_sharded_ray_query(verificator, mesh: Mesh, axis: str = "x"):
             jax.device_put(verificator.sorted_rays, rep),
             jax.device_put(verificator.cell_start, rep),
             jax.device_put(verificator.ray_table, rep),
-            jax.device_put(jnp.asarray(verificator.origin_cell), rep),
-            jax.device_put(jnp.asarray(verificator.dims), rep),
+            cfg.hash_cells,
             cfg.block_size,
             cfg.radial_tolerance,
             cfg.depth_tolerance,

@@ -120,7 +120,7 @@ class KhronosPipeline:
         self._frames_since_cd = 0
         self._last_stamp_ns = 0
         self._last_places_ns = -(10**18)
-        self._places_due: Optional[np.ndarray] = None
+        self._places_due: Optional[Tuple[np.ndarray, int]] = None
         self._last_frame: Optional[FrameData] = None
         self._change_sinks: List = []
         # adaptive CD cadence (r4 endurance, the reference's busy-guarded
@@ -178,9 +178,13 @@ class KhronosPipeline:
                         ):
                             self._last_places_ns = frame.stamp_ns
                             if defer_cd:
-                                self._places_due = np.asarray(out.t_w_b)
+                                self._places_due = (
+                                    np.asarray(out.t_w_b), out.stamp_ns
+                                )
                             else:
-                                self.places_extractor.update_local(out.t_w_b)
+                                self.places_extractor.update_local(
+                                    out.t_w_b, stamp_ns=out.stamp_ns
+                                )
             self.frame_count += 1
             self._frames_since_cd += 1
             self._last_stamp_ns = frame.stamp_ns
@@ -223,9 +227,9 @@ class KhronosPipeline:
         to run concurrently with the frame loop (extractor-internal lock)."""
         if self._places_due is None or self.places_extractor is None:
             return None
-        center = self._places_due
+        center, stamp_ns = self._places_due
         self._places_due = None
-        return lambda: self.places_extractor.update_local(center)
+        return lambda: self.places_extractor.update_local(center, stamp_ns=stamp_ns)
 
     # ------------------------------------------------------------------
     def make_cd_request(self, had_loop_closure: bool = False):
@@ -352,7 +356,9 @@ class KhronosPipeline:
                             gap = self.config.places.min_update_interval_s
                             if out.stamp_ns - self._last_places_ns >= int(gap * 1e9):
                                 self._last_places_ns = out.stamp_ns
-                                self.places_extractor.update_local(out.t_w_b)
+                                self.places_extractor.update_local(
+                                    out.t_w_b, stamp_ns=out.stamp_ns
+                                )
                     if had_lc or self._cd_pending:
                         if not self._cd_busy and self._cdq.empty():
                             self._cd_pending = False
@@ -402,7 +408,7 @@ class KhronosPipeline:
                 and self.config.places_mode == "output"
             ):
                 self.places_extractor.add_mesh_delta(out.mesh_vertices)
-                self.places_extractor.update_local(out.t_w_b)
+                self.places_extractor.update_local(out.t_w_b, stamp_ns=out.stamp_ns)
             self.backend.finish_processing()
             if self.config.run_change_detection_every_n_frames >= 0:
                 self.run_change_detection(had_loop_closure=False)

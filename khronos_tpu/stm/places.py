@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -379,11 +379,18 @@ class PlacesExtractor:
         return layer
 
     # ------------------------------------------------------------------
-    def update_local(self, center: np.ndarray) -> PlacesLayer:
+    def update_local(
+        self, center: np.ndarray, stamp_ns: Optional[int] = None
+    ) -> PlacesLayer:
         """Incremental update: recompute places in a window around `center`
         from the persistent occupancy store and splice them into the
         persistent layer (old nodes inside the inner window are replaced;
-        clearances/edges re-sampled for every pair touching the window)."""
+        clearances/edges re-sampled for every pair touching the window).
+
+        `stamp_ns` (sequence time) gates the room re-segmentation cadence;
+        without it the gate falls back to wall clock, which diverges from
+        data time on faster/slower-than-realtime replays (r4 advisor
+        finding)."""
         cfg = self.config
         vs = cfg.voxel_size
         center = np.asarray(center, np.float32)
@@ -487,7 +494,10 @@ class PlacesExtractor:
             clear = min(clear_in, out_node.distance)
             if clear >= cfg.min_edge_clearance:
                 merged.edges.append((a, b, clear))
-        now_s = __import__("time").monotonic()
+        now_s = (
+            stamp_ns * 1e-9 if stamp_ns is not None
+            else __import__("time").monotonic()
+        )
         if now_s - self._last_room_update_s >= cfg.room_update_interval_s:
             self._last_room_update_s = now_s
             with self._lock:

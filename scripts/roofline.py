@@ -139,8 +139,8 @@ def main():
 
     def q(p, sr, cs, table):
         return rv._query_device(
-            p, sr, cs, table, jnp.asarray(ver.origin_cell),
-            jnp.asarray(ver.dims), ver.config.block_size,
+            p, sr, cs, table, ver.config.hash_cells,
+            ver.config.block_size,
             ver.config.radial_tolerance, ver.config.depth_tolerance,
             ver.config.temporal_resolution, ver.config.num_bins,
             ver.config.max_candidates,

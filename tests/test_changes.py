@@ -133,6 +133,54 @@ class TestRayVerificator:
         inc.update(moved, had_loop_closure=False)
         assert inc._delta is None
 
+    def test_growth_never_forces_full_rebuild(self):
+        """r5 VERDICT task 1: the world-anchored hashed index must absorb
+        UNBOUNDED exploration (an outbound corridor far beyond any initial
+        bbox) through delta updates + merges — zero growth-forced full
+        rebuilds (the r4 endurance run hit 9/10, 30-240 s each) — while
+        answering queries identically to a from-scratch build."""
+        def make_dsg(n_segments):
+            # corridor marching +x: segment k adds wall vertices near x=10*k
+            dsg = SceneGraph()
+            stamps = np.arange(0, n_segments * 10.0, 2.0)
+            pos = np.stack(
+                [stamps, np.zeros_like(stamps), np.ones_like(stamps)], axis=1
+            )
+            dsg.agents = [
+                AgentNode(int(s * 1e9), np.eye(3, dtype=np.float32),
+                          p.astype(np.float32))
+                for p, s in zip(pos, stamps)
+            ]
+            verts, first, last = [], [], []
+            for k in range(n_segments):
+                ys = np.linspace(-2, 2, 40)
+                verts.append(np.stack(
+                    [np.full(40, 10.0 * k + 3.0), ys, np.ones(40)], axis=1
+                ))
+                first += [10.0 * k] * 40
+                last += [10.0 * k + 8.0] * 40
+            dsg.mesh = make_mesh(np.concatenate(verts), first, last)
+            dsg.opt_epoch = 1
+            return dsg
+
+        cfg = RayVerificatorConfig(
+            ray_policy="Middle", num_bins=32, temporal_resolution=4.0,
+            max_candidates=1024, max_ray_length=12.0,
+        )
+        inc = RayVerificator(cfg)
+        inc.update(make_dsg(1), had_loop_closure=True)  # initial full build
+        for seg in range(2, 9):  # 80 m of exploration, far past any margin
+            inc.update(make_dsg(seg), had_loop_closure=False)
+        assert inc.n_full_builds == 1, "growth must never force a rebuild"
+        assert inc.n_merges >= 1, "delta must have merged into the main index"
+        full = RayVerificator(cfg)
+        full.build(make_dsg(8))
+        pts = np.asarray(
+            [[3.0, 0, 1], [33.0, 1.5, 1], [73.0, -1.5, 1], [50.0, 0, 1]],
+            np.float32,
+        )
+        np.testing.assert_array_equal(inc.query(pts), full.query(pts))
+
     def test_per_point_radial_tolerance(self):
         """r4 hard-scene fix: a ray passing 5 cm BESIDE a thin structure
         (within the global 0.1 m tolerance, but outside the structure's own
