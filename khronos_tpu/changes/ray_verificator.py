@@ -180,6 +180,61 @@ def _build_index_device(origins, targets, valid, num_cells, block_size, max_step
     return sorted_cells, sorted_rays, cell_start
 
 
+@functools.partial(
+    jax.jit, static_argnames=("e_out", "out_bucket", "num_cells")
+)
+def _merge_sorted_device(
+    a_cells, a_rays, a_cs, a_table, a_tidx,  # main index (entries + table)
+    b_cells, b_rays, b_cs, b_table, b_tidx,  # delta index
+    n1,  # main REAL ray count (traced; delta ray ids shift by this)
+    e_out: int,  # pow2-padded merged entry count
+    out_bucket: int,  # pow2 merged ray-table row count (>= n1 + b rows)
+    num_cells: int,
+):
+    """Merge two cell-sorted CSR indexes ON DEVICE without re-sorting: each
+    entry's merged position is its own rank plus the other index's CSR count
+    of strictly-earlier cells (one [E]-gather from a [C+1] table each), and
+    the merged cell_start is the elementwise SUM of the two. Replaces the
+    merge-by-full-rebuild that paid a 17 MB host pull + 32 MB re-upload over
+    the tunnel + a 48M-entry argsort (measured 4.6 s warm at 750k rays; this
+    path is a few hundred MB of pure HBM traffic).
+
+    All shapes are pow2-bucketed so the merge program compiles once per
+    doubling. Sentinel entries (cell == num_cells) may collide in the
+    sentinel tail; the tail is initialized to sentinels and never read."""
+    C = num_cells
+    Ea, Eb = a_cells.shape[0], b_cells.shape[0]
+    idx_a = jnp.arange(Ea, dtype=jnp.int32)
+    idx_b = jnp.arange(Eb, dtype=jnp.int32)
+    # a-entry before b-entries of the same cell: count b with cell < c
+    pos_a = idx_a + b_cs[jnp.clip(a_cells, 0, C)]
+    # b-entry after a-entries of cell <= c
+    pos_b = idx_b + a_cs[jnp.clip(b_cells + 1, 0, C)]
+    # sentinel entries are DROPPED (position past e_out, mode='drop'): the
+    # output is sized by REAL entry count, so repeated merges stay compact
+    # instead of compounding each input's padding tail
+    pos_a = jnp.where(a_cells >= C, e_out, pos_a)
+    pos_b = jnp.where(b_cells >= C, e_out, pos_b)
+    out_cells = (
+        jnp.full((e_out,), C, jnp.int32)
+        .at[pos_a].set(a_cells, mode="drop")
+        .at[pos_b].set(b_cells, mode="drop")
+    )
+    out_rays = (
+        jnp.zeros((e_out,), jnp.int32)
+        .at[pos_a].set(a_rays, mode="drop")
+        .at[pos_b].set(b_rays + n1, mode="drop")
+    )
+    out_cs = a_cs + b_cs
+    table = jnp.zeros((out_bucket, 8), jnp.float32)
+    table = jax.lax.dynamic_update_slice(table, a_table, (0, 0))
+    table = jax.lax.dynamic_update_slice(table, b_table, (n1, 0))
+    tidx = jnp.full((out_bucket,), -1, jnp.int32)
+    tidx = jax.lax.dynamic_update_slice(tidx, a_tidx, (0,))
+    tidx = jax.lax.dynamic_update_slice(tidx, b_tidx, (n1,))
+    return out_cells, out_rays, out_cs, table, tidx
+
+
 @functools.partial(jax.jit, static_argnames=("num_cells",))
 def _touched_cells_device(sorted_cells, sorted_rays, target_idx, min_target, num_cells: int):
     """Bool [num_cells]: cells traversed by rays whose target vertex index is
@@ -487,28 +542,46 @@ class RayVerificator:
             targets = np.concatenate([self._delta["raw"][1], targets])
             stamps = np.concatenate([self._delta["raw"][2], stamps])
             target_idx = np.concatenate([self._delta["raw"][3], target_idx])
+        self._delta = self._make_index(origins, targets, stamps, target_idx)
+        self._delta["raw"] = (origins, targets, stamps, target_idx)
         if len(origins) > 0.25 * max(self.num_rays, 1):
-            self._merge_delta(origins, targets, stamps, target_idx)
-        else:
-            self._delta = self._make_index(origins, targets, stamps, target_idx)
-            self._delta["raw"] = (origins, targets, stamps, target_idx)
+            self._merge_delta_index()
         self._V_covered = V
         self.n_delta_updates += 1
 
-    def _merge_delta(self, origins, targets, stamps, target_idx) -> None:
-        """Fold pending delta rays into the main index: concat the main's
-        real rays (device slices pulled once; ~17 MB at the largest scenes,
-        vs an O(whole-mesh) ray regeneration) and re-sort the CSR. The time
-        base is unchanged, so stored relative stamps stay valid."""
-        n = self.num_rays
+    def _merge_delta_index(self) -> None:
+        """Fold the delta index into the main index entirely on device (see
+        _merge_sorted_device). The time base is unchanged, so stored relative
+        stamps stay valid; merged entry/table shapes are pow2-bucketed so the
+        program compiles once per doubling."""
+        a, b = self._main, self._delta
+        n1 = a["num_rays"]
+        # REAL entry counts (cell_start[-1] = first sentinel position): the
+        # merged array is sized by content, not by the inputs' padded shapes
+        ea = int(np.asarray(a["cell_start"][-1]))
+        eb = int(np.asarray(b["cell_start"][-1]))
+        e_out = 1 << int(np.ceil(np.log2(max(ea + eb, 2))))
+        rows_b = int(b["ray_table"].shape[0])
+        out_bucket = 1 << int(np.ceil(np.log2(max(n1 + rows_b, 2))))
         with Timer("ray_verificator/merge_delta"):
-            merged = self._make_index(
-                np.concatenate([np.asarray(self.origins[:n]), origins]),
-                np.concatenate([np.asarray(self.targets[:n]), targets]),
-                np.concatenate([np.asarray(self.stamps_s[:n]), stamps]),
-                np.concatenate([np.asarray(self.target_idx[:n]), target_idx]),
+            oc, orr, ocs, table, tidx = _merge_sorted_device(
+                a["sorted_cells"], a["sorted_rays"], a["cell_start"],
+                a["ray_table"], a["target_idx"],
+                b["sorted_cells"], b["sorted_rays"], b["cell_start"],
+                b["ray_table"], b["target_idx"],
+                jnp.int32(n1), e_out, out_bucket, self.config.hash_cells,
             )
-        self._set_main(merged)
+        self._set_main(dict(
+            sorted_cells=oc,
+            sorted_rays=orr,
+            cell_start=ocs,
+            origins=table[:, 0:3],
+            targets=table[:, 3:6],
+            stamps_s=table[:, 6],
+            ray_table=table,
+            target_idx=tidx,
+            num_rays=n1 + b["num_rays"],
+        ))
         self.n_merges += 1
 
     @property
