@@ -229,6 +229,10 @@ class RayChangeDetector:
                 cfg.window_size,
                 cfg.use_relative_confidence,
             ))
+        # ONE batched device->host transfer for every chunk's outputs:
+        # pulling 6 arrays x N chunks sequentially paid ~20 ms of tunnel
+        # latency each (measured ~2 s of a production background pass)
+        parts = jax.device_get(parts)
         fa, la, fp, lp, fp_after, lp_before = (
             np.concatenate([np.asarray(p[i]) for p in parts])[:P]
             for i in range(6)

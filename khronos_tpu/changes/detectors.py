@@ -301,11 +301,14 @@ class SequentialChangeDetector:
         chunk = self.verificator.QUERY_CHUNK
         seg_pad = np.full(len(ev_chunks) * chunk, n_bucket, np.int32)
         seg_pad[:n_pts] = seg
-        obj_ev = np.zeros((len(scan), B, 2), np.int64)
-        for k, ev_c in enumerate(ev_chunks):
-            part = np.asarray(_votes_device(
+        vote_parts = [
+            _votes_device(
                 ev_c, jnp.asarray(seg_pad[k * chunk : (k + 1) * chunk]), n_bucket + 1
-            ))
+            )
+            for k, ev_c in enumerate(ev_chunks)
+        ]
+        obj_ev = np.zeros((len(scan), B, 2), np.int64)
+        for part in jax.device_get(vote_parts):  # one batched pull
             obj_ev += part[: len(scan)]
 
         origin = self.verificator.bin_origin_s

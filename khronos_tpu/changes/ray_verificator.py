@@ -716,10 +716,13 @@ class RayVerificator:
         return _hash_cells_np(pc, self.config.hash_cells)
 
     # ------------------------------------------------------------------
-    # fixed device chunk: bounds the [chunk, max_candidates, 3] geometry
-    # temporaries to ~25 MB so arbitrarily large vertex sets fit in HBM,
-    # and gives ONE compiled program reused across all chunks.
-    QUERY_CHUNK = 8192
+    # fixed device chunk: bounds the [chunk, max_candidates, 8] geometry
+    # temporaries to ~270 MB so arbitrarily large vertex sets fit in HBM,
+    # and gives ONE compiled program reused across all chunks. 32k (up from
+    # 8192, r5): per-chunk dispatch latency over the dev tunnel dominated
+    # the production-scale background pass (19 sequential chunk dispatches
+    # measured 1.2-2.9 s for work worth ~0.2 s of HBM traffic).
+    QUERY_CHUNK = 32768
 
     def query(self, points: np.ndarray, radial_tol=None, as_chunks: bool = False):
         """points [P,3] -> evidence histogram [P, B, 2] (match, absent).
@@ -778,4 +781,4 @@ class RayVerificator:
             outs.append(ev)
         if as_chunks:
             return outs, P
-        return np.concatenate([np.asarray(o) for o in outs])[:P]
+        return np.concatenate(jax.device_get(outs))[:P]

@@ -271,12 +271,14 @@ class KhronosPipeline:
                 # removed geometry stops carving free space. Deltas that
                 # arrive between the CD snapshot and this reset are lost from
                 # occupancy until re-observed — bounded to one output.
-                parts = [np.asarray(dsg.mesh.vertices).reshape(-1, 3)]
-                for o in dsg.objects.values():
-                    if not o.is_dynamic and len(o.mesh_vertices):
-                        parts.append(np.asarray(o.mesh_vertices) + o.bbox_min)
-                self.places_extractor.reset_occupancy(np.concatenate(parts))
-            self.map.update(dsg, stamp_ns)
+                with Timer("pipeline/places_reset"):
+                    parts = [np.asarray(dsg.mesh.vertices).reshape(-1, 3)]
+                    for o in dsg.objects.values():
+                        if not o.is_dynamic and len(o.mesh_vertices):
+                            parts.append(np.asarray(o.mesh_vertices) + o.bbox_min)
+                    self.places_extractor.reset_occupancy(np.concatenate(parts))
+            with Timer("pipeline/map_update"):
+                self.map.update(dsg, stamp_ns)
         for sink in self._change_sinks:
             sink(dsg, changes, stamp_ns)
 

@@ -50,6 +50,64 @@ def _vm_rss_mb() -> int:
     return -1
 
 
+
+def _component_mb(pipe) -> dict:
+    """Rough per-component live-memory accounting (MB) — finds which store
+    carries the RSS (r5 VERDICT task 3)."""
+    def mesh_b(m):
+        return sum(
+            getattr(a, "nbytes", 0)
+            for a in (m.vertices, m.colors, m.labels, m.first_seen_ns,
+                      m.last_seen_ns, m.faces)
+        )
+
+    def graph_b(g):
+        tot = mesh_b(g.mesh)
+        for o in g.objects.values():
+            tot += sum(getattr(a, "nbytes", 0) for a in
+                       (o.mesh_vertices, o.mesh_faces, o.mesh_colors,
+                        o.trajectory_positions))
+        return tot
+
+    out = {}
+    stm = pipe.map
+    tot = sum(
+        graph_b(st["graph"])
+        + (st["last_seen"].nbytes if st["last_seen"] is not None else 0)
+        + (st["keep"].nbytes if st["keep"] is not None else 0)
+        for st in stm._stores
+    )
+    if stm._last_full is not None:
+        tot += mesh_b(stm._last_full)
+    out["map_4d"] = tot
+    try:
+        out["backend_mesh"] = mesh_b(pipe.backend.mesh_acc.build())
+    except Exception:
+        out["backend_mesh"] = -1
+    fb = getattr(pipe.active_window, "frame_buffer", None)
+    out["frame_buffer_n"] = len(fb._frames) if fb is not None else 0
+    ver = pipe.change_detector.verificator
+    tot = 0
+    if getattr(ver, "_built", False):
+        for idx in ver._indexes():
+            for k in ("sorted_cells", "sorted_rays", "cell_start", "ray_table",
+                      "target_idx"):
+                tot += int(np.prod(idx[k].shape)) * 4
+            raw = idx.get("raw")
+            if raw:
+                tot += sum(getattr(a, "nbytes", 0) for a in raw)
+    out["ray_library_dev"] = tot
+    pl = pipe.places_extractor
+    if pl is not None:
+        # coarse-block dict of packed int64 key sets
+        out["places_occ"] = sum(len(v) for v in pl._blocks.values()) * 8
+    from khronos_tpu.utils.timing import TimingRecorder
+    rec = TimingRecorder.instance()
+    out["timing_samples"] = sum(len(rec.samples(n)) for n in rec.names())
+    return {k: (v // (1 << 20) if isinstance(v, int) and k.endswith(("_4d", "mesh", "_dev", "_occ")) else v)
+            for k, v in out.items()}
+
+
 def corridor_scene(length: float, duration: float):
     from khronos_tpu.data import synthetic as syn
 
@@ -175,6 +233,9 @@ def main():
         "objects": "change_detection/objects",
         "bg_query": "change_detection/background_query",
         "bg_scan": "change_detection/background_scan",
+        "reconcile": "reconciliation/all",
+        "map_update": "pipeline/map_update",
+        "places_reset": "pipeline/places_reset",
     }
 
     def _phase_totals():
@@ -249,6 +310,8 @@ def main():
     med = float(np.median(chunk_fps))
     p10 = float(np.percentile(chunk_fps, 10))
     cadence_wall_s = args.cd_every / max(tw, 1e-9)
+    components = _component_mb(pipe)
+    print(f"component MB: {components}", file=sys.stderr, flush=True)
     out = {
         "metric": "sustained_pipeline_fps_timeweighted",
         "value": round(tw, 2),
@@ -269,6 +332,7 @@ def main():
         "finish_drain_s": round(drain_s, 1),
         "cd_median_s": float(np.median([r["cd_s"] for r in cd_rows])) if cd_rows else 0.0,
         "rss_mb_final": _vm_rss_mb(),
+        "component_mb": components,
         "rss_mb_series": rss_series,
         "cd_rows": cd_rows,
         "chunk_fps": chunk_fps,
