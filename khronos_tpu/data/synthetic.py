@@ -584,8 +584,15 @@ def hard_scene(duration: float = 60.0) -> Scene:
         box("wall_x_s", 0, 0.0, -4.85, 1.5, 0.1, 1.15, 1.5, wallc, structure=True),
         box("wall_x_m", 0, 0.0, 0.0, 1.5, 0.1, 2.3, 1.5, wallc, structure=True),
         box("wall_x_n", 0, 0.0, 4.85, 1.5, 0.1, 1.15, 1.5, wallc, structure=True),
-        box("wall_y_w", 0, -6.35, 0.0, 1.5, 1.65, 0.1, 1.5, wallc, structure=True),
-        box("wall_y_e", 0, 6.35, 0.0, 1.5, 1.65, 0.1, 1.5, wallc, structure=True),
+        # y=0 spine in two segments per side, leaving REAL 1.4 m doorways at
+        # x in [-5.0,-3.6] and [3.6,5.0] (r5: the previous stub walls left a
+        # 4.7 m opening, so north/south were one free-space component and
+        # erosion-correct room segmentation gave 2 rooms, not 4; the tour
+        # crosses at x=+-4.0 and the humans at x=+-4.6, both in-doorway)
+        box("wall_y_w", 0, -6.5, 0.0, 1.5, 1.5, 0.1, 1.5, wallc, structure=True),
+        box("wall_y_w2", 0, -1.825, 0.0, 1.5, 1.775, 0.1, 1.5, wallc, structure=True),
+        box("wall_y_e", 0, 6.5, 0.0, 1.5, 1.5, 0.1, 1.5, wallc, structure=True),
+        box("wall_y_e2", 0, 1.825, 0.0, 1.5, 1.775, 0.1, 1.5, wallc, structure=True),
         # occluding pillars
         box("pillar_nw", 0, -2.0, 4.0, 1.5, 0.22, 0.22, 1.5, wallc, structure=True),
         box("pillar_se", 0, 2.0, -4.0, 1.5, 0.22, 0.22, 1.5, wallc, structure=True),

@@ -411,6 +411,13 @@ class KhronosPipeline:
             ):
                 self.places_extractor.add_mesh_delta(out.mesh_vertices)
                 self.places_extractor.update_local(out.t_w_b, stamp_ns=out.stamp_ns)
+            if (
+                self.places_extractor is not None
+                and self.config.places_mode == "output"
+            ):
+                # final room labels must come from the full eroded-free-space
+                # segmentation, not the interim between-refresh graph fallback
+                self.places_extractor.refresh_rooms()
             self.backend.finish_processing()
             if self.config.run_change_detection_every_n_frames >= 0:
                 self.run_change_detection(had_loop_closure=False)

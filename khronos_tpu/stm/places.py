@@ -581,16 +581,31 @@ class PlacesExtractor:
             for i, n in enumerate(merged.nodes):
                 if n.room_id >= 0:
                     root_label.setdefault(find(i), n.room_id)
-            next_id = max((n.room_id for n in merged.nodes), default=-1) + 1
+            # brand-new components stay UNLABELED (-1) until the next timed
+            # eroded-free-space refresh: the place-graph union-find is a much
+            # more fragile splitter than the occupancy blobs, and minting a
+            # fresh id per component inflated the room count on every window
+            # between refreshes (r5: 17 "rooms" on the 4-room hard scene,
+            # most of them interim fallback ids)
             for i, n in enumerate(merged.nodes):
-                r = find(i)
-                if r not in root_label:
-                    root_label[r] = next_id
-                    next_id += 1
-                n.room_id = root_label[r]
+                n.room_id = root_label.get(find(i), -1)
         with self._lock:
             self.layer = merged
         return merged
+
+    # ------------------------------------------------------------------
+    def refresh_rooms(self) -> None:
+        """Force a full eroded-free-space room re-segmentation of the
+        persistent layer (the timed refresh, on demand). The pipeline calls
+        this at finishMapping so the FINAL layer's room ids always come from
+        the occupancy blobs, never the interim graph fallback."""
+        with self._lock:
+            occ_pts = self._occupied_cell_centers()
+            layer = self.layer
+        if layer.nodes:
+            with Timer("places/rooms"):
+                self._assign_rooms(layer, occupied_points=occ_pts)
+            self._last_room_update_s = float("-inf")  # re-gate from data time
 
     # ------------------------------------------------------------------
     def _assign_rooms(
