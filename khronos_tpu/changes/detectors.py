@@ -298,7 +298,7 @@ class SequentialChangeDetector:
         # the raw [P, B, 2] histograms to host cost ~8 MB/chunk of tunnel
         # traffic per pass.
         n_bucket = max(64, 1 << int(np.ceil(np.log2(max(len(scan), 1)))))
-        chunk = self.verificator.QUERY_CHUNK
+        chunk = int(ev_chunks[0].shape[0])  # query() sizes chunks by workload
         seg_pad = np.full(len(ev_chunks) * chunk, n_bucket, np.int32)
         seg_pad[:n_pts] = seg
         vote_parts = [

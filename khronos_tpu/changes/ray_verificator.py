@@ -753,7 +753,10 @@ class RayVerificator:
             tol = np.broadcast_to(
                 np.asarray(radial_tol, np.float32), (P,)
             ).copy()
-        chunk = self.QUERY_CHUNK
+        # chunk = pow2 bucket of the workload, capped at QUERY_CHUNK: small
+        # queries (the object pass: a few thousand points) must not pad to a
+        # full 32k chunk and pay 17x the gather work
+        chunk = min(self.QUERY_CHUNK, max(4096, 1 << int(np.ceil(np.log2(max(P, 2))))))
         pad = (-P) % chunk
         if pad:
             points = np.concatenate([points, np.zeros((pad, 3), np.float32)])

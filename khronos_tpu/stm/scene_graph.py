@@ -49,7 +49,12 @@ class Mesh:
     def num_faces(self) -> int:
         return len(self.faces)
 
-    def clone(self) -> "Mesh":
+    def clone(self, share_arrays: bool = False) -> "Mesh":
+        """share_arrays=True returns a new Mesh OBJECT referencing the same
+        (treat-as-immutable) arrays — for consumers that rebind fields to
+        fresh arrays (finalize/sort) without copying ~100 MB first."""
+        if share_arrays:
+            return Mesh(**{f.name: getattr(self, f.name) for f in dataclasses.fields(self)})
         return Mesh(**{f.name: getattr(self, f.name).copy() for f in dataclasses.fields(self)})
 
 
@@ -188,9 +193,9 @@ class SceneGraph:
     agents: List[AgentNode] = dataclasses.field(default_factory=list)
     places: object = None  # stm.places.PlacesLayer (optional layer)
 
-    def clone(self) -> "SceneGraph":
+    def clone(self, share_arrays: bool = False) -> "SceneGraph":
         return SceneGraph(
-            mesh=self.mesh.clone(),
+            mesh=self.mesh.clone(share_arrays=share_arrays),
             objects={k: v.clone() for k, v in self.objects.items()},
             agents=[AgentNode(a.stamp_ns, a.R_w_b.copy(), a.t_w_b.copy(), a.key) for a in self.agents],
             places=copy.deepcopy(self.places),

@@ -32,7 +32,7 @@ from khronos_tpu.stm import serialization
 from khronos_tpu.stm.scene_graph import Mesh, SceneGraph
 from khronos_tpu.utils import intervals as iv
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 class _SnapshotView:
@@ -96,13 +96,16 @@ class SpatioTemporalMap:
     @classmethod
     def _make_delta(cls, prev: Mesh, new: Mesh):
         """Try to express `new` as prev[keep] ++ tail (+ appended faces).
-        Returns (keep_mask, tail_mesh, last_seen_full) or None.
+        Returns (keep_mask, tail_mesh, diffs) or None.
 
-        Vertex identity EXCLUDES last_seen_ns: re-observation updates the
-        last-seen stamp of existing vertices every pass, which would break
-        sharing for the entire re-observed region — instead the (well
-        compressing) last_seen array is stored per snapshot in full and the
-        heavy arrays (positions, colors, labels, faces) are shared."""
+        Vertex IDENTITY is (first_seen_ns, position) only: re-observation
+        mutates last_seen stamps AND colors/labels (weighted color fusion)
+        of existing vertices every pass, which would break sharing for the
+        whole re-observed region — instead those mutable per-vertex arrays
+        are stored as SPARSE DIFFS against the kept prefix (the re-observed
+        set is bounded by the sensor window, not the map). The r4 full
+        (colors+labels included) equality check made nearly every endurance
+        snapshot a full copy: 3.0 GB of 8.3 GB RSS at 3,000 frames."""
         Vp, Vn = prev.num_vertices, new.num_vertices
         if Vp == 0:
             return None
@@ -115,8 +118,6 @@ class SpatioTemporalMap:
         if not (
             np.array_equal(prev.first_seen_ns[sel], new.first_seen_ns[:n_old])
             and np.array_equal(prev.vertices[sel], new.vertices[:n_old])
-            and np.array_equal(prev.colors[sel], new.colors[:n_old])
-            and np.array_equal(prev.labels[sel], new.labels[:n_old])
         ):
             return None
         # faces: surviving base faces (remapped) must form the new prefix
@@ -130,6 +131,20 @@ class SpatioTemporalMap:
         Fd = len(derived)
         if new.num_faces < Fd or not np.array_equal(new.faces[:Fd], derived):
             return None
+        # sparse diffs over the kept prefix for the mutable arrays
+        ci = np.nonzero((prev.colors[sel] != new.colors[:n_old]).any(axis=1))[0]
+        li = np.nonzero(prev.labels[sel] != new.labels[:n_old])[0]
+        si = np.nonzero(prev.last_seen_ns[sel] != new.last_seen_ns[:n_old])[0]
+        if max(len(ci), len(li), len(si)) > 0.5 * max(n_old, 1):
+            return None  # wholesale mutation: a full store is cheaper
+        diffs = {
+            "color_idx": ci.astype(np.int64),
+            "color_val": new.colors[:n_old][ci].copy(),
+            "label_idx": li.astype(np.int64),
+            "label_val": new.labels[:n_old][li].copy(),
+            "seen_idx": si.astype(np.int64),
+            "seen_val": new.last_seen_ns[:n_old][si].copy(),
+        }
         tail = Mesh(
             vertices=new.vertices[n_old:].copy(),
             colors=new.colors[n_old:].copy(),
@@ -138,22 +153,22 @@ class SpatioTemporalMap:
             last_seen_ns=new.last_seen_ns[n_old:].copy(),
             faces=new.faces[Fd:].copy(),  # final-snapshot indexing
         )
-        return keep, tail, new.last_seen_ns.copy()
+        return keep, tail, diffs
 
     def update(self, dsg: SceneGraph, stamp_ns: int) -> None:
         """Add a reconciled snapshot (finalized: vertices sorted by first_seen)."""
-        snap = dsg.clone()
+        snap = dsg.clone(share_arrays=True)
         self._finalize(snap)
         full_mesh = snap.mesh
-        base, keep, last_seen = -1, None, None
+        base, keep, diffs = -1, None, None
         if self._last_full is not None:
             delta = self._make_delta(self._last_full, full_mesh)
             if delta is not None:
-                keep, tail, last_seen = delta
+                keep, tail, diffs = delta
                 base = len(self._stores) - 1
                 snap.mesh = tail
         self._stores.append(
-            {"base": base, "keep": keep, "last_seen": last_seen, "graph": snap}
+            {"base": base, "keep": keep, "diffs": diffs, "graph": snap}
         )
         self.stamps_ns.append(int(stamp_ns))
         self._last_full = full_mesh
@@ -182,19 +197,27 @@ class SpatioTemporalMap:
                 derived = f[(f >= 0).all(axis=1)]
             else:
                 derived = np.zeros((0, 3), np.int64)
-            last_seen = st.get("last_seen")
-            if last_seen is None:
-                last_seen = np.concatenate(
-                    [mesh.last_seen_ns[sel], tail.last_seen_ns]
-                )
+            colors = mesh.colors[sel]
+            labels = mesh.labels[sel]
+            last_seen = mesh.last_seen_ns[sel]
+            diffs = st.get("diffs")
+            if diffs is not None:  # apply the prefix's sparse mutations
+                colors = colors.copy()
+                colors[diffs["color_idx"]] = diffs["color_val"]
+                labels = labels.copy()
+                labels[diffs["label_idx"]] = diffs["label_val"]
+                last_seen = last_seen.copy()
+                last_seen[diffs["seen_idx"]] = diffs["seen_val"]
+            elif st.get("last_seen") is not None:  # v2 stores (old files)
+                last_seen = st["last_seen"][:n_old]
             mesh = Mesh(
                 vertices=np.concatenate([mesh.vertices[sel], tail.vertices]),
-                colors=np.concatenate([mesh.colors[sel], tail.colors]),
-                labels=np.concatenate([mesh.labels[sel], tail.labels]),
+                colors=np.concatenate([colors, tail.colors]),
+                labels=np.concatenate([labels, tail.labels]),
                 first_seen_ns=np.concatenate(
                     [mesh.first_seen_ns[sel], tail.first_seen_ns]
                 ),
-                last_seen_ns=last_seen,
+                last_seen_ns=np.concatenate([last_seen, tail.last_seen_ns]),
                 faces=np.concatenate([derived, tail.faces]),
             )
         out = store["graph"].clone()
@@ -311,7 +334,8 @@ class SpatioTemporalMap:
             if store.get("keep") is not None:
                 arrays[f"snap/{i}/keep"] = np.packbits(store["keep"])
                 arrays[f"snap/{i}/keep_len"] = np.asarray([len(store["keep"])])
-                arrays[f"snap/{i}/last_seen"] = store["last_seen"]
+                for k, v in store["diffs"].items():
+                    arrays[f"snap/{i}/diff_{k}"] = v
         np.savez_compressed(path, **arrays)
 
     @staticmethod
@@ -319,7 +343,7 @@ class SpatioTemporalMap:
         out = SpatioTemporalMap()
         with np.load(path, allow_pickle=False) as data:
             version = int(data["format_version"][0])
-            if version not in (1, 2):
+            if version not in (1, 2, 3):
                 raise ValueError(f"unsupported 4dmap version {version}")
             stamps = data["stamps_ns"]
             out.stamps_ns = [int(s) for s in stamps]
@@ -329,16 +353,23 @@ class SpatioTemporalMap:
                 else np.full(len(stamps), -1, np.int64)
             )
             for i in range(len(stamps)):
-                keep = last_seen = None
+                keep = last_seen = diffs = None
                 if f"snap/{i}/keep" in data:
                     n = int(data[f"snap/{i}/keep_len"][0])
                     keep = np.unpackbits(data[f"snap/{i}/keep"])[:n].astype(bool)
-                    if f"snap/{i}/last_seen" in data:
+                    if f"snap/{i}/diff_color_idx" in data:  # v3
+                        diffs = {
+                            k: data[f"snap/{i}/diff_{k}"]
+                            for k in ("color_idx", "color_val", "label_idx",
+                                      "label_val", "seen_idx", "seen_val")
+                        }
+                    elif f"snap/{i}/last_seen" in data:  # v2
                         last_seen = data[f"snap/{i}/last_seen"]
                 out._stores.append(
                     {
                         "base": int(bases[i]),
                         "keep": keep,
+                        "diffs": diffs,
                         "last_seen": last_seen,
                         "graph": serialization.scene_graph_from_arrays(
                             data, prefix=f"snap/{i}/"
