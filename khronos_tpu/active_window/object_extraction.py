@@ -331,10 +331,17 @@ class MeshObjectExtractor:
             jnp.float32(cfg.min_object_reconstruction_confidence),
             G,
         )
-        packed = np.asarray(
-            _mesh_small_grid(tsdf, weight, jnp.asarray(origin, jnp.float32), jnp.float32(voxel), G)
+        packed_dev = _mesh_small_grid(
+            tsdf, weight, jnp.asarray(origin, jnp.float32), jnp.float32(voxel), G
         )
-        n = int(packed[-1, 0])
+        # pull the meta row first, then ONLY the real triangle rows: the full
+        # packed array is ~600 KB/track and the dev tunnel moves ~13 MB/s —
+        # the pull dominated per-track extraction (r5 endurance profile)
+        meta_row = np.asarray(packed_dev[-1])
+        n = int(meta_row[0])
+        packed = np.concatenate(
+            [np.asarray(packed_dev[:n]), meta_row[None]]
+        ) if n else meta_row[None]
         verts = packed[:n].reshape(-1, 3, 3)
         if len(verts) == 0:
             return None if cfg.only_extract_reconstructed_objects else self._bbox_only(track, bbox_min, bbox_max)
