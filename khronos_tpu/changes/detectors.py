@@ -226,7 +226,8 @@ class SequentialChangeDetector:
                     last_ns = max(last_ns, s.last_observed_ns[-1])
             env[o.node_id] = (first_ns, last_ns)
 
-        obj_pts = {o.node_id: self._object_points(o, cfg) for o in objs}
+        with Timer("change_detection/objects_points"):
+            obj_pts = {o.node_id: self._object_points(o, cfg) for o in objs}
 
         # incremental re-detection (reference ray_verificator.cpp:163-182):
         # between loop closures / optimizations only objects whose hash
@@ -270,9 +271,10 @@ class SequentialChangeDetector:
                 )
                 for o, p in zip(scan, pts_all)
             ])
-        ev_chunks, n_pts = self.verificator.query(
-            points, radial_tol=tol, as_chunks=True
-        )
+        with Timer("change_detection/objects_query"):
+            ev_chunks, n_pts = self.verificator.query(
+                points, radial_tol=tol, as_chunks=True
+            )
         if not ev_chunks:
             # zero evidence (library unbuilt): still RECORD fresh empty
             # records + envelopes, mirroring the zero-evidence recompute of a
@@ -301,15 +303,16 @@ class SequentialChangeDetector:
         chunk = int(ev_chunks[0].shape[0])  # query() sizes chunks by workload
         seg_pad = np.full(len(ev_chunks) * chunk, n_bucket, np.int32)
         seg_pad[:n_pts] = seg
-        vote_parts = [
-            _votes_device(
-                ev_c, jnp.asarray(seg_pad[k * chunk : (k + 1) * chunk]), n_bucket + 1
-            )
-            for k, ev_c in enumerate(ev_chunks)
-        ]
-        obj_ev = np.zeros((len(scan), B, 2), np.int64)
-        for part in jax.device_get(vote_parts):  # one batched pull
-            obj_ev += part[: len(scan)]
+        with Timer("change_detection/objects_votes"):
+            vote_parts = [
+                _votes_device(
+                    ev_c, jnp.asarray(seg_pad[k * chunk : (k + 1) * chunk]), n_bucket + 1
+                )
+                for k, ev_c in enumerate(ev_chunks)
+            ]
+            obj_ev = np.zeros((len(scan), B, 2), np.int64)
+            for part in jax.device_get(vote_parts):  # one batched pull
+                obj_ev += part[: len(scan)]
 
         origin = self.verificator.bin_origin_s
         thr = cfg.time_filtering_threshold
@@ -319,12 +322,13 @@ class SequentialChangeDetector:
         # (per-row valid masks); the previous per-object loop cost two
         # device round trips per object — ~8 s of a CD pass at 40 objects
         # on the tunnel (soak timer change_detection/objects)
-        pre = self.detector.scan(
-            obj_ev, -np.inf, first_s - thr, origin_s=origin
-        )
-        post = self.detector.scan(
-            obj_ev, last_s + thr, np.inf, origin_s=origin
-        )
+        with Timer("change_detection/objects_scan"):
+            pre = self.detector.scan(
+                obj_ev, -np.inf, first_s - thr, origin_s=origin
+            )
+            post = self.detector.scan(
+                obj_ev, last_s + thr, np.inf, origin_s=origin
+            )
         # spatial bucket over ALL candidate twins: per-object veto cost is
         # O(neighbors-in-cell), flat as object counts grow (VERDICT r3
         # task 9; the reference keeps object scans incremental the same way,
@@ -333,9 +337,10 @@ class SequentialChangeDetector:
         if cfg.twin_presence_veto:
             from khronos_tpu.geometry.bbox import BboxGrid
 
-            mns = np.stack([obj_pts[q.node_id].min(axis=0) for q in objs])
-            mxs = np.stack([obj_pts[q.node_id].max(axis=0) for q in objs])
-            twin_grid = BboxGrid(mns, mxs)
+            with Timer("change_detection/objects_veto_grid"):
+                mns = np.stack([obj_pts[q.node_id].min(axis=0) for q in objs])
+                mxs = np.stack([obj_pts[q.node_id].max(axis=0) for q in objs])
+                twin_grid = BboxGrid(mns, mxs)
         for k, o in enumerate(scan):
             self._obj_known[o.node_id] = env[o.node_id]
             # each (re)scan RECOMPUTES the record from the full evidence

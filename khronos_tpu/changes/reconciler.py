@@ -230,6 +230,13 @@ class Reconciler:
                 cand[idx[inside]] = True
             if cand.any():
                 pts = np.concatenate(obj_pts).astype(np.float32)
+                if len(pts) > 20000:
+                    # grid-subsample reference points to ~half the proximity
+                    # threshold: distances shift < prox/2, and the kNN cost
+                    # stops scaling with total object mesh size
+                    cell = np.floor(pts / max(prox * 0.5, 0.02)).astype(np.int64)
+                    _, first = np.unique(cell, axis=0, return_index=True)
+                    pts = pts[first]
                 near_c = min_distances(verts[cand], pts) <= prox
                 near = np.zeros(len(verts), bool)
                 near[np.nonzero(cand)[0]] = near_c

@@ -233,6 +233,8 @@ class SpatioTemporalMap:
         mesh = dsg.mesh
         if mesh.num_vertices == 0:
             return
+        if np.all(mesh.first_seen_ns[1:] >= mesh.first_seen_ns[:-1]):
+            return  # appended in stamp order + order-preserving filters
         order = np.argsort(mesh.first_seen_ns, kind="stable")
         remap = np.empty(len(order), np.int64)
         remap[order] = np.arange(len(order))

@@ -23,7 +23,7 @@ DURATION = 24.0
 FPS = 10.0
 
 
-def run(stride: int, out_dir: str, seed_dynamic: bool = True):
+def run(stride: int, out_dir: str, seed_dynamic: bool = True, noise: bool = False):
     import jax
 
     from khronos_tpu.active_window.frame_data import FrameData
@@ -42,6 +42,9 @@ def run(stride: int, out_dir: str, seed_dynamic: bool = True):
         syn.SyntheticSequenceConfig(
             duration=DURATION, fps=FPS, height=480, width=640,
             fx=640 * 0.625, fy=640 * 0.625, cx=320.0, cy=240.0, n_loops=2.0,
+            # r5 task 9: measured sensor-noise model (depth^2 range noise +
+            # quantization, edge jitter/dropout, label flicker)
+            noise=syn.SensorNoiseConfig() if noise else None,
         ),
     )
     cfg = build(
@@ -112,6 +115,7 @@ def run(stride: int, out_dir: str, seed_dynamic: bool = True):
     summary = ev.evaluate(pipe.map, gt, out_dir, gt_trajectory=gt_traj)
     out = {
         "stride": stride,
+        "noise": noise,
         "wall_fps_incl_compile": round(fps_wall, 2),
         "ate_rmse": round(summary["trajectory"]["ate_rmse"], 4),
         "mesh_acc@0.2": round(summary["mesh"]["accuracy@0.2"], 4),
@@ -144,8 +148,12 @@ def main():
     ap.add_argument("--strides", type=int, nargs="+", default=[2])
     ap.add_argument("--out", default="/tmp/bench_quality")
     ap.add_argument("--no-seed", action="store_true", help="disable seed_dynamic_labels")
+    ap.add_argument("--noise", action="store_true", help="enable the sensor-noise model")
     args = ap.parse_args([a for a in sys.argv[1:] if a != "-c"]) if "__file__" in globals() else ap.parse_args([])
-    rows = [run(s, f"{args.out}_s{s}", seed_dynamic=not args.no_seed) for s in args.strides]
+    rows = [
+        run(s, f"{args.out}_s{s}", seed_dynamic=not args.no_seed, noise=args.noise)
+        for s in args.strides
+    ]
     print(json.dumps(rows, indent=1))
 
 

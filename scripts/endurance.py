@@ -73,8 +73,8 @@ def _component_mb(pipe) -> dict:
     stm = pipe.map
     tot = sum(
         graph_b(st["graph"])
-        + (st["last_seen"].nbytes if st["last_seen"] is not None else 0)
-        + (st["keep"].nbytes if st["keep"] is not None else 0)
+        + sum(v.nbytes for v in (st.get("diffs") or {}).values())
+        + (st["keep"].nbytes if st.get("keep") is not None else 0)
         for st in stm._stores
     )
     if stm._last_full is not None:
@@ -233,6 +233,10 @@ def main():
         "objects": "change_detection/objects",
         "bg_query": "change_detection/background_query",
         "bg_scan": "change_detection/background_scan",
+        "obj_points": "change_detection/objects_points",
+        "obj_query": "change_detection/objects_query",
+        "obj_votes": "change_detection/objects_votes",
+        "obj_scan": "change_detection/objects_scan",
         "reconcile": "reconciliation/all",
         "map_update": "pipeline/map_update",
         "places_reset": "pipeline/places_reset",
