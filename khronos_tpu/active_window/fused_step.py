@@ -171,6 +171,16 @@ def make_frame_step(
 
         _row_shard = NamedSharding(mesh, PartitionSpec(mesh_axis))
 
+        _grid_shard = NamedSharding(mesh, PartitionSpec(mesh_axis))
+
+        def _gshard(x):
+            """Pin a grid-shaped array to the volume sharding (leading grid
+            axis over the mesh): the detection scatters' outputs otherwise
+            come back REPLICATED, which replicates the whole region-growing
+            grid path on every device (and all-gathered two full grids per
+            step, SCALING.json r4 N=8)."""
+            return jax.lax.with_sharding_constraint(x, _grid_shard)
+
         def _pshard(x):
             """Pin an image-side array to row sharding over the device mesh.
             Without this the whole pixel pipeline (projection, detection
@@ -183,6 +193,9 @@ def make_frame_step(
             return jax.lax.with_sharding_constraint(x, _row_shard)
     else:
         def _pshard(x):
+            return x
+
+        def _gshard(x):
             return x
 
     def _body(state, depth, color, labels, instances, features, R_w_c, t_w_c, t_now):
@@ -201,6 +214,10 @@ def make_frame_step(
         ci = _pshard(jnp.where(in_grid, idx[..., 0], 0))
         cj = _pshard(jnp.where(in_grid, idx[..., 1], 0))
         ck = _pshard(jnp.where(in_grid, idx[..., 2], 0))
+        # ONE linear scatter index: the pixel->grid reshard then moves a
+        # single s32 image instead of three (the scatter-max operand
+        # all-gather was 7.4 MB/step at N=8, SCALING.json r4)
+        clin = _pshard((ci * crop[1] + cj) * crop[2] + ck)
         lin = _lin_iota(crop)
 
         # ---------------- pixel -> voxel scatters ----------------
@@ -235,21 +252,33 @@ def make_frame_step(
                 # dropped — the human's other voxels still seed and region
                 # growing recovers the cluster.
                 val = val * 2 + (in_grid & dyn_pix)
-                packed_grid = jnp.zeros(crop, jnp.int32).at[ci, cj, ck].max(val)
+                packed_grid = _gshard(
+                    jnp.zeros((n_crop,), jnp.int32).at[clin.reshape(-1)]
+                    .max(val.reshape(-1)).reshape(crop)
+                )
                 dyn_hit = (packed_grid & 1) == 1
                 packed_grid = packed_grid >> 1
             else:
-                packed_grid = jnp.zeros(crop, jnp.int32).at[ci, cj, ck].max(val)
+                packed_grid = _gshard(
+                    jnp.zeros((n_crop,), jnp.int32).at[clin.reshape(-1)]
+                    .max(val.reshape(-1)).reshape(crop)
+                )
             scan = packed_grid >= 1
             vclass = jnp.where(packed_grid >= 2, packed_grid - 2, -1)
         elif md_enabled:
             if seed_dyn:
                 val = in_grid.astype(jnp.int32) * 2 + (in_grid & dyn_pix)
-                packed_grid = jnp.zeros(crop, jnp.int32).at[ci, cj, ck].max(val)
+                packed_grid = _gshard(
+                    jnp.zeros((n_crop,), jnp.int32).at[clin.reshape(-1)]
+                    .max(val.reshape(-1)).reshape(crop)
+                )
                 dyn_hit = (packed_grid & 1) == 1
                 scan = packed_grid >= 2
             else:
-                scan = jnp.zeros(crop, jnp.bool_).at[ci, cj, ck].max(in_grid)
+                scan = _gshard(
+                    jnp.zeros((n_crop,), jnp.bool_).at[clin.reshape(-1)]
+                    .max(in_grid.reshape(-1)).reshape(crop)
+                )
 
         # ---------------- motion detection ----------------
         if md_enabled:
@@ -299,8 +328,10 @@ def make_frame_step(
             ocj = jnp.where(ok, cj, 0)
             ock = jnp.where(ok, ck, 0)
             if vclass is None:  # not merged with the motion-detection scatter
-                vclass = jnp.full(crop, -1, jnp.int32).at[oci, ocj, ock].max(
-                    jnp.where(ok, pix_class, -1)
+                oclin = (oci * crop[1] + ocj) * crop[2] + ock
+                vclass = _gshard(
+                    jnp.full((n_crop,), -1, jnp.int32).at[oclin.reshape(-1)]
+                    .max(jnp.where(ok, pix_class, -1).reshape(-1)).reshape(crop)
                 )
             ogrow = vclass >= 0
             olab = propagate_labels_keyed_3d(

@@ -439,14 +439,31 @@ class Backend:
             optimized = self._opt_result is not None
             node_R_cur = np.stack([np.asarray(r) for r in self.graph.node_R]) if self.graph.num_nodes else np.zeros((0, 3, 3), np.float32)
             node_t_cur = np.stack([np.asarray(t) for t in self.graph.node_t]) if self.graph.num_nodes else np.zeros((0, 3), np.float32)
-            if optimized and len(mesh.vertices):
-                node_R_old = np.stack(self._orig_R)
+            # identity-deformation short-circuit: once ANY solve has run,
+            # `optimized` stays true forever — but an identity correction
+            # (GT-pinned or drift-free odometry) must not rewrite every
+            # vertex through float math on every snapshot: the bit-changed
+            # positions broke the 4D map's delta sharing (a full ~100 MB
+            # store per CD pass, 3.4 GB over the r5 endurance run) and
+            # would force ray-library rebuilds. Same threshold as the
+            # geometry epoch.
+            moved = False
+            if optimized and len(self._orig_t):
                 node_t_old = np.stack(self._orig_t)
+                node_R_old = np.stack(self._orig_R)
+                n = min(len(node_t_old), len(node_t_cur))
+                thr = self.config.geometry_epoch_threshold
+                moved = bool(
+                    np.abs(node_t_cur[:n] - node_t_old[:n]).max() > thr
+                    or np.abs(node_R_cur[:n] - node_R_old[:n]).max() > 1e-4
+                )
+            if optimized and moved and len(mesh.vertices):
                 dsg.mesh.vertices = self.deformation.deform_points(
                     mesh.vertices, node_R_cur, node_t_cur,
-                    node_R_old, node_t_old,
+                    np.stack(self._orig_R), np.stack(self._orig_t),
                 ).astype(np.float32)
 
+            optimized = optimized and moved
             stamps, t_old, t_new, R_old, R_new = self._trajectory_correction()
             # agents: current graph estimates
             for i, a in enumerate(self.agents):

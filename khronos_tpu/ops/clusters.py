@@ -114,12 +114,20 @@ def filter_and_renumber(
     return img, out_ids
 
 
-def exclusive_cumsum_2d(x: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
+def exclusive_cumsum_2d(x: jnp.ndarray, rows: int = 128) -> jnp.ndarray:
     """Exclusive prefix sum along axis 0 of [N, C] ints, blockwise two-pass
     (vectorizes across both the row blocks and the C lanes; a flat serial
-    scan is the slow path on TPU — see exclusive_cumsum_1d)."""
+    scan is the slow path on TPU — see exclusive_cumsum_1d).
+
+    The block COUNT is a fixed power of two (not the block size): under an
+    SPMD mesh the leading axis then stays divisible by the shard count, so
+    the within-block cumsum partitions cleanly and only the [rows, C]
+    per-block totals cross shards. The previous fixed block SIZE gave 75
+    blocks at the production shape — indivisible by any mesh — and XLA
+    replicated the whole [N, C] input (a 19.7 MB all-gather at N=8, the
+    largest collective of the partitioned frame step, SCALING.json r4)."""
     n, c = x.shape
-    rows = -(-n // block)
+    block = -(-n // rows)
     pad = rows * block - n
     m = jnp.pad(x.astype(jnp.int32), ((0, pad), (0, 0))).reshape(rows, block, c)
     within = jnp.cumsum(m, axis=1)
@@ -148,10 +156,16 @@ def cluster_point_samples(
     flat = compact.reshape(-1).astype(jnp.int32)
     pts = points_w.reshape(-1, 3)
     on = flat >= 0
-    onehot = (flat[:, None] == jnp.arange(MC, dtype=jnp.int32)).astype(jnp.int32)
-    rank = (exclusive_cumsum_2d(onehot) * onehot).sum(-1)  # [N] rank in cluster
-    counts = onehot.sum(0)  # [MC]
-    cnt = (counts[None, :] * onehot).sum(-1)  # own cluster's count per pixel
+    # int8 one-hot: when the pixel axis is sharded over a device mesh, the
+    # global prefix count forces this [N, MC] array across shards — at s32
+    # it was the largest all-gather of the partitioned frame step (19.7 MB
+    # of the 54 MB at N=8, SCALING.json r4). exclusive_cumsum_2d widens to
+    # s32 internally, so counts are exact.
+    onehot = (flat[:, None] == jnp.arange(MC, dtype=jnp.int32)).astype(jnp.int8)
+    oh32 = onehot.astype(jnp.int32)
+    rank = (exclusive_cumsum_2d(onehot) * oh32).sum(-1)  # [N] rank in cluster
+    counts = oh32.sum(0)  # [MC]
+    cnt = (counts[None, :] * oh32).sum(-1)  # own cluster's count per pixel
     small = cnt <= k
     cnt_safe = jnp.maximum(cnt, 1)
     slot_big = (rank * k) // cnt_safe
@@ -160,7 +174,13 @@ def cluster_point_samples(
     sel = on & (small | sel_big) & (slot < k)
     row = jnp.where(sel, flat, MC)
     col = jnp.where(sel, slot, 0)
-    samples = jnp.zeros((MC + 1, k, 3), pts.dtype).at[row, col].set(pts)[:MC]
+    # .add, not .set: slots are unique per selected pixel (rank-based), so
+    # add-on-zeros is identical — and unlike set it is commutative, letting
+    # the SPMD partitioner do shard-local partial scatters + a small
+    # all-reduce of the [MC+1, k, 3] output instead of all-gathering the
+    # full [N,3] points + indices (17 MB of the N=8 collective bill)
+    contrib = jnp.where(sel[:, None], pts, 0.0)
+    samples = jnp.zeros((MC + 1, k, 3), pts.dtype).at[row, col].add(contrib)[:MC]
     valid = jnp.arange(k)[None, :] < jnp.minimum(counts, k)[:, None]
     return jnp.where(valid[..., None], samples, 0.0), valid
 

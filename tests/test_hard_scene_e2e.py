@@ -127,25 +127,26 @@ class TestHardScene:
         assert 0.7 <= o["recall"] <= 0.98, o
         assert o["oversegmented"] >= 5, (o, "hard scene should fragment views")
         ch = s["changes"]
-        # measured P 0.75 / R 0.429 on-chip; CPU numerics shift borderline
-        # evidence windows and fragment association (P 0.5 measured), so the
-        # floors span both backends. Misses are coverage-limited
-        # (METRICS.md diagnosis).
-        assert ch["change_precision"] >= 0.45, ch
-        assert 0.25 <= ch["change_recall"] <= 0.9, ch
+        # r5: with the ray-classification contraction forced elementwise
+        # (no bf16 MXU lowering) the CPU and on-chip decisions agree —
+        # measured P 0.8 / R 0.571 on CPU (was P 0.5; on-chip r4 P 0.75) —
+        # so the floor is back at the r4 VERDICT task-7 target (>= 0.7).
+        # Misses remain coverage-limited (METRICS.md diagnosis).
+        assert ch["change_precision"] >= 0.7, ch
+        assert 0.3 <= ch["change_recall"] <= 0.9, ch
         d = s["dynamic"]
         # visibility ceiling is 0.073 (tour gaze); measured R 0.065-0.073
         assert d["dynamic_precision"] > 0.8, d
         assert d["dynamic_recall"] >= 0.04, d
 
     def test_rooms_found(self, hard_run):
-        """r4 task 8: room segmentation on a genuinely multi-room scene —
-        the 4 real rooms must come out as 4-7 segments (doorway leakage may
-        add one; measured 5)."""
+        """r5 VERDICT task 4: the 4 real rooms must come out as 4+-1 —
+        exact-metric ball erosion + real doorways + no phantom fallback ids
+        measured exactly 4 on CPU and on the GT surface."""
         scene, pipe, *_ = hard_run
         final = pipe.map.snapshots[-1]
         assert final.places is not None and len(final.places.nodes) > 0
-        assert 4 <= final.places.num_rooms <= 8, final.places.num_rooms
+        assert 3 <= final.places.num_rooms <= 5, final.places.num_rooms
 
     def test_moved_object_reported_both_ways(self, hard_run):
         """The MOVED box (disappears at A, appears at B) must be reported as
