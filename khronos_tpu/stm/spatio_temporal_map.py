@@ -9,9 +9,27 @@ vertices/faces (all-vertices-present, cpp:646-661), objects by effective
 appearance time (cpp:244-293), and trims dynamic trajectories (cpp:295-325);
 binary save/load with a version field (cpp:545-640, `.4dmap`).
 
-TPU-era simplification: snapshots are array archives; the prefix trick is an
-argsort + searchsorted per snapshot (cheap, done once at update), so a time
-query is numpy slicing — no incremental clone bookkeeping needed.
+Storage design (r5): snapshots share ONE CANONICAL UNION mesh per geometry
+epoch. The backend accumulator is append-only between optimizations that
+move geometry, so every snapshot's reconciled mesh is `union[:L][keep]`
+plus per-row value mutations:
+
+  - `_unions[u]` — the canonical mesh chunk: positions / first_seen frozen,
+    colors / labels / last_seen hold the LATEST values, faces append-only
+    in union indexing.
+  - per snapshot: union id `u`, covered length `L`, face count `F`, a
+    `keep` bitmask over union[:L] (reconciliation removals), and REVERSE
+    value-diffs `rev` (the values this snapshot's update overwrote) so any
+    older snapshot's values reconstruct by walking the diffs backward.
+
+Earlier rounds deltad each snapshot against the PREVIOUS RECONCILED mesh;
+vertices removed by reconciliation reappear from the accumulator on the
+next pass and interleave into the prefix, so the prefix check failed and
+nearly every snapshot stored a full ~100 MB copy (3.2 GB over a 3,000-frame
+endurance run). Against the union the prefix property holds by
+construction. A geometry-moving optimization (positions deform) starts a
+fresh union chunk — the reference's recomputeHash-on-loop-closure
+semantics.
 
 Semantics of query(robot_time): "what the robot KNEW at robot_time" — the
 latest snapshot taken at or before robot_time, restricted to geometry first
@@ -32,11 +50,13 @@ from khronos_tpu.stm import serialization
 from khronos_tpu.stm.scene_graph import Mesh, SceneGraph
 from khronos_tpu.utils import intervals as iv
 
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
+
+_REV_FIELDS = ("color", "label", "seen")
 
 
 class _SnapshotView:
-    """List-like view over prefix-shared snapshots (materialized on access)."""
+    """List-like view over union-shared snapshots (materialized on access)."""
 
     def __init__(self, stm: "SpatioTemporalMap"):
         self._stm = stm
@@ -58,24 +78,15 @@ class _SnapshotView:
 
 
 class SpatioTemporalMap:
-    """Snapshots are stored DELTA-SHARED: the backend mesh is append-only
-    with frozen per-vertex stamps between optimizations, and reconciliation
-    only REMOVES vertices, so consecutive snapshots relate as
-    `new = prev[keep_mask] ++ appended_tail` (stable first-seen order). Each
-    snapshot stores the keep mask (1 bit/vertex), the appended tail, and the
-    appended faces; surviving faces re-derive from the base by index remap.
-    Loop-closure deformations (positions moved) fall back to a full chunk.
-    RAM and the `.4dmap` archive grow with the CHANGES, not
-    O(snapshots x vertices) (the reference clones per snapshot,
-    spatio_temporal_map.cpp:100-118 — which blows up on long runs)."""
-
     def __init__(self):
         self.stamps_ns: List[int] = []
-        # per snapshot: {"base": int (-1 = full), "keep": bool[V_base]|None,
-        # "graph": SceneGraph whose mesh holds only the appended tail and
-        # the appended faces (final-snapshot vertex indexing)}
+        # canonical union chunks: one per geometry epoch
+        # {"mesh": Mesh (faces in union indexing; colors/labels/last_seen =
+        #  values as of the LAST snapshot using this union)}
+        self._unions: List[Mesh] = []
+        # per snapshot: {"u", "L", "F", "keep" (bool[L]), "rev" ({field:
+        #  (idx, old_values)}), "graph" (SceneGraph with an EMPTY mesh)}
         self._stores: List[dict] = []
-        self._last_full: Optional[Mesh] = None  # previous snapshot's full mesh
 
     @property
     def snapshots(self) -> _SnapshotView:
@@ -93,133 +104,152 @@ class SpatioTemporalMap:
         k ^= xb[:, 2].astype(np.int64) * np.int64(0xC2B2AE3D)
         return k
 
-    @classmethod
-    def _make_delta(cls, prev: Mesh, new: Mesh):
-        """Try to express `new` as prev[keep] ++ tail (+ appended faces).
-        Returns (keep_mask, tail_mesh, diffs) or None.
-
-        Vertex IDENTITY is (first_seen_ns, position) only: re-observation
-        mutates last_seen stamps AND colors/labels (weighted color fusion)
-        of existing vertices every pass, which would break sharing for the
-        whole re-observed region — instead those mutable per-vertex arrays
-        are stored as SPARSE DIFFS against the kept prefix (the re-observed
-        set is bounded by the sensor window, not the map). The r4 full
-        (colors+labels included) equality check made nearly every endurance
-        snapshot a full copy: 3.0 GB of 8.3 GB RSS at 3,000 frames."""
-        Vp, Vn = prev.num_vertices, new.num_vertices
-        if Vp == 0:
-            return None
-        keep = np.isin(cls._row_keys(prev), cls._row_keys(new))
-        n_old = int(keep.sum())
-        if n_old > Vn:
-            return None
-        # verify prev[keep] == new[:n_old] exactly (hash collisions, order)
-        sel = np.nonzero(keep)[0]
-        if not (
-            np.array_equal(prev.first_seen_ns[sel], new.first_seen_ns[:n_old])
-            and np.array_equal(prev.vertices[sel], new.vertices[:n_old])
-        ):
-            return None
-        # faces: surviving base faces (remapped) must form the new prefix
-        remap = -np.ones(Vp, np.int64)
-        remap[keep] = np.arange(n_old)
-        if prev.num_faces:
-            f = remap[prev.faces]
-            derived = f[(f >= 0).all(axis=1)]
-        else:
-            derived = np.zeros((0, 3), np.int64)
-        Fd = len(derived)
-        if new.num_faces < Fd or not np.array_equal(new.faces[:Fd], derived):
-            return None
-        # sparse diffs over the kept prefix for the mutable arrays
-        ci = np.nonzero((prev.colors[sel] != new.colors[:n_old]).any(axis=1))[0]
-        li = np.nonzero(prev.labels[sel] != new.labels[:n_old])[0]
-        si = np.nonzero(prev.last_seen_ns[sel] != new.last_seen_ns[:n_old])[0]
-        if max(len(ci), len(li), len(si)) > 0.5 * max(n_old, 1):
-            return None  # wholesale mutation: a full store is cheaper
-        diffs = {
-            "color_idx": ci.astype(np.int64),
-            "color_val": new.colors[:n_old][ci].copy(),
-            "label_idx": li.astype(np.int64),
-            "label_val": new.labels[:n_old][li].copy(),
-            "seen_idx": si.astype(np.int64),
-            "seen_val": new.last_seen_ns[:n_old][si].copy(),
+    @staticmethod
+    def _values_of(mesh: Mesh, sel) -> dict:
+        return {
+            "color": mesh.colors[sel],
+            "label": mesh.labels[sel],
+            "seen": mesh.last_seen_ns[sel],
         }
-        tail = Mesh(
-            vertices=new.vertices[n_old:].copy(),
-            colors=new.colors[n_old:].copy(),
-            labels=new.labels[n_old:].copy(),
-            first_seen_ns=new.first_seen_ns[n_old:].copy(),
-            last_seen_ns=new.last_seen_ns[n_old:].copy(),
-            faces=new.faces[Fd:].copy(),  # final-snapshot indexing
-        )
-        return keep, tail, diffs
+
+    def _start_union(self, new: Mesh, graph: SceneGraph, stamp_ns: int) -> None:
+        """Begin a fresh canonical chunk holding `new` verbatim."""
+        self._unions.append(Mesh(
+            vertices=new.vertices.copy(),
+            colors=new.colors.copy(),
+            labels=new.labels.copy(),
+            first_seen_ns=new.first_seen_ns.copy(),
+            last_seen_ns=new.last_seen_ns.copy(),
+            faces=new.faces.copy(),
+        ))
+        self._stores.append({
+            "u": len(self._unions) - 1,
+            "L": new.num_vertices,
+            "F": new.num_faces,
+            "keep": np.ones(new.num_vertices, bool),
+            "rev": {f: (np.zeros(0, np.int64), None) for f in _REV_FIELDS},
+            "graph": graph,
+        })
+        self.stamps_ns.append(int(stamp_ns))
 
     def update(self, dsg: SceneGraph, stamp_ns: int) -> None:
         """Add a reconciled snapshot (finalized: vertices sorted by first_seen)."""
         snap = dsg.clone(share_arrays=True)
         self._finalize(snap)
-        full_mesh = snap.mesh
-        base, keep, diffs = -1, None, None
-        if self._last_full is not None:
-            delta = self._make_delta(self._last_full, full_mesh)
-            if delta is not None:
-                keep, tail, diffs = delta
-                base = len(self._stores) - 1
-                snap.mesh = tail
-        self._stores.append(
-            {"base": base, "keep": keep, "diffs": diffs, "graph": snap}
+        new = snap.mesh
+        snap.mesh = Mesh.empty()  # the union owns the geometry
+        if not self._unions or new.num_vertices == 0:
+            self._start_union(new, snap, stamp_ns)
+            return
+        union = self._unions[-1]
+        ku = np.isin(self._row_keys(union), self._row_keys(new))
+        n_old = int(ku.sum())
+        sel = np.nonzero(ku)[0]
+        Vn = new.num_vertices
+        prefix_ok = (
+            n_old <= Vn
+            and np.array_equal(union.first_seen_ns[sel], new.first_seen_ns[:n_old])
+            and np.array_equal(union.vertices[sel], new.vertices[:n_old])
         )
+        if not prefix_ok:
+            # geometry moved (deformation): fresh canonical chunk
+            self._start_union(new, snap, stamp_ns)
+            return
+        Lp = union.num_vertices
+        # face check: surviving union faces must form the new faces' prefix
+        remap = -np.ones(Lp, np.int64)
+        remap[ku] = np.arange(n_old)
+        if union.num_faces:
+            f = remap[union.faces]
+            derived = f[(f >= 0).all(axis=1)]
+        else:
+            derived = np.zeros((0, 3), np.int64)
+        Fd = len(derived)
+        if new.num_faces < Fd or not np.array_equal(new.faces[:Fd], derived):
+            self._start_union(new, snap, stamp_ns)
+            return
+        # REVERSE diffs: remember the union values this update overwrites
+        rev = {}
+        new_vals = self._values_of(new, slice(0, n_old))
+        old_vals = self._values_of(union, sel)
+        for fld in _REV_FIELDS:
+            nv, ov = new_vals[fld], old_vals[fld]
+            ch = (
+                np.nonzero((nv != ov).any(axis=1))[0]
+                if nv.ndim == 2 else np.nonzero(nv != ov)[0]
+            )
+            rows = sel[ch]
+            rev[fld] = (rows.astype(np.int64), ov[ch].copy())
+        # write the new values + append the tail into the union
+        union.colors[sel] = new.colors[:n_old]
+        union.labels[sel] = new.labels[:n_old]
+        union.last_seen_ns[sel] = new.last_seen_ns[:n_old]
+        union.vertices = np.concatenate([union.vertices, new.vertices[n_old:]])
+        union.colors = np.concatenate([union.colors, new.colors[n_old:]])
+        union.labels = np.concatenate([union.labels, new.labels[n_old:]])
+        union.first_seen_ns = np.concatenate(
+            [union.first_seen_ns, new.first_seen_ns[n_old:]]
+        )
+        union.last_seen_ns = np.concatenate(
+            [union.last_seen_ns, new.last_seen_ns[n_old:]]
+        )
+        # appended faces -> union indexing
+        inv = np.concatenate([sel, np.arange(Lp, Lp + (Vn - n_old))])
+        if new.num_faces > Fd:
+            union.faces = np.concatenate([union.faces, inv[new.faces[Fd:]]])
+        keep = np.zeros(union.num_vertices, bool)
+        keep[sel] = True
+        keep[Lp:] = True
+        self._stores.append({
+            "u": len(self._unions) - 1,
+            "L": union.num_vertices,
+            "F": union.num_faces,
+            "keep": keep,
+            "rev": rev,
+            "graph": snap,
+        })
         self.stamps_ns.append(int(stamp_ns))
-        self._last_full = full_mesh
 
+    # ------------------------------------------------------------------
     def _materialize(self, i: int) -> SceneGraph:
-        """Full SceneGraph for snapshot i (mesh rebuilt from the base chain)."""
+        """Full SceneGraph for snapshot i (mesh rebuilt from its union)."""
         store = self._stores[i]
-        if store["base"] < 0:
-            return store["graph"]
         if store.get("_cache") is not None:
             return store["_cache"]
-        chain = []
-        j = i
-        while j >= 0 and self._stores[j]["base"] >= 0:
-            chain.append(self._stores[j])
-            j = self._stores[j]["base"]
-        mesh = self._stores[j]["graph"].mesh  # full root chunk
-        for st in reversed(chain):
-            keep, tail = st["keep"], st["graph"].mesh
-            sel = np.nonzero(keep)[0]
-            n_old = len(sel)
-            remap = -np.ones(len(keep), np.int64)
-            remap[keep] = np.arange(n_old)
-            if mesh.num_faces:
-                f = remap[mesh.faces]
-                derived = f[(f >= 0).all(axis=1)]
-            else:
-                derived = np.zeros((0, 3), np.int64)
-            colors = mesh.colors[sel]
-            labels = mesh.labels[sel]
-            last_seen = mesh.last_seen_ns[sel]
-            diffs = st.get("diffs")
-            if diffs is not None:  # apply the prefix's sparse mutations
-                colors = colors.copy()
-                colors[diffs["color_idx"]] = diffs["color_val"]
-                labels = labels.copy()
-                labels[diffs["label_idx"]] = diffs["label_val"]
-                last_seen = last_seen.copy()
-                last_seen[diffs["seen_idx"]] = diffs["seen_val"]
-            elif st.get("last_seen") is not None:  # v2 stores (old files)
-                last_seen = st["last_seen"][:n_old]
-            mesh = Mesh(
-                vertices=np.concatenate([mesh.vertices[sel], tail.vertices]),
-                colors=np.concatenate([colors, tail.colors]),
-                labels=np.concatenate([labels, tail.labels]),
-                first_seen_ns=np.concatenate(
-                    [mesh.first_seen_ns[sel], tail.first_seen_ns]
-                ),
-                last_seen_ns=np.concatenate([last_seen, tail.last_seen_ns]),
-                faces=np.concatenate([derived, tail.faces]),
-            )
+        u = store["u"]
+        union = self._unions[u]
+        L, F, keep = store["L"], store["F"], store["keep"]
+        colors = union.colors[:L].copy()
+        labels = union.labels[:L].copy()
+        seen = union.last_seen_ns[:L].copy()
+        # rewind value mutations applied by NEWER snapshots of this union
+        for j in range(len(self._stores) - 1, i, -1):
+            st = self._stores[j]
+            if st["u"] != u:
+                continue
+            for fld, arr in (("color", colors), ("label", labels), ("seen", seen)):
+                idx, old = st["rev"][fld]
+                if old is None or len(idx) == 0:
+                    continue
+                m = idx < L
+                arr[idx[m]] = old[m]
+        sel = np.nonzero(keep)[0]
+        remap = -np.ones(L, np.int64)
+        remap[keep] = np.arange(len(sel))
+        uf = union.faces[:F]
+        if len(uf):
+            f = remap[uf]
+            faces = f[(f >= 0).all(axis=1)]
+        else:
+            faces = np.zeros((0, 3), np.int64)
+        mesh = Mesh(
+            vertices=union.vertices[:L][keep],
+            colors=colors[keep],
+            labels=labels[keep],
+            first_seen_ns=union.first_seen_ns[:L][keep],
+            last_seen_ns=seen[keep],
+            faces=faces,
+        )
         out = store["graph"].clone()
         out.mesh = mesh
         # cache only the most recent materialization (the common access)
@@ -249,7 +279,7 @@ class SpatioTemporalMap:
     # ------------------------------------------------------------------
     @property
     def num_snapshots(self) -> int:
-        return len(self.snapshots)
+        return len(self._stores)
 
     def stamps(self) -> List[int]:
         return list(self.stamps_ns)
@@ -266,7 +296,7 @@ class SpatioTemporalMap:
     ) -> Optional[SceneGraph]:
         """Scene state as known at robot_time (optionally evaluated at
         query_time for presence filtering). Returns a fresh SceneGraph."""
-        if not self.snapshots:
+        if not self._stores:
             return None
         idx = int(np.searchsorted(self.stamps_ns, robot_time_ns, side="right")) - 1
         idx = max(idx, 0)
@@ -321,23 +351,35 @@ class SpatioTemporalMap:
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
-        """Versioned `.4dmap` archive (npz). Version 2 stores the
-        prefix-shared form (per-snapshot base index + mesh delta), so the
-        file grows with the changes, not O(snapshots x vertices)."""
+        """Versioned `.4dmap` archive (npz). Version 4 stores the
+        union-shared form: canonical mesh chunks + per-snapshot keep masks
+        and reverse value-diffs, so the file grows with the changes, not
+        O(snapshots x vertices)."""
         arrays = {
             "format_version": np.asarray([FORMAT_VERSION]),
             "stamps_ns": np.asarray(self.stamps_ns, np.int64),
-            "bases": np.asarray([s["base"] for s in self._stores], np.int64),
+            "n_unions": np.asarray([len(self._unions)]),
+            "snap_meta": np.asarray(
+                [[s["u"], s["L"], s["F"]] for s in self._stores], np.int64
+            ).reshape(len(self._stores), 3),
         }
-        for i, store in enumerate(self._stores):
+        for u, mesh in enumerate(self._unions):
+            g = SceneGraph(mesh=mesh)
             arrays.update(
-                serialization.scene_graph_arrays(store["graph"], prefix=f"snap/{i}/")
+                serialization.scene_graph_arrays(g, prefix=f"union/{u}/")
             )
-            if store.get("keep") is not None:
-                arrays[f"snap/{i}/keep"] = np.packbits(store["keep"])
-                arrays[f"snap/{i}/keep_len"] = np.asarray([len(store["keep"])])
-                for k, v in store["diffs"].items():
-                    arrays[f"snap/{i}/diff_{k}"] = v
+        for i, store in enumerate(self._stores):
+            g = store["graph"].clone(share_arrays=True)
+            arrays.update(
+                serialization.scene_graph_arrays(g, prefix=f"snap/{i}/")
+            )
+            arrays[f"snap/{i}/keep"] = np.packbits(store["keep"])
+            arrays[f"snap/{i}/keep_len"] = np.asarray([len(store["keep"])])
+            for fld in _REV_FIELDS:
+                idx, old = store["rev"][fld]
+                arrays[f"snap/{i}/rev_{fld}_idx"] = idx
+                if old is not None and len(idx):
+                    arrays[f"snap/{i}/rev_{fld}_val"] = old
         np.savez_compressed(path, **arrays)
 
     @staticmethod
@@ -345,39 +387,93 @@ class SpatioTemporalMap:
         out = SpatioTemporalMap()
         with np.load(path, allow_pickle=False) as data:
             version = int(data["format_version"][0])
-            if version not in (1, 2, 3):
+            if version in (1, 2, 3):
+                return SpatioTemporalMap._load_legacy(data, version)
+            if version != 4:
                 raise ValueError(f"unsupported 4dmap version {version}")
             stamps = data["stamps_ns"]
             out.stamps_ns = [int(s) for s in stamps]
-            bases = (
-                data["bases"]
-                if version >= 2
-                else np.full(len(stamps), -1, np.int64)
-            )
-            for i in range(len(stamps)):
-                keep = last_seen = diffs = None
-                if f"snap/{i}/keep" in data:
-                    n = int(data[f"snap/{i}/keep_len"][0])
-                    keep = np.unpackbits(data[f"snap/{i}/keep"])[:n].astype(bool)
-                    if f"snap/{i}/diff_color_idx" in data:  # v3
-                        diffs = {
-                            k: data[f"snap/{i}/diff_{k}"]
-                            for k in ("color_idx", "color_val", "label_idx",
-                                      "label_val", "seen_idx", "seen_val")
-                        }
-                    elif f"snap/{i}/last_seen" in data:  # v2
-                        last_seen = data[f"snap/{i}/last_seen"]
-                out._stores.append(
-                    {
-                        "base": int(bases[i]),
-                        "keep": keep,
-                        "diffs": diffs,
-                        "last_seen": last_seen,
-                        "graph": serialization.scene_graph_from_arrays(
-                            data, prefix=f"snap/{i}/"
-                        ),
-                    }
+            for u in range(int(data["n_unions"][0])):
+                out._unions.append(
+                    serialization.scene_graph_from_arrays(
+                        data, prefix=f"union/{u}/"
+                    ).mesh
                 )
-        if out._stores:
-            out._last_full = out._materialize(len(out._stores) - 1).mesh
+            meta = data["snap_meta"].reshape(-1, 3)
+            for i in range(len(stamps)):
+                n = int(data[f"snap/{i}/keep_len"][0])
+                keep = np.unpackbits(data[f"snap/{i}/keep"])[:n].astype(bool)
+                rev = {}
+                for fld in _REV_FIELDS:
+                    idx = data[f"snap/{i}/rev_{fld}_idx"]
+                    val = (
+                        data[f"snap/{i}/rev_{fld}_val"]
+                        if f"snap/{i}/rev_{fld}_val" in data
+                        else None
+                    )
+                    rev[fld] = (idx, val)
+                out._stores.append({
+                    "u": int(meta[i, 0]),
+                    "L": int(meta[i, 1]),
+                    "F": int(meta[i, 2]),
+                    "keep": keep,
+                    "rev": rev,
+                    "graph": serialization.scene_graph_from_arrays(
+                        data, prefix=f"snap/{i}/"
+                    ),
+                })
+        return out
+
+    @staticmethod
+    def _load_legacy(data, version: int) -> "SpatioTemporalMap":
+        """v1-3 files stored per-snapshot mesh deltas against the previous
+        RECONCILED mesh; materialize each and re-ingest into the union form."""
+        stamps = data["stamps_ns"]
+        bases = (
+            data["bases"] if version >= 2 else np.full(len(stamps), -1, np.int64)
+        )
+        full_meshes: List[Mesh] = []
+        graphs: List[SceneGraph] = []
+        for i in range(len(stamps)):
+            g = serialization.scene_graph_from_arrays(data, prefix=f"snap/{i}/")
+            graphs.append(g)
+            mesh = g.mesh
+            if int(bases[i]) >= 0:
+                prev = full_meshes[int(bases[i])]
+                n = int(data[f"snap/{i}/keep_len"][0])
+                keep = np.unpackbits(data[f"snap/{i}/keep"])[:n].astype(bool)
+                sel = np.nonzero(keep)[0]
+                n_old = len(sel)
+                remap = -np.ones(n, np.int64)
+                remap[keep] = np.arange(n_old)
+                derived = (
+                    remap[prev.faces][(remap[prev.faces] >= 0).all(axis=1)]
+                    if prev.num_faces
+                    else np.zeros((0, 3), np.int64)
+                )
+                colors = prev.colors[sel].copy()
+                labels = prev.labels[sel].copy()
+                seen = prev.last_seen_ns[sel].copy()
+                if f"snap/{i}/diff_color_idx" in data:  # v3 sparse diffs
+                    colors[data[f"snap/{i}/diff_color_idx"]] = data[f"snap/{i}/diff_color_val"]
+                    labels[data[f"snap/{i}/diff_label_idx"]] = data[f"snap/{i}/diff_label_val"]
+                    seen[data[f"snap/{i}/diff_seen_idx"]] = data[f"snap/{i}/diff_seen_val"]
+                elif f"snap/{i}/last_seen" in data:  # v2 full last_seen
+                    seen = data[f"snap/{i}/last_seen"][:n_old]
+                tail = mesh
+                mesh = Mesh(
+                    vertices=np.concatenate([prev.vertices[sel], tail.vertices]),
+                    colors=np.concatenate([colors, tail.colors]),
+                    labels=np.concatenate([labels, tail.labels]),
+                    first_seen_ns=np.concatenate(
+                        [prev.first_seen_ns[sel], tail.first_seen_ns]
+                    ),
+                    last_seen_ns=np.concatenate([seen, tail.last_seen_ns]),
+                    faces=np.concatenate([derived, tail.faces]),
+                )
+            full_meshes.append(mesh)
+        out = SpatioTemporalMap()
+        for i, (g, mesh) in enumerate(zip(graphs, full_meshes)):
+            g.mesh = mesh
+            out.update(g, int(stamps[i]))
         return out

@@ -39,7 +39,15 @@ SPEED = 1.0  # m/s along the corridor (out and back)
 def _vm_rss_mb() -> int:
     """CURRENT resident set (MB) — ru_maxrss is a monotonic high-water mark
     and reads transient numpy spikes as leaks (r4 VERDICT task 3 asks for a
-    live series that can plateau)."""
+    live series that can plateau). malloc_trim first: repeated ~100 MB mesh
+    temporaries leave glibc arena pages resident long after free, which
+    reads as a leak when it is fragmentation."""
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
     try:
         with open("/proc/self/status") as fh:
             for line in fh:
@@ -71,15 +79,13 @@ def _component_mb(pipe) -> dict:
 
     out = {}
     stm = pipe.map
-    tot = sum(
-        graph_b(st["graph"])
-        + sum(v.nbytes for v in (st.get("diffs") or {}).values())
-        + (st["keep"].nbytes if st.get("keep") is not None else 0)
-        for st in stm._stores
-    )
-    if stm._last_full is not None:
-        tot += mesh_b(stm._last_full)
+    tot = sum(mesh_b(m) for m in stm._unions)
+    for st in stm._stores:
+        tot += graph_b(st["graph"]) + st["keep"].nbytes
+        for idx, old in st["rev"].values():
+            tot += idx.nbytes + (old.nbytes if old is not None else 0)
     out["map_4d"] = tot
+    out["map_unions"] = len(stm._unions)
     try:
         out["backend_mesh"] = mesh_b(pipe.backend.mesh_acc.build())
     except Exception:

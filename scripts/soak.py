@@ -171,9 +171,7 @@ def main():
     n_delta = rows[-1]["delta_updates"]
 
     # full-clone-equivalent storage for comparison
-    clone_MB = sum(
-        (st["base"] >= 0) * 0 + 0 for st in pipe.map._stores
-    )  # placeholder
+    clone_MB = 0  # placeholder
     per_snap_full = [
         pipe.map._materialize(i).mesh.num_vertices for i in range(pipe.map.num_snapshots)
     ]

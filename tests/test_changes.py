@@ -545,29 +545,36 @@ class TestSpatioTemporalMap:
             return dsg
 
         stm.update(make(10), int(10e9))
-        stm.update(make(14), int(20e9))  # append-only: shares the 10-prefix
-        stm.update(make(18), int(30e9))  # chains on snapshot 1
-        assert stm._stores[0]["base"] == -1
-        assert stm._stores[1]["base"] == 0
-        assert stm._stores[2]["base"] == 1
-        assert stm._stores[1]["graph"].mesh.num_vertices == 4  # delta only
-        # materialization rebuilds the full mesh through the chain
+        stm.update(make(14), int(20e9))  # append-only: extends the union
+        stm.update(make(18), int(30e9))
+        assert len(stm._unions) == 1, "append-only growth shares one union"
+        assert stm._unions[0].num_vertices == 18
+        # materialization rebuilds the full mesh from the union
         assert stm.snapshots[2].mesh.num_vertices == 18
         np.testing.assert_allclose(
             stm.snapshots[2].mesh.vertices[:10], stm.snapshots[0].mesh.vertices
         )
-        # a removal still delta-shares: keep mask with the dropped vertex off
+        # a removal delta-shares via the keep mask ...
         stm.update(make(18, drop_first=True), int(40e9))
-        assert stm._stores[3]["base"] == 2
+        assert len(stm._unions) == 1
         assert stm._stores[3]["keep"].sum() == 17
-        assert stm._stores[3]["graph"].mesh.num_vertices == 0  # no tail
         assert stm.snapshots[3].mesh.num_vertices == 17
-        # round-trip (v2 archive)
+        # ... and a REAPPEARING removed vertex still shares (the r5 failure
+        # mode: reconciliation-removed rows reappear from the accumulator
+        # and used to break the prefix against the previous RECONCILED mesh,
+        # forcing a ~full store every pass)
+        stm.update(make(18), int(50e9))
+        assert len(stm._unions) == 1, "reappearance must not fork the union"
+        assert stm._stores[4]["keep"].all()
+        assert stm.snapshots[4].mesh.num_vertices == 18
+        # older snapshots keep their as-of values after later updates
+        assert stm.snapshots[3].mesh.num_vertices == 17
+        # round-trip (v4 archive)
         path = str(tmp_path / "m.4dmap.npz")
         stm.save(path)
         stm2 = SpatioTemporalMap.load(path)
-        assert stm2._stores[2]["base"] == 1
-        for i in range(4):
+        assert len(stm2._unions) == 1
+        for i in range(5):
             np.testing.assert_allclose(
                 stm2.snapshots[i].mesh.vertices, stm.snapshots[i].mesh.vertices
             )
