@@ -445,8 +445,18 @@ class ActiveWindow:
                     )
 
             # 5) frame buffer. Frames not yet seen by the (one-frame-lagged)
-            # tracker must survive the trim.
-            self.frame_buffer.store(frame)
+            # tracker must survive the trim. Buffered frames keep only what
+            # object extraction consumes (depth + object_image + pose):
+            # color/labels retained ~60% more device memory — and under the
+            # axon tunnel every live device buffer also pins a host mirror
+            # (~8 MB/frame x up to 92 retained frames on the r5 endurance).
+            self.frame_buffer.store(dataclasses.replace(
+                frame,
+                color=None,
+                labels=None,
+                instances=None,
+                dynamic_image=None,
+            ))
             if self.tracker is not None:
                 referenced = set(self.tracker.referenced_stamps())
                 referenced.add(frame.stamp_ns)

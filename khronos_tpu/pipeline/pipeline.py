@@ -253,6 +253,10 @@ class KhronosPipeline:
         may run concurrently with per-frame processing."""
         with Timer("pipeline/change_detection", stamp_ns):
             changes = self.change_detector.detect_changes(dsg, had_loop_closure, merges)
+            # keep the PRE-reconcile mesh (shared arrays; the reconciler
+            # rebinds, not mutates): it is the append-only canonical stream
+            # the 4D map's union store extends from
+            canonical = dsg.mesh.clone(share_arrays=True)
             dsg = self.reconciler.reconcile(dsg, changes, merges)
             mode = self.config.places_mode
             if self.places_extractor is not None and (
@@ -278,7 +282,7 @@ class KhronosPipeline:
                             parts.append(np.asarray(o.mesh_vertices) + o.bbox_min)
                     self.places_extractor.reset_occupancy(np.concatenate(parts))
             with Timer("pipeline/map_update"):
-                self.map.update(dsg, stamp_ns)
+                self.map.update(dsg, stamp_ns, canonical_mesh=canonical)
         for sink in self._change_sinks:
             sink(dsg, changes, stamp_ns)
 

@@ -14,9 +14,12 @@ epoch. The backend accumulator is append-only between optimizations that
 move geometry, so every snapshot's reconciled mesh is `union[:L][keep]`
 plus per-row value mutations:
 
-  - `_unions[u]` — the canonical mesh chunk: positions / first_seen frozen,
-    colors / labels / last_seen hold the LATEST values, faces append-only
-    in union indexing.
+  - `_unions[u]` — the canonical mesh chunk in RAW ACCUMULATOR ORDER
+    (insertion order is the only genuinely append-only order: first_seen
+    can DECREASE when a re-added vertex carries an earlier stamp, so any
+    stamp-sorted order reshuffles between passes). Positions are frozen;
+    colors / labels / first_seen / last_seen hold the LATEST values; faces
+    are the accumulator's, append-only, already in union indexing.
   - per snapshot: union id `u`, covered length `L`, face count `F`, a
     `keep` bitmask over union[:L] (reconciliation removals), and REVERSE
     value-diffs `rev` (the values this snapshot's update overwrote) so any
@@ -52,7 +55,7 @@ from khronos_tpu.utils import intervals as iv
 
 FORMAT_VERSION = 4
 
-_REV_FIELDS = ("color", "label", "seen")
+_REV_FIELDS = ("color", "label", "seen", "first")
 
 
 class _SnapshotView:
@@ -95,11 +98,13 @@ class SpatioTemporalMap:
     # ------------------------------------------------------------------
     @staticmethod
     def _row_keys(mesh: Mesh) -> np.ndarray:
-        """int64 content key per vertex (stamp + position bits); collisions
-        are harmless — candidates are verified element-wise before use."""
+        """int64 POSITION key per vertex: the accumulator dedups on a
+        quantization grid, so positions are unique identifiers; stamps are
+        mutable (first_seen decreases when a re-added vertex carries an
+        earlier stamp) and must not enter identity. Collision mismatches
+        are caught by the membership count check."""
         xb = np.ascontiguousarray(mesh.vertices, np.float32).view(np.uint32)
-        k = mesh.first_seen_ns.astype(np.int64) * np.int64(1000003)
-        k ^= xb[:, 0].astype(np.int64) * np.int64(0x9E3779B1)
+        k = xb[:, 0].astype(np.int64) * np.int64(0x9E3779B1)
         k ^= xb[:, 1].astype(np.int64) * np.int64(0x85EBCA77)
         k ^= xb[:, 2].astype(np.int64) * np.int64(0xC2B2AE3D)
         return k
@@ -110,96 +115,100 @@ class SpatioTemporalMap:
             "color": mesh.colors[sel],
             "label": mesh.labels[sel],
             "seen": mesh.last_seen_ns[sel],
+            "first": mesh.first_seen_ns[sel],
         }
 
-    def _start_union(self, new: Mesh, graph: SceneGraph, stamp_ns: int) -> None:
-        """Begin a fresh canonical chunk holding `new` verbatim."""
+    def _start_union(
+        self, P: Mesh, new: Mesh, graph: SceneGraph, stamp_ns: int
+    ) -> None:
+        """Begin a fresh canonical chunk holding the canonical mesh `P`
+        verbatim; the snapshot's keep mask selects the reconciled `new`
+        subset (P is new when no canonical stream is supplied)."""
         self._unions.append(Mesh(
-            vertices=new.vertices.copy(),
-            colors=new.colors.copy(),
-            labels=new.labels.copy(),
-            first_seen_ns=new.first_seen_ns.copy(),
-            last_seen_ns=new.last_seen_ns.copy(),
-            faces=new.faces.copy(),
+            vertices=P.vertices.copy(),
+            colors=P.colors.copy(),
+            labels=P.labels.copy(),
+            first_seen_ns=P.first_seen_ns.copy(),
+            last_seen_ns=P.last_seen_ns.copy(),
+            faces=P.faces.copy(),
         ))
+        if P is new:
+            keep = np.ones(P.num_vertices, bool)
+        else:
+            keep = np.isin(self._row_keys(P), self._row_keys(new))
         self._stores.append({
             "u": len(self._unions) - 1,
-            "L": new.num_vertices,
-            "F": new.num_faces,
-            "keep": np.ones(new.num_vertices, bool),
+            "L": P.num_vertices,
+            "F": P.num_faces,
+            "keep": keep,
             "rev": {f: (np.zeros(0, np.int64), None) for f in _REV_FIELDS},
             "graph": graph,
         })
         self.stamps_ns.append(int(stamp_ns))
 
-    def update(self, dsg: SceneGraph, stamp_ns: int) -> None:
-        """Add a reconciled snapshot (finalized: vertices sorted by first_seen)."""
+    def update(
+        self,
+        dsg: SceneGraph,
+        stamp_ns: int,
+        canonical_mesh: Optional[Mesh] = None,
+    ) -> None:
+        """Add a reconciled snapshot. `canonical_mesh` is the
+        PRE-reconciliation mesh (raw accumulator order) the union chain
+        extends from — reconciliation strips near-object vertices EVERY
+        pass, so rows stripped on their very first pass never reach the
+        reconciled mesh yet reappear from the accumulator later (r5
+        finding: 31 of 33 endurance snapshots forked a fresh union). The
+        accumulator stream is append-only IN INSERTION ORDER between
+        deformations, so the extension check is a positional compare."""
         snap = dsg.clone(share_arrays=True)
-        self._finalize(snap)
         new = snap.mesh
+        P = canonical_mesh if canonical_mesh is not None else new
         snap.mesh = Mesh.empty()  # the union owns the geometry
-        if not self._unions or new.num_vertices == 0:
-            self._start_union(new, snap, stamp_ns)
+        if not self._unions or P.num_vertices == 0:
+            self._start_union(P, new, snap, stamp_ns)
             return
         union = self._unions[-1]
-        ku = np.isin(self._row_keys(union), self._row_keys(new))
-        n_old = int(ku.sum())
-        sel = np.nonzero(ku)[0]
-        Vn = new.num_vertices
-        prefix_ok = (
-            n_old <= Vn
-            and np.array_equal(union.first_seen_ns[sel], new.first_seen_ns[:n_old])
-            and np.array_equal(union.vertices[sel], new.vertices[:n_old])
-        )
-        if not prefix_ok:
-            # geometry moved (deformation): fresh canonical chunk
-            self._start_union(new, snap, stamp_ns)
+        Lp, Vp = union.num_vertices, P.num_vertices
+        Fp = union.num_faces
+        if not (
+            Vp >= Lp
+            and np.array_equal(P.vertices[:Lp], union.vertices)
+            and P.num_faces >= Fp
+            and np.array_equal(P.faces[:Fp], union.faces)
+        ):
+            # geometry moved (deformation) or a non-accumulator stream:
+            # fresh canonical chunk
+            self._start_union(P, new, snap, stamp_ns)
             return
-        Lp = union.num_vertices
-        # face check: surviving union faces must form the new faces' prefix
-        remap = -np.ones(Lp, np.int64)
-        remap[ku] = np.arange(n_old)
-        if union.num_faces:
-            f = remap[union.faces]
-            derived = f[(f >= 0).all(axis=1)]
+        # snapshot membership FIRST (before any union mutation): which
+        # canonical rows survive in the RECONCILED mesh (all of them when
+        # no canonical stream is supplied)
+        if P is new:
+            keep = np.ones(Vp, bool)
         else:
-            derived = np.zeros((0, 3), np.int64)
-        Fd = len(derived)
-        if new.num_faces < Fd or not np.array_equal(new.faces[:Fd], derived):
-            self._start_union(new, snap, stamp_ns)
-            return
+            keep = np.isin(self._row_keys(P), self._row_keys(new))
+            if int(keep.sum()) != new.num_vertices:
+                # key collision or mismatch: fall back to a fresh chunk
+                self._start_union(P, new, snap, stamp_ns)
+                return
         # REVERSE diffs: remember the union values this update overwrites
         rev = {}
-        new_vals = self._values_of(new, slice(0, n_old))
-        old_vals = self._values_of(union, sel)
+        new_vals = self._values_of(P, slice(0, Lp))
+        old_vals = self._values_of(union, slice(None))
         for fld in _REV_FIELDS:
             nv, ov = new_vals[fld], old_vals[fld]
             ch = (
                 np.nonzero((nv != ov).any(axis=1))[0]
                 if nv.ndim == 2 else np.nonzero(nv != ov)[0]
             )
-            rows = sel[ch]
-            rev[fld] = (rows.astype(np.int64), ov[ch].copy())
-        # write the new values + append the tail into the union
-        union.colors[sel] = new.colors[:n_old]
-        union.labels[sel] = new.labels[:n_old]
-        union.last_seen_ns[sel] = new.last_seen_ns[:n_old]
-        union.vertices = np.concatenate([union.vertices, new.vertices[n_old:]])
-        union.colors = np.concatenate([union.colors, new.colors[n_old:]])
-        union.labels = np.concatenate([union.labels, new.labels[n_old:]])
-        union.first_seen_ns = np.concatenate(
-            [union.first_seen_ns, new.first_seen_ns[n_old:]]
-        )
-        union.last_seen_ns = np.concatenate(
-            [union.last_seen_ns, new.last_seen_ns[n_old:]]
-        )
-        # appended faces -> union indexing
-        inv = np.concatenate([sel, np.arange(Lp, Lp + (Vn - n_old))])
-        if new.num_faces > Fd:
-            union.faces = np.concatenate([union.faces, inv[new.faces[Fd:]]])
-        keep = np.zeros(union.num_vertices, bool)
-        keep[sel] = True
-        keep[Lp:] = True
+            rev[fld] = (ch.astype(np.int64), ov[ch].copy())
+        # write the new values + append the tail
+        union.colors = P.colors.copy()
+        union.labels = P.labels.copy()
+        union.first_seen_ns = P.first_seen_ns.copy()
+        union.last_seen_ns = P.last_seen_ns.copy()
+        union.vertices = np.concatenate([union.vertices, P.vertices[Lp:]])
+        union.faces = np.concatenate([union.faces, P.faces[Fp:]])
         self._stores.append({
             "u": len(self._unions) - 1,
             "L": union.num_vertices,
@@ -222,12 +231,16 @@ class SpatioTemporalMap:
         colors = union.colors[:L].copy()
         labels = union.labels[:L].copy()
         seen = union.last_seen_ns[:L].copy()
+        first = union.first_seen_ns[:L].copy()
         # rewind value mutations applied by NEWER snapshots of this union
         for j in range(len(self._stores) - 1, i, -1):
             st = self._stores[j]
             if st["u"] != u:
                 continue
-            for fld, arr in (("color", colors), ("label", labels), ("seen", seen)):
+            for fld, arr in (
+                ("color", colors), ("label", labels),
+                ("seen", seen), ("first", first),
+            ):
                 idx, old = st["rev"][fld]
                 if old is None or len(idx) == 0:
                     continue
@@ -246,12 +259,15 @@ class SpatioTemporalMap:
             vertices=union.vertices[:L][keep],
             colors=colors[keep],
             labels=labels[keep],
-            first_seen_ns=union.first_seen_ns[:L][keep],
+            first_seen_ns=first[keep],
             last_seen_ns=seen[keep],
             faces=faces,
         )
         out = store["graph"].clone()
         out.mesh = mesh
+        # the union lives in raw accumulator order; queries need the
+        # first-seen prefix order (reference finalizeMesh, cpp:120-135)
+        self._finalize(out)
         # cache only the most recent materialization (the common access)
         for st in self._stores:
             st.pop("_cache", None)

@@ -554,8 +554,12 @@ class TestSpatioTemporalMap:
         np.testing.assert_allclose(
             stm.snapshots[2].mesh.vertices[:10], stm.snapshots[0].mesh.vertices
         )
-        # a removal delta-shares via the keep mask ...
-        stm.update(make(18, drop_first=True), int(40e9))
+        # a removal delta-shares via the keep mask when the CANONICAL
+        # (pre-reconciliation, accumulator-order) mesh is supplied, as the
+        # pipeline does ...
+        stm.update(
+            make(18, drop_first=True), int(40e9), canonical_mesh=make(18).mesh
+        )
         assert len(stm._unions) == 1
         assert stm._stores[3]["keep"].sum() == 17
         assert stm.snapshots[3].mesh.num_vertices == 17
