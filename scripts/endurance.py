@@ -110,6 +110,14 @@ def _component_mb(pipe) -> dict:
     from khronos_tpu.utils.timing import TimingRecorder
     rec = TimingRecorder.instance()
     out["timing_samples"] = sum(len(rec.samples(n)) for n in rec.names())
+    try:
+        import jax as _jax
+
+        # under the axon tunnel every live device buffer pins a ~1:1 host
+        # mirror, so live device bytes ARE host RSS
+        out["jax_live_dev"] = sum(a.nbytes for a in _jax.live_arrays())
+    except Exception:
+        out["jax_live_dev"] = -1
     return {k: (v // (1 << 20) if isinstance(v, int) and k.endswith(("_4d", "mesh", "_dev", "_occ")) else v)
             for k, v in out.items()}
 
