@@ -118,6 +118,14 @@ def _component_mb(pipe) -> dict:
         out["jax_live_dev"] = sum(a.nbytes for a in _jax.live_arrays())
     except Exception:
         out["jax_live_dev"] = -1
+    try:
+        import gc
+
+        out["numpy_heap_dev"] = sum(
+            o.nbytes for o in gc.get_objects() if isinstance(o, np.ndarray)
+        )
+    except Exception:
+        out["numpy_heap_dev"] = -1
     return {k: (v // (1 << 20) if isinstance(v, int) and k.endswith(("_4d", "mesh", "_dev", "_occ")) else v)
             for k, v in out.items()}
 
