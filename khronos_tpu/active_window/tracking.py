@@ -196,10 +196,35 @@ class MaxIouTracker:
             assigned_dyn_tracks[cid] = ti
             self._update_track(self.tracks[ti], stamp_ns, dyn_data[cid], dynamic_cluster_id=cid)
 
-        # 2) unassigned dynamic clusters -> new dynamic tracks
-        for cid in sorted(free_dyn):
+        # 2) unassigned dynamic clusters -> new dynamic tracks — UNLESS the
+        # cluster sits within max_dynamic_distance of an agent already
+        # claimed this frame: the detector can split one body across depth
+        # edges into several clusters, and a fresh track per fragment rides
+        # along as a concurrent duplicate trajectory of the same human
+        # (r5 office bench: 24 of 25 dynamic objects were 3-6x duplicate
+        # tracks of the 2 humans, dynamic precision 0.47). Association is
+        # one-to-one, so only the nearest fragment feeds the track; the
+        # rest are absorbed here, mirroring the reference's pairwise
+        # cluster merging (free_space_motion_detector.cpp:274-355).
+        claimed = [
+            self.tracks[ti].last_centroid
+            for ti in used_tracks
+            if self.tracks[ti].last_centroid is not None
+        ]
+        # biggest fragment first becomes the track; dyn_data rows are
+        # (voxels, points, bbox_min, bbox_max, centroid)
+        order = sorted(free_dyn, key=lambda cid: -len(dyn_data[cid][1]))
+        for cid in order:
+            c = dyn_data[cid][4]
+            if c is not None and any(
+                float(np.linalg.norm(c - q)) <= cfg.max_dynamic_distance
+                for q in claimed
+            ):
+                continue  # fragment of an already-tracked agent
             tr = self._new_track(stamp_ns, dyn_data[cid], is_dynamic=True, dynamic_cluster_id=cid)
             assigned_dyn_tracks[cid] = self.tracks.index(tr)
+            if c is not None:
+                claimed.append(c)
 
         # 3) semantic clusters vs dynamic tracks (cross-IoU)
         free_sem = set(s.cluster_id for s in frame.semantic_clusters)
