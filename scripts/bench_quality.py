@@ -62,7 +62,15 @@ def run(stride: int, out_dir: str, seed_dynamic: bool = True, noise: bool = Fals
                 # seed_dynamic_labels: the adopted quality config (r3
                 # semantic motion seeding; re-measured at the bench point in
                 # r4 per VERDICT task 3)
-                "motion_detector": {"type": "FreeSpaceMotionDetector", "min_cluster_size": 1500, "grow_iterations": 12, "seed_dynamic_labels": seed_dynamic},
+                "motion_detector": {"type": "FreeSpaceMotionDetector", "min_cluster_size": 1500, "grow_iterations": 12, "seed_dynamic_labels": seed_dynamic,
+                                    # ground removal (reference min_z_coordinate,
+                                    # free_space_motion_detector.h:92): floor pixels
+                                    # admitted by the one-step label spread dragged
+                                    # cluster centroids to z~0 vs GT agent centers at
+                                    # 0.85 - every centroid then missed the 0.5 m
+                                    # 3D match gate (r5: 29 of 40 dynamic FP points
+                                    # had dz 0.78-0.85)
+                                    "min_z": 0.1},
                 "object_detector": {"type": "ConnectedSemantics", "min_cluster_size": 750},
                 "tracker": {"type": "MaxIouTracker", "min_num_observations": 5},
                 "object_extractor": {
