@@ -14,7 +14,7 @@ tunnel used here has ~30 ms/transfer latency at ~30 MB/s, which would measure
 the tunnel, not the engine. On production hardware the per-frame sensor H2D
 (6 MB over PCIe) costs ~1 ms and does not change the conclusion. The timed
 run repeats `--repeats` times with a fresh engine (compiled programs cached)
-and reports the best — the dev tunnel's latency varies ~2x run to run.
+and reports the MEDIAN — the dev tunnel's latency varies ~2x run to run.
 """
 
 import argparse
@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--det-stride", type=int, default=2,
                     help="detection stride (integration stays full-res)")
     ap.add_argument("--repeats", type=int, default=3,
-                    help="timed repetitions (fresh engine each); best reported"
+                    help="timed repetitions (fresh engine each); median reported"
                     " (the dev tunnel varies ~10% run to run)")
     args = ap.parse_args()
     args.full_pipeline = not args.aw_only
@@ -203,7 +203,12 @@ def main():
         )
     print(f"runs: {[round(f, 2) for f in fps_runs]}", file=sys.stderr)
 
-    fps = max(fps_runs)
+    # MEDIAN of repeats (r4 VERDICT weak 7: best-of-N hid sub-bar cold
+    # runs); the tunnel's ~2x run-to-run latency still argues against the
+    # min, and the raw runs are printed above for the record
+    import statistics
+
+    fps = statistics.median(fps_runs)
     name = "full_pipeline" if args.full_pipeline else "active_window"
     print(
         json.dumps(
