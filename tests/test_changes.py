@@ -573,6 +573,19 @@ class TestSpatioTemporalMap:
         assert stm.snapshots[4].mesh.num_vertices == 18
         # older snapshots keep their as-of values after later updates
         assert stm.snapshots[3].mesh.num_vertices == 17
+        # value mutation rewind: a later update that extends last_seen (and
+        # recolors) must not leak into older snapshots' materializations
+        mutated = make(18)
+        mutated.mesh.last_seen_ns = np.full(18, int(200e9), np.int64)
+        mutated.mesh.colors = mutated.mesh.colors + 0.25
+        stm.update(mutated, int(60e9))
+        assert len(stm._unions) == 1
+        assert int(stm.snapshots[5].mesh.last_seen_ns[0]) == int(200e9)
+        old = stm.snapshots[4].mesh
+        assert int(old.last_seen_ns[0]) == int(100e9), "rev diff must rewind"
+        assert not np.allclose(
+            stm.snapshots[5].mesh.colors[0], old.colors[0]
+        ), "older snapshot must keep as-of colors"
         # round-trip (v4 archive)
         path = str(tmp_path / "m.4dmap.npz")
         stm.save(path)
