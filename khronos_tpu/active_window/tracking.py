@@ -206,25 +206,40 @@ class MaxIouTracker:
         # one-to-one, so only the nearest fragment feeds the track; the
         # rest are absorbed here, mirroring the reference's pairwise
         # cluster merging (free_space_motion_detector.cpp:274-355).
+        # claimed agents this frame: (centroid, bbox_min, bbox_max) of the
+        # cluster each updated track consumed
         claimed = [
-            self.tracks[ti].last_centroid
-            for ti in used_tracks
-            if self.tracks[ti].last_centroid is not None
+            (dyn_data[cid][4], dyn_data[cid][2], dyn_data[cid][3])
+            for cid, ti in assigned_dyn_tracks.items()
         ]
         # biggest fragment first becomes the track; dyn_data rows are
         # (voxels, points, bbox_min, bbox_max, centroid)
         order = sorted(free_dyn, key=lambda cid: -len(dyn_data[cid][1]))
+        margin = 0.1  # m bbox slack for abutting fragments
         for cid in order:
-            c = dyn_data[cid][4]
-            if c is not None and any(
-                float(np.linalg.norm(c - q)) <= cfg.max_dynamic_distance
-                for q in claimed
-            ):
+            c, bmin, bmax = dyn_data[cid][4], dyn_data[cid][2], dyn_data[cid][3]
+            absorbed = False
+            if c is not None and bmin is not None:
+                for qc, qmin, qmax in claimed:
+                    if qc is None or qmin is None:
+                        continue
+                    # fragment = near AND spatially overlapping the claimed
+                    # agent's extent; centroid distance alone also swallowed
+                    # a genuinely separate agent walking < 1 m alongside
+                    # (r5 review finding)
+                    near = float(np.linalg.norm(c - qc)) <= cfg.max_dynamic_distance
+                    overlap = bool(
+                        np.all(bmin <= np.asarray(qmax) + margin)
+                        and np.all(np.asarray(qmin) <= bmax + margin)
+                    )
+                    if near and overlap:
+                        absorbed = True
+                        break
+            if absorbed:
                 continue  # fragment of an already-tracked agent
             tr = self._new_track(stamp_ns, dyn_data[cid], is_dynamic=True, dynamic_cluster_id=cid)
             assigned_dyn_tracks[cid] = self.tracks.index(tr)
-            if c is not None:
-                claimed.append(c)
+            claimed.append((c, bmin, bmax))
 
         # 3) semantic clusters vs dynamic tracks (cross-IoU)
         free_sem = set(s.cluster_id for s in frame.semantic_clusters)

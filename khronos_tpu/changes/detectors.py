@@ -123,6 +123,12 @@ class SequentialChangeDetector:
         self._obj_known: Dict[int, tuple] = {}
         self._obj_prev_V: Optional[int] = None
         self._obj_epoch = None
+        # full-rebuild counter the incremental gates key on: after a full
+        # library (re)build, "rays targeting new vertices" no longer covers
+        # what changed — EVERY ray is new — so incremental gating must reset
+        # (r5 review: an unbuilt->built transition otherwise skipped objects
+        # forever)
+        self._gate_builds = -1
 
     # ------------------------------------------------------------------
     def detect_changes(self, dsg, had_loop_closure: bool = True, merges=None) -> Changes:
@@ -139,13 +145,15 @@ class SequentialChangeDetector:
                 # change (ray_verificator.cpp:163-182, 316-325)
                 self.verificator.update(dsg, had_loop_closure)
             epoch = getattr(dsg, "opt_epoch", None)
+            rebuilt = self.verificator.n_full_builds != self._gate_builds
             if self.config.detect_object_changes:
                 with Timer("change_detection/objects"):
                     self._adopt_merges(merges)
                     # LC is advisory: the geometry epoch is the real
                     # "geometry moved" signal (see ray_verificator.update)
                     full_obj = (
-                        (had_loop_closure and epoch is None)
+                        rebuilt
+                        or (had_loop_closure and epoch is None)
                         or self._obj_prev_V is None
                         or epoch is None
                         or epoch != self._obj_epoch
@@ -155,8 +163,11 @@ class SequentialChangeDetector:
                     self._obj_epoch = epoch
             if self.config.detect_background_changes:
                 with Timer("change_detection/background"):
-                    self._detect_background_changes(dsg, had_loop_closure)
+                    self._detect_background_changes(
+                        dsg, had_loop_closure, force_full=rebuilt
+                    )
             self._obj_prev_V = dsg.mesh.num_vertices
+            self._gate_builds = self.verificator.n_full_builds
         return self.changes
 
     # ------------------------------------------------------------------
@@ -277,11 +288,14 @@ class SequentialChangeDetector:
             )
         if not ev_chunks:
             # zero evidence (library unbuilt): still RECORD fresh empty
-            # records + envelopes, mirroring the zero-evidence recompute of a
-            # populated pass — an early return would preserve stale decisions
-            # (r4 advisor finding; see the recompute note below)
+            # records, mirroring the zero-evidence recompute of a populated
+            # pass — an early return would preserve stale decisions (r4
+            # advisor finding). _obj_known is NOT updated: marking envelopes
+            # as scanned while the library is unbuilt would let the
+            # incremental gate skip these objects after the first real
+            # build (r5 review finding; the rebuild counter also forces the
+            # next pass full).
             for o in scan:
-                self._obj_known[o.node_id] = env[o.node_id]
                 prev = self.changes.object_changes.get(o.node_id)
                 oc = ObjectChange(o.node_id)
                 if prev is not None:
@@ -431,7 +445,9 @@ class SequentialChangeDetector:
                 return
 
     # ------------------------------------------------------------------
-    def _detect_background_changes(self, dsg, had_loop_closure: bool = True) -> None:
+    def _detect_background_changes(
+        self, dsg, had_loop_closure: bool = True, force_full: bool = False
+    ) -> None:
         cfg = self.config.background
         mesh = dsg.mesh
         V = mesh.num_vertices
@@ -441,7 +457,8 @@ class SequentialChangeDetector:
         epoch = getattr(dsg, "opt_epoch", None)
         prev = self._bg_states
         full = (
-            not self.config.incremental_background
+            force_full
+            or not self.config.incremental_background
             or (had_loop_closure and epoch is None)
             or prev is None
             or epoch is None

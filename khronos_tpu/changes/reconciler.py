@@ -200,8 +200,11 @@ class Reconciler:
             from khronos_tpu.eval.evaluators import min_distances
 
             verts = mesh.vertices.astype(np.float32)
-            mns = np.stack([p.min(axis=0) for p in obj_pts]) - prox
-            mxs = np.stack([p.max(axis=0) for p in obj_pts]) + prox
+            # candidate boxes expand by the WIDENED threshold upper bound
+            # (prox + subsample cell diagonal; see thr below)
+            pad = prox + max(prox * 0.25, 0.02) * np.sqrt(3.0)
+            mns = np.stack([p.min(axis=0) for p in obj_pts]) - pad
+            mxs = np.stack([p.max(axis=0) for p in obj_pts]) + pad
             cand = np.ones(len(verts), bool)
             for ax in range(3):
                 order = np.argsort(mns[:, ax])
@@ -230,14 +233,21 @@ class Reconciler:
                 cand[idx[inside]] = True
             if cand.any():
                 pts = np.concatenate(obj_pts).astype(np.float32)
+                thr = prox
                 if len(pts) > 20000:
-                    # grid-subsample reference points to ~half the proximity
-                    # threshold: distances shift < prox/2, and the kNN cost
-                    # stops scaling with total object mesh size
-                    cell = np.floor(pts / max(prox * 0.5, 0.02)).astype(np.int64)
+                    # grid-subsample reference points so kNN cost stops
+                    # scaling with total object mesh size. A dropped point
+                    # sits up to the CELL DIAGONAL from its kept
+                    # representative, so widen the removal threshold by that
+                    # bound — over-stripping background slightly near objects
+                    # is the safe direction (the strip exists to remove
+                    # duplicate shell geometry); under-stripping leaves it
+                    cell_sz = max(prox * 0.25, 0.02)
+                    cell = np.floor(pts / cell_sz).astype(np.int64)
                     _, first = np.unique(cell, axis=0, return_index=True)
                     pts = pts[first]
-                near_c = min_distances(verts[cand], pts) <= prox
+                    thr = prox + cell_sz * np.sqrt(3.0)
+                near_c = min_distances(verts[cand], pts) <= thr
                 near = np.zeros(len(verts), bool)
                 near[np.nonzero(cand)[0]] = near_c
                 keep &= ~near

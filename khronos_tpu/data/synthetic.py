@@ -188,7 +188,6 @@ def _render(
 
 
 @dataclasses.dataclass
-@dataclasses.dataclass
 class SensorNoiseConfig:
     """Structured-light RGB-D sensor noise (r5 VERDICT task 9): every quality
     number previously came from the noise-free renderer; this models the

@@ -547,12 +547,19 @@ class PlacesExtractor:
             clear = min(clear_in, out_node.distance)
             if clear >= cfg.min_edge_clearance:
                 merged.edges.append((a, b, clear))
-        now_s = (
-            stamp_ns * 1e-9 if stamp_ns is not None
-            else __import__("time").monotonic()
-        )
-        if now_s - self._last_room_update_s >= cfg.room_update_interval_s:
-            self._last_room_update_s = now_s
+        # sequence time and wall clock are separate gates: mixing them in one
+        # attribute let a single wall-clock call (~1e5 s) push the shared
+        # last-update far past any sequence stamp and silently freeze room
+        # re-segmentation for the rest of the run (r5 review finding)
+        if stamp_ns is not None:
+            now_s = stamp_ns * 1e-9
+            gate_attr = "_last_room_update_s"
+        else:
+            now_s = __import__("time").monotonic()
+            gate_attr = "_last_room_update_mono_s"
+        last = getattr(self, gate_attr, float("-inf"))
+        if now_s - last >= cfg.room_update_interval_s:
+            setattr(self, gate_attr, now_s)
             with self._lock:
                 occ_pts = self._occupied_cell_centers()
             with Timer("places/rooms"):

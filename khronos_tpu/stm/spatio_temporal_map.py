@@ -136,6 +136,15 @@ class SpatioTemporalMap:
             keep = np.ones(P.num_vertices, bool)
         else:
             keep = np.isin(self._row_keys(P), self._row_keys(new))
+            if int(keep.sum()) != new.num_vertices:
+                # position-key collision: fall back to storing the
+                # RECONCILED mesh verbatim as this chunk (correct, just
+                # unshared) — re-running the same colliding isin would bake
+                # a wrong keep mask in exactly the case it failed (r5
+                # review finding)
+                self._unions[-1] = new.clone()
+                keep = np.ones(new.num_vertices, bool)
+                P = new
         self._stores.append({
             "u": len(self._unions) - 1,
             "L": P.num_vertices,

@@ -24,6 +24,9 @@ def main() -> None:
               f"| {lag:.1f}x | {r['full_builds']} | {r.get('merges', 0)} "
               f"| {r['rss_mb']} |")
     cd = [r["cd_s"] for r in rows]
+    if not cd:
+        print("\n(no CD passes ran)")
+        return
     steady = cd[2:] if len(cd) > 4 else cd
     print(f"\nfirst steady pass {steady[0]:.1f}s, last {steady[-1]:.1f}s "
           f"(ratio {steady[-1]/max(steady[0],1e-9):.1f}x), median "
