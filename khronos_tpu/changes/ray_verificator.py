@@ -298,12 +298,12 @@ def _query_device(
     # tracks ray generation order (vertex-major, observers in time order),
     # so a prefix silently biases evidence toward early observations — under
     # the true `All` policy that shrank late persistence evidence (r4)
+    # int32 arithmetic (TPU-native; x64 is disabled anyway): offs < 2^10 and
+    # per-cell entry counts < 2^21 in any realistic library keep
+    # offs*count_full < 2^31
     sel = jnp.where(
         count_full[:, None] > max_candidates,
-        (
-            offs.astype(jnp.int64) * count_full[:, None].astype(jnp.int64)
-            // max_candidates
-        ).astype(jnp.int32),
+        offs * count_full[:, None] // max_candidates,
         offs,
     )
     entry_idx = jnp.minimum(start[:, None] + sel, sorted_rays.shape[0] - 1)
