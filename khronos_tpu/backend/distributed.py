@@ -248,8 +248,15 @@ def optimize_backend_graph(
     pose_set = set(pose_ids)
     ctrl_ids = [i for i in range(N) if i not in pose_set]
     nA, nC = len(pose_ids), len(ctrl_ids)
-    bA = fg._shape_bucket(max(nA, 1))
-    bC = fg._shape_bucket(nC) if nC else 0
+    # production-scale bucket FLOOR: each distinct (pose, control, factor)
+    # bucket combo compiles the whole GN/GNC chain fresh (measured: 44 s
+    # cold vs 0.78 s warm at the endurance scale over the dev tunnel), and
+    # a growing run crosses several pow2 boundaries — flooring large graphs
+    # at one big combo makes every solve after the first warm. Small
+    # (test-scale) graphs keep fine buckets so CPU suites stay fast.
+    lo_n = 1024 if N > 256 else 32
+    bA = fg._shape_bucket(max(nA, 1), lo=lo_n)
+    bC = fg._shape_bucket(nC, lo=lo_n) if nC else 0
     padA, padC = bA - nA, (bC - nC if nC else 0)
 
     eye = np.eye(3, dtype=np.float32)
@@ -285,7 +292,8 @@ def optimize_backend_graph(
         g2.p_t.append(zero3)
         g2.p_sqrt_info.append(np.ones(6, np.float32))
     # bucket the factor axes: zero-information pads contribute nothing
-    fB = fg._shape_bucket(max(g2.num_between, 1)) - g2.num_between
+    lo_f = 4096 if N > 256 else 32
+    fB = fg._shape_bucket(max(g2.num_between, 1), lo=lo_f) - g2.num_between
     for _ in range(fB):
         g2.b_i.append(0)
         g2.b_j.append(0)
@@ -294,7 +302,7 @@ def optimize_backend_graph(
         g2.b_sqrt_info.append(np.zeros(6, np.float32))
         g2.b_robust.append(False)
         g2.b_shadow.append(False)
-    pB = fg._shape_bucket(max(len(g2.p_i), 1)) - len(g2.p_i)
+    pB = fg._shape_bucket(max(len(g2.p_i), 1), lo=lo_f) - len(g2.p_i)
     for _ in range(pB):
         g2.p_i.append(0)
         g2.p_R.append(eye)
